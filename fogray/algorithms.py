@@ -1,0 +1,144 @@
+"""Public algorithm entry points over a :class:`fogray.engine.GraphEngine`.
+
+Each function returns a :class:`fogray.engine.RunResult` whose ``state``
+holds the per-vertex attribute arrays with the reference's field names
+(pagerank: ``rank``; cc: ``component_root``; bfs: ``bfs_level``; sssp:
+``predecessor``/``value``; scc: ``prev_root``/``component_root``/
+``found``; spmv: ``origin_value``/``spmv_value`` — headers cited in
+fogray.programs).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .checkpoint import latest_checkpoint, load_checkpoint, write_checkpoint
+from .engine import GraphEngine, RunResult
+from .oracle import UNREACHED
+from .programs import BWD, FWD, PROGRAMS
+
+
+def pagerank(engine: GraphEngine, niters: int = 10, *, ckpt_dir=None, resume=False) -> RunResult:
+    return engine.run(
+        PROGRAMS["pagerank"], {"niters": niters}, ckpt_dir=ckpt_dir, resume=resume
+    )
+
+
+def connected_components(engine: GraphEngine, *, ckpt_dir=None, resume=False) -> RunResult:
+    return engine.run(PROGRAMS["cc"], {}, ckpt_dir=ckpt_dir, resume=resume)
+
+
+def label_propagation(engine: GraphEngine, *, ckpt_dir=None, resume=False) -> RunResult:
+    return engine.run(PROGRAMS["label_propagation"], {}, ckpt_dir=ckpt_dir, resume=resume)
+
+
+def bfs(engine: GraphEngine, root: int, *, ckpt_dir=None, resume=False) -> RunResult:
+    return engine.run(PROGRAMS["bfs"], {"root": root}, ckpt_dir=ckpt_dir, resume=resume)
+
+
+def sssp(engine: GraphEngine, source: int, *, ckpt_dir=None, resume=False) -> RunResult:
+    return engine.run(PROGRAMS["sssp"], {"source": source}, ckpt_dir=ckpt_dir, resume=resume)
+
+
+def spmv(engine: GraphEngine, *, ckpt_dir=None, resume=False) -> RunResult:
+    return engine.run(PROGRAMS["spmv"], {}, ckpt_dir=ckpt_dir, resume=resume)
+
+
+def scc(engine: GraphEngine, *, ckpt_dir=None, resume=False, max_rounds: int = 10_000) -> RunResult:
+    """FOG SCC: the multi-pass forward/backward coloring driver
+    (application/scc.hpp re-init logic at :46-102, finalize direction
+    flips at :189-207, outer loop fog_engine.cpp:103-231).
+
+    Round structure: an *init phase* (re-derives schedule + state from the
+    previous pass, exactly the scc.hpp rules) followed by a
+    single-direction pass run to fixpoint. The outer loop stops when an
+    init phase schedules nothing (fog_engine.cpp:112-115).
+    """
+    t_start = time.perf_counter()
+    n = engine.n
+    state = {
+        "prev_root": np.full(n, np.float64(UNREACHED)),
+        "component_root": np.arange(n, dtype=np.float64),
+        "found": np.zeros(n, dtype=np.int64),
+    }
+    out_loop, direction = 0, FWD
+    superstep_no = 0
+    metrics: list[dict] = []
+    resume_frontier: np.ndarray | None = None
+    if resume and ckpt_dir:
+        found_ck = latest_checkpoint(ckpt_dir)
+        if found_ck is not None:
+            state, resume_frontier, superstep_no, metrics = load_checkpoint(
+                found_ck, "scc", {}
+            )
+            out_loop = metrics[-1]["out_loop"]
+            direction = metrics[-1]["direction"]
+            if resume_frontier is None or not resume_frontier.any():
+                # checkpoint landed exactly on a pass boundary
+                direction = BWD if direction == FWD else FWD
+                out_loop += 1
+                resume_frontier = None
+
+    vids = np.arange(n, dtype=np.float64)
+    while out_loop < max_rounds:
+        # ---- init phase (scc.hpp:46-102), skipped when resuming mid-pass
+        if resume_frontier is not None:
+            frontier = resume_frontier
+            resume_frontier = None
+        elif out_loop == 0:
+            trivial = (engine.outdeg == 0) | (engine.indeg == 0)  # scc.hpp:48-54
+            state["found"][trivial] = 1
+            state["prev_root"][trivial] = vids[trivial]
+            state["component_root"][trivial] = vids[trivial]
+            frontier = ~trivial
+        elif direction == FWD:
+            m = state["component_root"] != state["prev_root"]  # scc.hpp:69-77
+            state["prev_root"][m] = state["component_root"][m]
+            state["component_root"][m] = vids[m]
+            frontier = m
+        else:
+            changed = state["component_root"] != state["prev_root"]  # scc.hpp:78-99
+            state["prev_root"][changed] = state["component_root"][changed]
+            state["component_root"][changed] = vids[changed]
+            # newly-minted own roots (vid == old component_root) are found+scheduled
+            own_root = changed & (state["component_root"] == state["prev_root"])
+            state["found"][own_root] = 1
+            unchanged_unfound = (~changed) & (state["found"] == 0)
+            state["found"][unchanged_unfound] = 1
+            frontier = own_root | unchanged_unfound
+
+        if not frontier.any():
+            break  # init phase scheduled nothing, fog_engine.cpp:112-115
+
+        # ---- one direction's pass to fixpoint ----
+        prog = PROGRAMS["scc_fwd"] if direction == FWD else PROGRAMS["scc_bwd"]
+        while frontier.any():
+            changed_ids, m = engine.superstep(prog, state, frontier, direction)
+            frontier = np.zeros(n, dtype=bool)
+            frontier[changed_ids] = True
+            superstep_no += 1
+            m.update(
+                {"superstep": superstep_no, "out_loop": out_loop, "direction": direction}
+            )
+            metrics.append(m)
+            if ckpt_dir and engine.cfg.ckpt_interval and superstep_no % engine.cfg.ckpt_interval == 0:
+                # frontier is re-derivable from state by the next init
+                # phase only at pass boundaries; checkpoint carries it.
+                write_checkpoint(
+                    ckpt_dir, superstep_no, "scc", {}, state, frontier, metrics,
+                    shards=engine.cfg.ckpt_shards,
+                )
+
+        direction = BWD if direction == FWD else FWD  # scc.hpp:189-207
+        out_loop += 1
+
+    return RunResult(
+        state=state,
+        frontier=None,
+        supersteps=superstep_no,
+        metrics=metrics,
+        num_edges=engine.num_edges,
+        wall_seconds=time.perf_counter() - t_start,
+    )

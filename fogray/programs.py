@@ -1,0 +1,275 @@
+"""Vertex programs: FOG's compile-time template contract
+(``A::{init, scatter_one_edge, gather_one_update, before/after_iteration,
+finalize}``, headers/fog_engine.hpp:43-44, README.txt:67-70) re-expressed
+as a Python protocol whose hooks are VECTORIZED over numpy edge/state
+arrays instead of per-edge calls.
+
+Contract (consumed by :mod:`fogray.engine`):
+
+- ``init(n, outdeg, indeg, **params) -> (state, frontier)`` — build the
+  dense per-vertex state arrays (the ``.attr`` array analog) and the
+  initial frontier (None == all vertices scheduled, GLOBAL engines).
+- ``scatter(state, s, d, w, direction) -> (dest, vals[, preds])`` — runs
+  INSIDE edge-partition actors on frontier-filtered edge arrays; must be
+  pure numpy (no Python loops).
+- ``combine`` — 'sum' | 'min' | 'min_pred': the order-insensitive
+  reduction applied per destination (all six reference gathers are
+  commutative/associative: sum or (conditional) min, SURVEY.md 2.3).
+- ``apply(state, ids, vals, preds) -> changed_ids`` — driver-side FOG
+  ``gather_one_update`` rule applied to the combined updates.
+- ``done(completed_iters, frontier_count, params) -> bool``.
+
+Engine kinds: 'global' (all vertices scheduled every superstep,
+self-loops included — fogsrc/cpu_thread.cpp:509-535) vs 'target'
+(frontier-scheduled, self-loop edges skipped — cpu_thread.cpp:236-240).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .oracle import EPSILON, UNREACHED
+
+FWD, BWD = "fwd", "bwd"
+
+
+class VertexProgram:
+    name: str = "abstract"
+    engine: str = "global"  # 'global' | 'target'
+    paired_fwd_bwd: bool = False  # CC: each iteration = fwd then bwd superstep
+    combine: str = "sum"  # 'sum' | 'min' | 'min_pred'
+
+    @property
+    def skip_self_loops(self) -> bool:
+        return self.engine == "target"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise NotImplementedError
+
+    def scatter(self, state, s, d, w, direction):
+        raise NotImplementedError
+
+    def apply(self, state, ids, vals, preds=None):
+        raise NotImplementedError
+
+    def done(self, completed_iters, frontier_count, params) -> bool:
+        if self.engine == "target":
+            return frontier_count == 0
+        raise NotImplementedError
+
+
+class PageRank(VertexProgram):
+    """FOG PageRank — application/pagerank.hpp:43-128. See
+    :func:`fogray.oracle.pagerank_fog` for the exact (non-standard)
+    semantics replicated here: per-edge teleport, accumulate-no-reset,
+    self-loops included, fixed iteration count."""
+
+    name = "pagerank"
+    engine = "global"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        return {"rank": np.ones(n, dtype=np.float64)}, None
+
+    def scatter(self, state, s, d, w, direction):
+        # outdeg>0 guaranteed: s only contains sources of existing edges
+        # (zero-outdeg vertices emit nothing, cpu_thread.cpp:464-474).
+        vals = 0.85 * state["rank"][s] / state["outdeg"][s] + 0.15
+        return d, vals
+
+    def apply(self, state, ids, vals, preds=None):
+        state["rank"][ids] += vals  # accumulate, pagerank.hpp:105
+        return ids
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= params.get("niters", 10)
+
+
+class SpMV(VertexProgram):
+    """FOG SpMV — application/spmv.hpp: x=1.0, y=0.0; one GLOBAL
+    iteration of y(v) += x(u)*w(u,v); self-loops included."""
+
+    name = "spmv"
+    engine = "global"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        return {
+            "origin_value": np.ones(n, dtype=np.float64),
+            "spmv_value": np.zeros(n, dtype=np.float64),
+        }, None
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["origin_value"][s] * w
+
+    def apply(self, state, ids, vals, preds=None):
+        state["spmv_value"][ids] += vals
+        return ids
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= 1
+
+
+class ConnectedComponents(VertexProgram):
+    """FOG WCC — application/cc.hpp. TARGET engine; each iteration is a
+    forward superstep then a backward superstep over the SAME frontier
+    (the frontier bitmap is only cleared during the backward pass for
+    fwd/bwd programs, cpu_thread.cpp:187-189,334-336; after_iteration
+    flips direction and decrements loop_counter, cc.hpp:112-133), with
+    the forward pass's gathered min-labels visible to the backward
+    scatter. Gather: min label, schedule on change (cc.hpp:87-98)."""
+
+    name = "cc"
+    engine = "target"
+    paired_fwd_bwd = True
+    combine = "min"
+
+    def init(self, n, outdeg, indeg, **params):
+        state = {"component_root": np.arange(n, dtype=np.int64)}
+        frontier = (outdeg > 0) | (indeg > 0)  # cc.hpp:40-45
+        return state, frontier
+
+    def scatter(self, state, s, d, w, direction):
+        if direction == FWD:
+            return d, state["component_root"][s]
+        return s, state["component_root"][d]  # cc.hpp:56-63 backward
+
+    def apply(self, state, ids, vals, preds=None):
+        cur = state["component_root"][ids]
+        m = vals < cur
+        state["component_root"][ids[m]] = vals[m]
+        return ids[m]
+
+
+class LabelPropagation(ConnectedComponents):
+    """Synchronous min-label propagation exposed as its own pipeline
+    (SURVEY.md 2.4) — semantics identical to CC's gather (cc.hpp:87-98);
+    labels start at vid and converge when no label changes."""
+
+    name = "label_propagation"
+
+
+class BFS(VertexProgram):
+    """FOG BFS — application/bfs.hpp. TARGET, out-edges only, self-loops
+    skipped; level=0 at root else UINT_MAX; upd=level(u)+1; min-gather
+    with schedule-on-change."""
+
+    name = "bfs"
+    engine = "target"
+    combine = "min"
+
+    def init(self, n, outdeg, indeg, **params):
+        root = int(params["root"])
+        level = np.full(n, np.float64(UNREACHED))
+        level[root] = 0.0
+        frontier = np.zeros(n, dtype=bool)
+        frontier[root] = True
+        return {"bfs_level": level}, frontier
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["bfs_level"][s] + 1.0
+
+    def apply(self, state, ids, vals, preds=None):
+        cur = state["bfs_level"][ids]
+        m = vals < cur
+        state["bfs_level"][ids[m]] = vals[m]
+        return ids[m]
+
+
+class SSSP(VertexProgram):
+    """FOG SSSP — application/sssp.hpp. TARGET, weighted, self-loops
+    skipped; gather guard ``not FLOAT_EQ(upd, value) and upd < value``
+    with EPSILON=1e-3 (sssp.hpp:95-106, types.hpp:17-19). Updates of a
+    superstep are combined by lexicographic (value, pred) min before the
+    guard — see the documented deviation in fogray.oracle.sssp_fog."""
+
+    name = "sssp"
+    engine = "target"
+    combine = "min_pred"
+
+    def init(self, n, outdeg, indeg, **params):
+        source = int(params["source"])
+        value = np.full(n, np.inf, dtype=np.float64)
+        value[source] = 0.0
+        pred = np.full(n, np.float64(UNREACHED))
+        frontier = np.zeros(n, dtype=bool)
+        frontier[source] = True
+        return {"value": value, "predecessor": pred}, frontier
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["value"][s] + w, s.astype(np.float64)
+
+    def apply(self, state, ids, vals, preds=None):
+        cur = state["value"][ids]
+        accept = (~((vals > cur - EPSILON) & (vals < cur + EPSILON))) & (vals < cur)
+        ch = ids[accept]
+        state["value"][ch] = vals[accept]
+        state["predecessor"][ch] = preds[accept]
+        return ch
+
+
+class SCCForward(VertexProgram):
+    """One forward min-propagation pass of FOG's SCC fwd-bwd coloring
+    (application/scc.hpp:149-156): min over updates, accepted only by
+    not-yet-found vertices. Driven by fogray.algorithms.scc's outer loop
+    (scc.hpp:189-207 finalize flips direction; fog_engine.cpp:103-231)."""
+
+    name = "scc_fwd"
+    engine = "target"
+    combine = "min"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("SCC state is managed by fogray.algorithms.scc")
+
+    def scatter(self, state, s, d, w, direction):
+        dest, vals = d, state["component_root"][s]
+        # gather guard depends only on superstep-start dest state =>
+        # evaluated at scatter time (equivalent, see SURVEY.md 2.3)
+        keep = (vals < state["component_root"][dest]) & (state["found"][dest] == 0)
+        return dest[keep], vals[keep]
+
+    def apply(self, state, ids, vals, preds=None):
+        cur = state["component_root"][ids]
+        m = (vals < cur) & (state["found"][ids] == 0)
+        state["component_root"][ids[m]] = vals[m]
+        return ids[m]
+
+
+class SCCBackward(VertexProgram):
+    """One backward confirmation pass (scc.hpp:157-166): scheduled v sends
+    component_root(v) to its in-sources; u accepts iff the value equals
+    prev_root(u) and u is not found -> u joins the SCC (found=true)."""
+
+    name = "scc_bwd"
+    engine = "target"
+    combine = "min"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("SCC state is managed by fogray.algorithms.scc")
+
+    def scatter(self, state, s, d, w, direction):
+        dest, vals = s, state["component_root"][d]
+        keep = (vals == state["prev_root"][dest]) & (state["found"][dest] == 0)
+        return dest[keep], vals[keep]
+
+    def apply(self, state, ids, vals, preds=None):
+        m = (vals == state["prev_root"][ids]) & (state["found"][ids] == 0)
+        ch = ids[m]
+        state["component_root"][ch] = vals[m]
+        state["found"][ch] = 1
+        return ch
+
+
+PROGRAMS = {
+    p.name: p
+    for p in (
+        PageRank(),
+        SpMV(),
+        ConnectedComponents(),
+        LabelPropagation(),
+        BFS(),
+        SSSP(),
+        SCCForward(),
+        SCCBackward(),
+    )
+}
