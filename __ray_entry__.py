@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in fogray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on sf0.001 — derive the part
+  co-occurrence graph from ``lineitem`` and run FOG-semantics PageRank
+  on the distributed engine; returns the per-vertex rank table.
+- ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
+  section 2 — DuckDB-checkable entries come from fogray.queries; the
+  iterative/ML-ish pipelines that SQL can't express are registered as
+  rows-only entries (no oracle_sql key).
 """
 
 from __future__ import annotations
@@ -20,25 +19,76 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from fogray import queries as q
+
+    return q.q_pagerank("/root/testdata/sf0.001").to_pandas()
+
+
+def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
+    """Rows-only pipelines over the deterministic synthetic repo table
+    (the input_hint-shaped table; no SQL oracle — the FOG-semantics
+    correctness gate for these lives in tests/ vs fogray.oracle)."""
+
+    def _derived(sf_dir: str):
+        import ray.data as rd
+
+        from fogray import derive, tables
+
+        t = tables.make_repo_table(400, 16, seed=42)
+        return derive.derive_edges(rd.from_arrow(t))
+
+    def repo_edges(sf_dir: str):
+        return _derived(sf_dir)["edges"].to_pandas().sort_values(["src", "dst"])
+
+    def repo_pagerank(sf_dir: str):
+        import numpy as np
+
+        from fogray import algorithms as alg
+        from fogray.config import EngineConfig
+        from fogray.engine import GraphEngine
+
+        out = _derived(sf_dir)
+        e = out["edges"].to_pandas()
+        eng = GraphEngine(
+            out["num_vertices"],
+            arrays=(e["src"].to_numpy(), e["dst"].to_numpy(), e["weight"].to_numpy()),
+            cfg=EngineConfig(num_partitions=4),
+        )
+        try:
+            res = alg.pagerank(eng, niters=10)
+        finally:
+            eng.shutdown()
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"vid": np.arange(out["num_vertices"]), "rank": np.round(res.state["rank"], 6)}
+        )
+
+    return {"repo_derive_edges": repo_edges, "repo_pagerank": repo_pagerank}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fogray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = dict(q.QUERIES)
+    out.update(_repo_graph_queries())
+    try:
+        from fogray.datapipes import queries as dq
+
+        out.update(dq.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fogray import queries as q
+
+    out = dict(q.ORACLE_SQL)
+    try:
+        from fogray.datapipes import queries as dq
+
+        out.update(dq.ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

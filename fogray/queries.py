@@ -1,0 +1,413 @@
+"""Driver-conformance queries over /root/testdata sf tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a pyarrow Table; the
+matching entry in :data:`ORACLE_SQL` is ANSI SQL DuckDB runs on the same
+parquet (views pre-registered by the driver). Column names and dtypes
+match EXACTLY (the driver hashes values after sorting columns by name).
+
+Graph queries run the FOG-semantics engine over two graphs derived from
+the TPC-H-ish tables:
+
+- the **part co-occurrence graph**: distinct (order, part) pairs from
+  ``lineitem``; parts sharing an order get symmetric edges with
+  weight = co-occurring order count (integer-valued doubles => float
+  aggregation is exact and hash-stable);
+- the **part sequence graph** (directed, for SCC): edges between
+  consecutive line numbers within an order;
+- the **geo tree** (region -> nation -> customer) with deterministic
+  key-derived weights, for SSSP value parity.
+
+Float-emitting queries round to 6 decimals on BOTH sides; every rounded
+quantity is either exactly representable (integer-valued weights) or
+computed identically (documented per query).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from . import algorithms as alg
+from .config import EngineConfig
+from .engine import GraphEngine
+from .triangles import triangle_count
+
+# ---------------------------------------------------------------------------
+# derived graphs (cached per sf_dir; edge tables are small relative to
+# the base data — V = #parts, E = co-occurrence pairs)
+# ---------------------------------------------------------------------------
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@functools.lru_cache(maxsize=4)
+def cooccurrence_edges(sf_dir: str) -> pa.Table:
+    """Symmetric part co-occurrence edges (src, dst, weight) via ONE
+    groupby over orders — pairs are emitted per order group and
+    count-aggregated; mirrors fogray.derive's channel pattern."""
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy())
+        k = len(parts)
+        if k < 2:
+            z = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"src": z, "dst": z})
+        a, b = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        m = a.ravel() != b.ravel()
+        return pd.DataFrame({"src": parts[a.ravel()[m]], "dst": parts[b.ravel()[m]]})
+
+    edges = (
+        li.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="cnt"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "dst": t.column("dst"),
+                    "weight": t.column("cnt").cast(pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pa.concat_tables(_collect(edges))
+
+
+def _collect(ds) -> list[pa.Table]:
+    import ray
+
+    return ray.get(ds.to_arrow_refs())
+
+
+@functools.lru_cache(maxsize=4)
+def sequence_edges(sf_dir: str) -> pa.Table:
+    """Directed part sequence graph: consecutive line numbers in an
+    order, distinct, self-loops dropped."""
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    )
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_linenumber")
+        p = g["l_partkey"].to_numpy()
+        ln = g["l_linenumber"].to_numpy()
+        m = (ln[1:] == ln[:-1] + 1) & (p[1:] != p[:-1])
+        return pd.DataFrame({"src": p[:-1][m], "dst": p[1:][m]})
+
+    ds = (
+        li.groupby("l_orderkey")
+        .map_groups(seq, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="cnt"))
+        .select_columns(["src", "dst"])
+    )
+    return pa.concat_tables(_collect(ds))
+
+
+_SEQ_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey
+     AND b.l_linenumber = a.l_linenumber + 1
+     AND a.l_partkey <> b.l_partkey
+"""
+
+_COOC_SQL = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS weight
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+"""
+
+
+def _engine_for(table: pa.Table, weights: bool = True) -> tuple[GraphEngine, int]:
+    src = table.column("src").to_numpy(zero_copy_only=False)
+    dst = table.column("dst").to_numpy(zero_copy_only=False)
+    w = (
+        table.column("weight").to_numpy(zero_copy_only=False)
+        if weights and "weight" in table.column_names
+        else None
+    )
+    n = int(max(src.max(), dst.max())) + 1 if len(src) else 1
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=4))
+    return eng, n
+
+
+def _touched(eng: GraphEngine) -> np.ndarray:
+    return np.flatnonzero((eng.outdeg > 0) | (eng.indeg > 0))
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+
+def q_derive_edges(sf_dir: str) -> pa.Table:
+    t = cooccurrence_edges(sf_dir)
+    df = t.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_out_degrees(sf_dir: str) -> pa.Table:
+    t = cooccurrence_edges(sf_dir)
+    df = t.to_pandas().groupby("src", as_index=False).size()
+    df.columns = ["vid", "out_degree"]
+    return pa.Table.from_pandas(df.astype({"vid": "int64", "out_degree": "int64"}),
+                                preserve_index=False)
+
+
+def q_pagerank(sf_dir: str) -> pa.Table:
+    eng, n = _engine_for(cooccurrence_edges(sf_dir))
+    try:
+        res = alg.pagerank(eng, niters=10)
+    finally:
+        eng.shutdown()
+    ids = _touched(eng)
+    return pa.table(
+        {"vid": ids.astype(np.int64), "rank": np.round(res.state["rank"][ids], 6)}
+    )
+
+
+def q_connected_components(sf_dir: str) -> pa.Table:
+    eng, n = _engine_for(cooccurrence_edges(sf_dir), weights=False)
+    try:
+        res = alg.connected_components(eng)
+    finally:
+        eng.shutdown()
+    ids = _touched(eng)
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "component_root": res.state["component_root"][ids].astype(np.int64),
+        }
+    )
+
+
+def q_label_propagation(sf_dir: str) -> pa.Table:
+    eng, n = _engine_for(cooccurrence_edges(sf_dir), weights=False)
+    try:
+        res = alg.label_propagation(eng)
+    finally:
+        eng.shutdown()
+    ids = _touched(eng)
+    return pa.table(
+        {"vid": ids.astype(np.int64), "label": res.state["component_root"][ids].astype(np.int64)}
+    )
+
+
+def q_bfs(sf_dir: str) -> pa.Table:
+    t = cooccurrence_edges(sf_dir)
+    eng, n = _engine_for(t, weights=False)
+    root = int(t.column("src").to_numpy(zero_copy_only=False).min())
+    try:
+        res = alg.bfs(eng, root=root)
+    finally:
+        eng.shutdown()
+    lv = res.state["bfs_level"]
+    reached = np.flatnonzero(lv < np.float64(2**32 - 1))
+    return pa.table(
+        {"vid": reached.astype(np.int64), "bfs_level": lv[reached].astype(np.int64)}
+    )
+
+
+def q_sssp_tree(sf_dir: str) -> pa.Table:
+    """SSSP over the geo tree (region 0 as source). vid encoding:
+    region=r_regionkey, nation=100+n_nationkey, customer=1000+c_custkey;
+    weights are small integers derived from keys => exact doubles."""
+    nation = rd.read_parquet(_pq(sf_dir, "nation")).to_pandas()
+    customer = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    e1 = pd.DataFrame(
+        {
+            "src": nation["n_regionkey"].astype(np.int64),
+            "dst": 100 + nation["n_nationkey"].astype(np.int64),
+            "weight": (nation["n_nationkey"].astype(np.int64) % 5 + 1).astype(np.float64),
+        }
+    )
+    e2 = pd.DataFrame(
+        {
+            "src": 100 + customer["c_nationkey"].astype(np.int64),
+            "dst": 1000 + customer["c_custkey"].astype(np.int64),
+            "weight": (customer["c_custkey"].astype(np.int64) % 10 + 1).astype(np.float64),
+        }
+    )
+    edges = pd.concat([e1, e2], ignore_index=True)
+    eng, n = _engine_for(pa.Table.from_pandas(edges, preserve_index=False))
+    try:
+        res = alg.sssp(eng, source=0)
+    finally:
+        eng.shutdown()
+    v = res.state["value"]
+    reached = np.flatnonzero(np.isfinite(v))
+    return pa.table(
+        {"vid": reached.astype(np.int64), "value": np.round(v[reached], 6)}
+    )
+
+
+def q_spmv(sf_dir: str) -> pa.Table:
+    eng, n = _engine_for(cooccurrence_edges(sf_dir))
+    try:
+        res = alg.spmv(eng)
+    finally:
+        eng.shutdown()
+    y = res.state["spmv_value"]
+    ids = np.flatnonzero(eng.indeg > 0)
+    return pa.table({"vid": ids.astype(np.int64), "spmv_value": np.round(y[ids], 6)})
+
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    t = cooccurrence_edges(sf_dir)
+    eng_src = t.column("src").to_numpy(zero_copy_only=False)
+    n = int(max(eng_src.max(), t.column("dst").to_numpy(zero_copy_only=False).max())) + 1
+    cnt = triangle_count(
+        (eng_src, t.column("dst").to_numpy(zero_copy_only=False)), n
+    )
+    return pa.table({"triangles": np.array([cnt], dtype=np.int64)})
+
+
+def q_scc(sf_dir: str) -> pa.Table:
+    eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
+    try:
+        res = alg.scc(eng)
+    finally:
+        eng.shutdown()
+    ids = _touched(eng)
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "component_root": res.state["component_root"][ids].astype(np.int64),
+        }
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "derive_edges": f"SELECT src, dst, weight FROM ({_COOC_SQL}) ORDER BY src, dst",
+    "out_degrees": f"""
+        SELECT src AS vid, COUNT(*) AS out_degree
+        FROM ({_COOC_SQL}) GROUP BY src ORDER BY vid
+    """,
+    "pagerank": f"""
+        WITH RECURSIVE
+        edges AS ({_COOC_SQL}),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        mat AS (
+            SELECT e.src AS src, e.dst AS dst,
+                   0.85 / d.outdeg AS coef, 0.15 AS konst
+            FROM edges e JOIN deg d ON d.src = e.src
+            UNION ALL
+            SELECT v, v, 1.0, 0.0 FROM verts
+        ),
+        pr(iter, v, r) AS (
+            SELECT 0, v, CAST(1.0 AS DOUBLE) FROM verts
+            UNION ALL
+            SELECT pr.iter + 1, mat.dst, SUM(mat.coef * pr.r + mat.konst)
+            FROM pr JOIN mat ON mat.src = pr.v
+            WHERE pr.iter < 10
+            GROUP BY pr.iter + 1, mat.dst
+        )
+        SELECT v AS vid, ROUND(r, 6) AS rank FROM pr WHERE iter = 10 ORDER BY vid
+    """,
+    "connected_components": f"""
+        WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_COOC_SQL})),
+        reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+        )
+        SELECT v AS vid, MIN(r) AS component_root FROM reach GROUP BY v ORDER BY vid
+    """,
+    "label_propagation": f"""
+        WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_COOC_SQL})),
+        reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+        )
+        SELECT v AS vid, MIN(r) AS label FROM reach GROUP BY v ORDER BY vid
+    """,
+    "bfs": f"""
+        WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({_COOC_SQL})),
+        lvl(v, d) AS (
+            SELECT (SELECT MIN(src) FROM edges), 0
+            UNION
+            SELECT e.dst, lvl.d + 1
+            FROM lvl JOIN edges e ON e.src = lvl.v
+            WHERE lvl.d < 64
+        )
+        SELECT v AS vid, MIN(d) AS bfs_level FROM lvl GROUP BY v ORDER BY vid
+    """,
+    "sssp_tree": """
+        SELECT vid, ROUND(value, 6) AS value FROM (
+            SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS value
+            UNION ALL
+            SELECT 100 + n_nationkey,
+                   CAST(n_nationkey % 5 + 1 AS DOUBLE)
+            FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT 1000 + c_custkey,
+                   CAST(n_nationkey % 5 + 1 AS DOUBLE)
+                   + CAST(c_custkey % 10 + 1 AS DOUBLE)
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE n_regionkey = 0
+        ) ORDER BY vid
+    """,
+    "spmv": f"""
+        SELECT dst AS vid, ROUND(SUM(weight), 6) AS spmv_value
+        FROM ({_COOC_SQL}) GROUP BY dst ORDER BY vid
+    """,
+    "triangle_count": f"""
+        WITH und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        )
+        SELECT COUNT(*) AS triangles
+        FROM und p1
+        JOIN und p2 ON p2.a = p1.a AND p2.b > p1.b
+        JOIN und p3 ON p3.a = p1.b AND p3.b = p2.b
+    """,
+    "scc": f"""
+        WITH RECURSIVE
+        edges AS ({_SEQ_SQL}),
+        verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        reach(a, b) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.a, e.dst FROM reach JOIN edges e ON e.src = reach.b
+        )
+        SELECT f.a AS vid, MIN(f.b) AS component_root
+        FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
+        GROUP BY f.a ORDER BY vid
+    """,
+}
+
+QUERIES = {
+    "derive_edges": q_derive_edges,
+    "out_degrees": q_out_degrees,
+    "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
+    "label_propagation": q_label_propagation,
+    "bfs": q_bfs,
+    "sssp_tree": q_sssp_tree,
+    "spmv": q_spmv,
+    "triangle_count": q_triangle_count,
+    "scc": q_scc,
+}

@@ -1,0 +1,51 @@
+"""Replicates the driver's conformance check: each queries() result vs
+its oracle_sql() run by DuckDB on the same parquet views — row count,
+schema (column names), and order-insensitive value equality."""
+
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, con):
+    from fogray import queries as q
+
+    got = q.QUERIES[name](SF_DIR)
+    got_df = normalize(got.to_pandas())
+    want_df = normalize(con.execute(q.ORACLE_SQL[name]).df())
+    assert list(got_df.columns) == list(want_df.columns), name
+    assert len(got_df) == len(want_df), f"{name}: {len(got_df)} vs {len(want_df)} rows"
+    pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False, atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("name", [
+    "derive_edges", "out_degrees", "pagerank", "connected_components",
+    "label_propagation", "bfs", "sssp_tree", "spmv", "triangle_count", "scc",
+])
+def test_query_matches_oracle(ray_session, con, name):
+    _compare(name, con)
