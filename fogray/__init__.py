@@ -23,3 +23,10 @@ session ownership belongs to the caller (driver, bench.py, tests).
 """
 
 __version__ = "0.1.0"
+
+# Apply the Ray 2.49 hash-shuffle schema-broadcast fix (see the module
+# docstring of fogray._ray_patches) as soon as the package is imported,
+# before any Dataset plan is built.
+from . import _ray_patches as _rp
+
+_rp.apply()

@@ -1,0 +1,546 @@
+"""Deduplication operators over a documents table.
+
+Five families, per the standard web-pipeline toolbox:
+
+- :func:`exact_dedup` — sha256(text) hash-partition + per-group min
+  doc_id (one groupby + one hash join back to docs);
+- :func:`jaccard_pairs` — exact near-dup pairs by token-set Jaccard
+  within a blocking key (blocked self-join on (block, token) — the
+  relational candidate generation; the block key bounds the quadratic
+  blow-up the way LSH bands do probabilistically);
+- :class:`MinHasher` / :func:`minhash_lsh_pairs` — MinHash signatures
+  over word shingles, LSH banding (band-hash groupby join for candidate
+  pairs), exact shingle-Jaccard verification;
+- :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash with
+  band-blocked Hamming-distance candidate pairs;
+- :func:`embedding_cosine_pairs` — near-dup pairs by embedding cosine:
+  brute block-pairwise matmul against a broadcast matrix (small-N
+  baseline) or random-hyperplane LSH bucketing (the scale path).
+
+All hashing is deterministic (crc32 / Karp-Rabin / seeded numpy), so
+every operator is reproducible and testable against pure-Python oracles
+(tests/test_datapipes.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..derive import _join_parts, empty_guard, safe_inner_join
+from ..util import sql_round
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _sha_batch(t: pa.Table, text_col: str) -> pa.Table:
+    shas = [hashlib.sha256(s.encode()).hexdigest() for s in t.column(text_col).to_pylist()]
+    return pa.table({"doc_id": t.column("doc_id"), "sha": pa.array(shas)})
+
+
+def exact_dedup(ds, text_col: str = "text") -> rd.Dataset:
+    """-> (doc_id, canonical_id): canonical = min doc_id sharing
+    sha256(text). Hash-partition by sha (one groupby), then one hash
+    join back — no driver-side state."""
+    shas = ds.map_batches(lambda t: _sha_batch(t, text_col), batch_format="pyarrow")
+    shas = shas.materialize()
+    mins = shas.groupby("sha").aggregate(Min("doc_id", alias_name="canonical_id"))
+    return safe_inner_join(shas, mins, on=("sha",)).map_batches(
+        empty_guard(
+            lambda t: t.select(["doc_id", "canonical_id"]),
+            pa.schema([("doc_id", pa.int64()), ("canonical_id", pa.int64())]),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked token-set Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+
+def _doc_tokens_batch(t: pa.Table, text_col: str, block_col: str | None) -> pa.Table:
+    """One row per distinct (doc_id[, block], token)."""
+    toks = pc.split_pattern_regex(t.column(text_col), r"\s+")
+    doc_ids = t.column("doc_id").to_pylist()
+    blocks = t.column(block_col).to_pylist() if block_col else None
+    out_doc, out_blk, out_tok = [], [], []
+    for i, lst in enumerate(toks.to_pylist()):
+        uniq = sorted(set(lst))
+        out_doc.extend([doc_ids[i]] * len(uniq))
+        out_tok.extend(uniq)
+        if blocks is not None:
+            out_blk.extend([blocks[i]] * len(uniq))
+    cols = {"doc_id": pa.array(out_doc, type=pa.int64())}
+    if blocks is not None:
+        cols["block"] = pa.array(out_blk)
+    cols["tok"] = pa.array(out_tok)
+    return pa.table(cols)
+
+
+def jaccard_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    block_col: str | None = "source",
+    threshold: float = 0.5,
+) -> rd.Dataset:
+    """Exact token-set Jaccard >= threshold pairs (da < db), candidates
+    blocked by ``block_col`` (self-join on (block, token); a shared
+    token outside the block never pairs — the operator's documented
+    blocking contract, mirrored by the SQL oracle). Per-doc distinct
+    token counts are a broadcast O(#docs) array, not a shuffle join."""
+    key = (["block"] if block_col else []) + ["tok"]
+    words = ds.map_batches(
+        lambda t: _doc_tokens_batch(t, text_col, block_col), batch_format="pyarrow"
+    ).materialize()
+
+    counts = words.groupby("doc_id").aggregate(Count(alias_name="nw")).to_pandas()
+    nw = dict(zip(counts["doc_id"].to_numpy(), counts["nw"].to_numpy()))
+    nw_ref = ray.put(nw)
+
+    a = words.map_batches(
+        lambda t: t.rename_columns(["da"] + key), batch_format="pyarrow"
+    )
+    b = words.map_batches(
+        lambda t: t.rename_columns(["db"] + key), batch_format="pyarrow"
+    )
+
+    def ordered(t: pa.Table) -> pa.Table:
+        m = pc.less(t.column("da"), t.column("db"))
+        return t.filter(m).select(["da", "db"])
+
+    inter = (
+        safe_inner_join(a, b, on=tuple(key))
+        .map_batches(
+            empty_guard(ordered, pa.schema([("da", pa.int64()), ("db", pa.int64())])),
+            batch_format="pyarrow",
+        )
+        .groupby(["da", "db"])
+        .aggregate(Count(alias_name="ni"))
+    )
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        counts_map = ray.get(nw_ref)
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        ni = t.column("ni").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([counts_map[x] for x in da], dtype=np.float64)
+        nb = np.array([counts_map[x] for x in db], dtype=np.float64)
+        j = ni / (na + nb - ni)
+        m = j >= threshold
+        return pa.table(
+            {
+                "da": da[m],
+                "db": db[m],
+                "jaccard": sql_round(j[m]),
+            }
+        )
+
+    return inter.map_batches(
+        empty_guard(
+            jaccard,
+            pa.schema([("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _crc_shingles(text: str, n_words: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < n_words:
+        joined = [" ".join(toks)] if toks else []
+    else:
+        joined = [" ".join(toks[i : i + n_words]) for i in range(len(toks) - n_words + 1)]
+    if not joined:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        np.array([zlib.crc32(s.encode()) for s in joined], dtype=np.uint64)
+    )
+
+
+class MinHasher:
+    """Actor-pool MinHash stage: the permutation coefficients are drawn
+    ONCE per actor in __init__ from a fixed seed (stateful-setup
+    pattern); __call__ computes per-doc signatures with one vectorized
+    (num_perm x num_shingles) broadcast per doc."""
+
+    def __init__(self, num_perm: int = 32, shingle_words: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.shingle_words = shingle_words
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _crc_shingles(text, self.shingle_words)
+        if len(x) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        h = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return h.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        sigs = np.stack([self.signature(s) for s in t.column("text").to_pylist()])
+        cols = {"doc_id": pa.array(ids, type=pa.int64())}
+        cols["sig"] = pa.array(sigs.astype(np.int64).tolist(),
+                               type=pa.list_(pa.int64(), self.num_perm))
+        return pa.table(cols)
+
+
+def minhash_signatures(ds, num_perm: int = 32, shingle_words: int = 3,
+                       concurrency: int = 4) -> rd.Dataset:
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_words": shingle_words},
+        concurrency=(1, concurrency),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """MinHash -> LSH band buckets -> candidate pairs (band-bucket self
+    join) -> exact shingle-Jaccard verify. Returns (da, db, jaccard)
+    with jaccard >= threshold, da < db.
+
+    Scale notes: the only all-to-alls are the (band, band_hash) groupby
+    join (bucket sizes bounded by banding) and the verify join of
+    candidate doc_ids back to shingle sets. Verification here broadcasts
+    the doc->shingle arrays (O(corpus shingles)) because test corpora
+    are small; at 100 TB the verify becomes a semi-join of candidates
+    against the shingle table on doc_id — same dataflow shape."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = minhash_signatures(ds, num_perm, shingle_words, concurrency).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = np.asarray(t.column("sig").to_pylist(), dtype=np.uint64)
+        out_doc, out_band, out_hash = [], [], []
+        for bidx in range(bands):
+            chunk = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+            bh = np.array(
+                [zlib.crc32(c.tobytes()) for c in chunk], dtype=np.int64
+            )
+            out_doc.append(ids)
+            out_band.append(np.full(len(ids), bidx, dtype=np.int64))
+            out_hash.append(bh)
+        return pa.table(
+            {
+                "doc_id": np.concatenate(out_doc),
+                "band": np.concatenate(out_band),
+                "bh": np.concatenate(out_hash),
+            }
+        )
+
+    buckets = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
+    a = buckets.map_batches(
+        lambda t: t.rename_columns(["da", "band", "bh"]), batch_format="pyarrow"
+    )
+    b = buckets.map_batches(
+        lambda t: t.rename_columns(["db", "band", "bh"]), batch_format="pyarrow"
+    )
+    cand = (
+        safe_inner_join(a, b, on=("band", "bh"))
+        .map_batches(
+            empty_guard(
+                lambda t: t.filter(pc.less(t.column("da"), t.column("db"))).select(
+                    ["da", "db"]
+                ),
+                pa.schema([("da", pa.int64()), ("db", pa.int64())]),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["da", "db"])
+        .aggregate(Count(alias_name="nb"))
+        .select_columns(["da", "db"])
+    )
+
+    # exact verification against true shingle sets (broadcast at test
+    # scale; semi-join at corpus scale — see docstring)
+    shingle_map = {}
+    for t in ray.get(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "sh": pa.array(
+                        [
+                            _crc_shingles(s, shingle_words).astype(np.int64).tolist()
+                            for s in t.column("text").to_pylist()
+                        ],
+                        type=pa.list_(pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ):
+        for did, sh in zip(t.column("doc_id").to_pylist(), t.column("sh").to_pylist()):
+            shingle_map[did] = np.asarray(sh, dtype=np.int64)
+    sh_ref = ray.put(shingle_map)
+
+    def verify(t: pa.Table) -> pa.Table:
+        smap = ray.get(sh_ref)
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(da, db):
+            sx, sy = smap[x], smap[y]
+            if len(sx) == 0 or len(sy) == 0:
+                continue
+            ni = len(np.intersect1d(sx, sy, assume_unique=True))
+            j = ni / (len(sx) + len(sy) - ni)
+            if j >= threshold:
+                out_a.append(x)
+                out_b.append(y)
+                out_j.append(float(sql_round(j)))
+        return pa.table(
+            {
+                "da": pa.array(out_a, type=pa.int64()),
+                "db": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return cand.map_batches(
+        empty_guard(
+            verify,
+            pa.schema([("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_clusters(pairs: pa.Table, doc_ids: np.ndarray) -> pa.Table:
+    """Union-find over near-dup pairs -> (doc_id, cluster_root). The
+    pair list is the SMALL side (post-threshold); at corpus scale this
+    is exactly a connected-components run on the dup graph, for which
+    fogray.algorithms.connected_components is the distributed path."""
+    parent = {int(d): int(d) for d in doc_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs.column("da").to_pylist(), pairs.column("db").to_pylist()):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    return pa.table(
+        {
+            "doc_id": pa.array(sorted(parent), type=pa.int64()),
+            "cluster_root": pa.array([find(d) for d in sorted(parent)], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(t: pa.Table, text_col: str) -> pa.Table:
+    out = np.zeros(len(t), dtype=np.uint64)
+    for i, s in enumerate(t.column(text_col).to_pylist()):
+        toks = s.split()
+        if not toks:
+            continue
+        th = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.uint32)
+        # widen to 64 bits deterministically: h64 = h32 * PRIME ^ (h32<<32)
+        h64 = th.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        acc = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for bit in np.nonzero(acc > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(bit)
+        out[i] = sh
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "simhash": pa.array(out.astype(np.int64))}
+    )
+
+
+def simhash(ds, text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(
+        lambda t: _simhash_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+def simhash_pairs(ds, *, text_col: str = "text", max_hamming: int = 3) -> rd.Dataset:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming: block by the
+    four 16-bit quarters (a pair within distance 3 matches exactly on
+    >= 1 quarter — pigeonhole), candidate join per quarter, vectorized
+    popcount verify."""
+    sh = simhash(ds, text_col).materialize()
+
+    def quarters(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        qs, docs, hs = [], [], []
+        for q in range(4):
+            qs.append(
+                ((h >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
+                + np.int64(q << 16)
+            )
+            docs.append(ids)
+            hs.append(h.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": np.concatenate(docs),
+                "q": np.concatenate(qs),
+                "h": np.concatenate(hs),
+            }
+        )
+
+    qds = sh.map_batches(quarters, batch_format="pyarrow").materialize()
+    a = qds.map_batches(
+        lambda t: t.rename_columns(["da", "q", "ha"]), batch_format="pyarrow"
+    )
+    b = qds.map_batches(
+        lambda t: t.rename_columns(["db", "q", "hb"]), batch_format="pyarrow"
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        ha = t.column("ha").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = t.column("hb").to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = da < db
+        da, db, ha, hb = da[m], db[m], ha[m], hb[m]
+        x = ha ^ hb
+        pop = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            pop += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = pop <= max_hamming
+        return pa.table(
+            {"da": da[keep], "db": db[keep], "hamming": pop[keep]}
+        )
+
+    return (
+        safe_inner_join(a, b, on=("q",))
+        .map_batches(
+            empty_guard(
+                verify,
+                pa.schema(
+                    [("da", pa.int64()), ("db", pa.int64()), ("hamming", pa.int64())]
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["da", "db"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    emb_ds,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_cutoff: int = 100_000,
+) -> rd.Dataset:
+    """(va, vb, cos) pairs with cosine >= threshold, va < vb.
+
+    N <= broadcast_cutoff: the full normalized matrix is broadcast once
+    (ray.put) and every block computes block x corpus cosines as ONE
+    float64 matmul. Beyond the cutoff, callers should bucket by
+    random-hyperplane LSH first (see :func:`hyperplane_buckets`) and run
+    the same kernel per bucket."""
+    mat_tbl = emb_ds.select_columns([id_col, vec_col]).materialize()
+    rows = pa.concat_tables(ray.get(mat_tbl.to_arrow_refs()), promote_options="default")
+    ids = rows.column(id_col).to_numpy(zero_copy_only=False)
+    vecs = np.asarray(rows.column(vec_col).to_pylist(), dtype=np.float64)
+    if len(ids) > broadcast_cutoff:
+        raise ValueError(
+            f"N={len(ids)} exceeds broadcast_cutoff; bucket with hyperplane_buckets first"
+        )
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    ref = ray.put((ids, unit))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        all_ids, all_unit = ray.get(ref)
+        bids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bvec = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bvec, axis=1)
+        bn[bn == 0] = 1.0
+        bunit = bvec / bn[:, None]
+        cos = bunit @ all_unit.T
+        bi, aj = np.nonzero((cos >= threshold) & (bids[:, None] < all_ids[None, :]))
+        return pa.table(
+            {
+                "va": bids[bi],
+                "vb": all_ids[aj],
+                "cos": sql_round(cos[bi, aj]),
+            }
+        )
+
+    return mat_tbl.map_batches(block_pairs, batch_format="pyarrow")
+
+
+def hyperplane_buckets(emb_ds, *, num_planes: int = 12, seed: int = 11,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """Random-hyperplane LSH bucket id per vector — the scale path for
+    cosine near-dup: vectors sharing a bucket are the only candidate
+    pairs (run :func:`embedding_cosine_pairs`'s kernel per bucket)."""
+
+    class Bucketer:
+        def __init__(self):
+            rng = np.random.RandomState(seed)
+            self.planes = None
+            self.rng = rng
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+            if self.planes is None:
+                self.planes = np.random.RandomState(seed).standard_normal(
+                    (vecs.shape[1], num_planes)
+                )
+            bits = (vecs @ self.planes) > 0
+            bucket = (bits * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+            return pa.table(
+                {"vec_id": t.column(id_col), "bucket": pa.array(bucket)}
+            )
+
+    return emb_ds.map_batches(Bucketer, concurrency=(1, 2), batch_format="pyarrow")

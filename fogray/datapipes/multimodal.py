@@ -1,0 +1,105 @@
+"""Multimodal-column plumbing: opaque ``binary`` payload columns with
+typed metadata, decoded / featurized by an actor-pool stage.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic stub (documented below); everything around it — the
+payload schema, small-batch actor-pool ``map_batches`` signature,
+once-per-actor model setup, and the feature output layout — is the real
+Ray plumbing a production decode stage uses.
+
+Schema: ``(doc_id:int64, media_type:string, payload:binary,
+width:int32, height:int32)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..util import sql_round
+
+FEATURE_DIM = 8
+
+
+def synthesize_media(ds, *, text_col: str = "text") -> rd.Dataset:
+    """Derive a deterministic fake media payload per document (stand-in
+    for reading real image bytes): payload = repeated sha256 stream of
+    the text, sized by text length; metadata columns are real."""
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads, widths, heights = [], [], []
+        for s in t.column(text_col).to_pylist():
+            seed = hashlib.sha256(s.encode()).digest()
+            size = 256 + (len(s) % 1024)
+            reps = size // len(seed) + 1
+            payloads.append((seed * reps)[:size])
+            widths.append(16 + len(s) % 48)
+            heights.append(16 + (len(s) * 7) % 48)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "media_type": pa.array(["image/x-synthetic"] * len(ids)),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "width": pa.array(widths, type=pa.int32()),
+                "height": pa.array(heights, type=pa.int32()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB for the real image decode (no codecs in this container).
+    Returns a deterministic pseudo-pixel array shaped (height, width)
+    from the payload bytes — the stand-in for e.g. PIL/libjpeg output.
+    A production build replaces ONLY this function."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height
+    reps = need // len(b) + 1
+    return np.tile(b, reps)[:need].reshape(height, width)
+
+
+class MediaFeaturizer:
+    """Actor-pool decode+featurize stage.
+
+    __init__ = the once-per-actor "model load" (here: a seeded random
+    projection matrix — the stand-in for loading CLIP/ResNet weights).
+    __call__ = per (small) batch: decode each payload (stub), byte
+    histogram (vectorized), project to FEATURE_DIM. Use small
+    ``batch_size`` for large payloads so batch x concurrency fits in
+    the worker heap.
+    """
+
+    def __init__(self, seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.standard_normal((256, FEATURE_DIM))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        widths = t.column("width").to_numpy(zero_copy_only=False)
+        heights = t.column("height").to_numpy(zero_copy_only=False)
+        feats = np.zeros((len(t), FEATURE_DIM), dtype=np.float64)
+        for i, payload in enumerate(t.column("payload").to_pylist()):
+            px = decode_stub(payload, int(widths[i]), int(heights[i]))
+            hist = np.bincount(px.ravel(), minlength=256).astype(np.float64)
+            hist /= max(hist.sum(), 1.0)
+            feats[i] = hist @ self.proj
+        cols: dict = {"doc_id": pa.array(ids, type=pa.int64())}
+        for j in range(FEATURE_DIM):
+            cols[f"feat_{j}"] = pa.array(sql_round(feats[:, j]))
+        return pa.table(cols)
+
+
+def media_features(ds, *, concurrency: int = 4, batch_size: int = 64) -> rd.Dataset:
+    """documents -> synthesized media -> actor-pool featurize."""
+    media = synthesize_media(ds)
+    return media.map_batches(
+        MediaFeaturizer,
+        concurrency=(1, concurrency),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

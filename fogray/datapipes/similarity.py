@@ -1,0 +1,255 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`ann_topk_bruteforce` — the exact baseline: the query matrix is
+  broadcast ONCE (``ray.put``), every corpus block computes block x Q
+  cosines as one float64 matmul and emits its per-block top-k partials;
+  the driver merges partials (k x Q rows per block — tiny). No corpus
+  row ever leaves its block unless it is a candidate.
+
+- :class:`IVFIndex` / :func:`ann_topk_ivf` — the scale path: a coarse
+  quantizer (deterministic seeded Lloyd iterations, each a single
+  ``map_batches`` partial-sum round) partitions the corpus into nlist
+  cells; a query probes only its nprobe nearest cells. Recall tested in
+  tests/test_datapipes.py against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..util import sql_round
+
+
+def _to_matrix(t: pa.Table, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def _unit(vecs: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(vecs, axis=1)
+    n[n == 0] = 1.0
+    return vecs / n[:, None]
+
+
+def ann_topk_bruteforce(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k. Returns (qid, nid, score) with score rounded
+    to 6 decimals; candidates exclude the query's own vec_id. Ordering
+    rule on ties: higher score first, then lower nid (mirrored by the
+    SQL oracle's ROW_NUMBER ORDER BY)."""
+    qunit = _unit(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((qids, qunit))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_unit = ray.get(qref)
+        ids, vecs = _to_matrix(t, id_col, vec_col)
+        cunit = _unit(vecs)
+        cos = q_unit @ cunit.T  # Q x B
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, cos.shape[1])
+        for qi in range(len(q_ids)):
+            row = cos[qi]
+            mask = ids != q_ids[qi]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            # per-block partial top-k (tie-break: higher score, lower id)
+            order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "nid": pa.array(out_n, type=pa.int64()),
+                "score_raw": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        ray.get(
+            emb_ds.map_batches(block_topk, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    # driver-side merge of per-block partials: k rows per (query, block)
+    qid = partials.column("qid").to_numpy(zero_copy_only=False)
+    nid = partials.column("nid").to_numpy(zero_copy_only=False)
+    sc = partials.column("score_raw").to_numpy(zero_copy_only=False)
+    out_q, out_n, out_s = [], [], []
+    for q in np.unique(qid):
+        m = qid == q
+        order = np.lexsort((nid[m], -sc[m]))[:k]
+        out_q.extend([q] * len(order))
+        out_n.extend(nid[m][order].tolist())
+        out_s.extend(sql_round(sc[m][order]).tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "nid": pa.array(out_n, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )
+
+
+class IVFIndex:
+    """Coarse-quantizer index built with distributed partial-sum Lloyd
+    iterations (each iteration = one ``map_batches`` over the corpus
+    emitting per-centroid (sum, count) partials + one tiny driver
+    reduce — the classic pre-aggregated groupby)."""
+
+    def __init__(self, nlist: int = 16, iters: int = 3, seed: int = 5):
+        self.nlist = nlist
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, emb_ds, *, id_col: str = "vec_id", vec_col: str = "embedding"):
+        emb_ds = emb_ds.materialize()
+        # deterministic init: evenly-strided corpus rows (by block order)
+        first = pa.concat_tables(
+            ray.get(emb_ds.limit(max(self.nlist * 8, 256)).to_arrow_refs()),
+            promote_options="default",
+        )
+        _, vecs = _to_matrix(first, id_col, vec_col)
+        stride = max(1, len(vecs) // self.nlist)
+        cents = vecs[:: stride][: self.nlist].copy()
+        while len(cents) < self.nlist:  # tiny corpora
+            cents = np.vstack([cents, vecs[: self.nlist - len(cents)]])
+
+        for _ in range(self.iters):
+            cref = ray.put(cents)
+
+            def partials(t: pa.Table) -> pa.Table:
+                c = ray.get(cref)
+                _, v = _to_matrix(t, id_col, vec_col)
+                d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                sums = np.zeros_like(c)
+                np.add.at(sums, assign, v)
+                cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+                return pa.table(
+                    {
+                        "cid": np.arange(len(c), dtype=np.int64),
+                        "s": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                        "n": cnt,
+                    }
+                )
+
+            rows = pa.concat_tables(
+                ray.get(
+                    emb_ds.map_batches(partials, batch_format="pyarrow")
+                    .materialize()
+                    .to_arrow_refs()
+                ),
+                promote_options="default",
+            )
+            cid = rows.column("cid").to_numpy(zero_copy_only=False)
+            s = np.asarray(rows.column("s").to_pylist(), dtype=np.float64)
+            n = rows.column("n").to_numpy(zero_copy_only=False)
+            sums = np.zeros_like(cents)
+            cnts = np.zeros(self.nlist, dtype=np.int64)
+            np.add.at(sums, cid, s)
+            np.add.at(cnts, cid, n)
+            nz = cnts > 0
+            cents[nz] = sums[nz] / cnts[nz, None]
+        self.centroids = cents
+        return self
+
+    def assign(self, emb_ds, *, id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+        cref = ray.put(self.centroids)
+
+        def cell(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            ids, v = _to_matrix(t, id_col, vec_col)
+            d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return t.append_column("cell", pa.array(d.argmin(axis=1).astype(np.int64)))
+
+        return emb_ds.map_batches(cell, batch_format="pyarrow")
+
+
+def ann_topk_ivf(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k: probe only the nprobe nearest cells per query.
+    Same output schema/tie-break as the brute-force baseline."""
+    idx = IVFIndex(nlist=nlist).fit(emb_ds, id_col=id_col, vec_col=vec_col)
+    assigned = idx.assign(emb_ds, id_col=id_col, vec_col=vec_col).materialize()
+
+    qvec = np.asarray(query_vecs, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qd = ((qvec[:, None, :] - idx.centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]  # Q x nprobe
+    qref = ray.put((qids, _unit(qvec), probes))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_unit, q_probes = ray.get(qref)
+        ids, vecs = _to_matrix(t, id_col, vec_col)
+        cells = t.column("cell").to_numpy(zero_copy_only=False)
+        cunit = _unit(vecs)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            m = np.isin(cells, q_probes[qi]) & (ids != q_ids[qi])
+            if not m.any():
+                continue
+            row = cunit[m] @ q_unit[qi]
+            cand_ids = ids[m]
+            order = np.lexsort((cand_ids, -row))[: min(k, len(row))]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "nid": pa.array(out_n, type=pa.int64()),
+                "score_raw": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        ray.get(
+            assigned.map_batches(block_topk, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    qid = partials.column("qid").to_numpy(zero_copy_only=False)
+    nid = partials.column("nid").to_numpy(zero_copy_only=False)
+    sc = partials.column("score_raw").to_numpy(zero_copy_only=False)
+    out_q, out_n, out_s = [], [], []
+    for q in np.unique(qid):
+        m = qid == q
+        order = np.lexsort((nid[m], -sc[m]))[:k]
+        out_q.extend([q] * len(order))
+        out_n.extend(nid[m][order].tolist())
+        out_s.extend(sql_round(sc[m][order]).tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "nid": pa.array(out_n, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )

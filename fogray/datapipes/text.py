@@ -1,0 +1,180 @@
+"""Text-analysis operators over a documents table
+``(doc_id:int64, text:string, ...)`` — all vectorized per Arrow batch.
+
+SQL-mirrorable definitions (the DuckDB oracle in
+fogray.datapipes.queries computes the same expressions):
+
+- ``n_tokens``  = length(regexp_split_to_array(text, '\\s+'))
+- ``n_alpha``   = length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+- ``n_digit``   = length(regexp_replace(text, '[^0-9]', '', 'g'))
+- ``quality``   = ROUND(LEAST(1.0, n_tokens/100.0) * n_alpha/GREATEST(n_chars,1), 6)
+- ``md5_fp``    = md5(text)
+
+The language-ID and rolling-hash fingerprints are not SQL-expressible;
+they are deterministic and verified against pure-Python oracles in
+tests/test_datapipes.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import sql_round
+
+# ---------------------------------------------------------------------------
+# token / quality stats
+# ---------------------------------------------------------------------------
+
+
+def text_stats_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, text, ...) -> (doc_id, n_chars_obs, n_tokens, n_alpha,
+    n_digit, quality). Pure pyarrow.compute kernels — zero Python rows."""
+    txt = t.column(text_col)
+    n_chars = pc.utf8_length(txt).cast(pa.int64())
+    n_tokens = pc.list_value_length(pc.split_pattern_regex(txt, r"\s+")).cast(pa.int64())
+    n_alpha = pc.utf8_length(pc.replace_substring_regex(txt, "[^A-Za-z]", "")).cast(pa.int64())
+    n_digit = pc.utf8_length(pc.replace_substring_regex(txt, "[^0-9]", "")).cast(pa.int64())
+    nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    na = n_alpha.to_numpy(zero_copy_only=False).astype(np.float64)
+    nc = np.maximum(n_chars.to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+    quality = sql_round(np.minimum(1.0, nt / 100.0) * (na / nc))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_chars_obs": n_chars,
+            "n_tokens": n_tokens,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "quality": pa.array(quality, type=pa.float64()),
+        }
+    )
+
+
+def text_stats(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: text_stats_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def md5_fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [hashlib.md5(s.encode()).hexdigest() for s in t.column(text_col).to_pylist()]
+    return pa.table({"doc_id": t.column("doc_id"), "md5_fp": pa.array(fps)})
+
+
+_RH_BASE = np.uint64(1_000_003)
+_RH_MOD_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprints(text: str, k: int = 8) -> np.ndarray:
+    """Karp-Rabin rolling hashes of every k-byte window, vectorized:
+    h(i) = sum_j b[i+j] * BASE^(k-1-j) mod 2^64 (numpy wraparound).
+    Deterministic; used for winnowing-style document fingerprints."""
+    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        return np.zeros(0, dtype=np.uint64)
+    powers = _RH_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    # windows via strided cumulative trick: conv of b with powers
+    n = len(b) - k + 1
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k is tiny (8); the n-length ops are vectorized
+        out += b[j : j + n] * powers[j]
+    return out
+
+
+def winnow_fingerprint_batch(
+    t: pa.Table, text_col: str = "text", k: int = 8, keep: int = 4
+) -> pa.Table:
+    """Per doc: the ``keep`` smallest distinct k-byte rolling hashes
+    (a winnowing sketch — two docs sharing long substrings share sketch
+    entries). Output one row per (doc_id, fp)."""
+    doc_ids, fps = [], []
+    ids = t.column("doc_id").to_pylist()
+    for did, s in zip(ids, t.column(text_col).to_pylist()):
+        h = np.unique(rolling_fingerprints(s, k))[:keep]
+        doc_ids.extend([did] * len(h))
+        fps.extend(h.tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "fp": pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)),
+        }
+    )
+
+
+def fingerprints(ds, text_col: str = "text"):
+    """doc_id -> md5 whole-document fingerprint (exact-dup key)."""
+    return ds.map_batches(
+        lambda t: md5_fingerprint_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+def winnow_fingerprints(ds, text_col: str = "text", k: int = 8, keep: int = 4):
+    return ds.map_batches(
+        lambda t: winnow_fingerprint_batch(t, text_col, k, keep),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (character n-gram profile heuristic)
+# ---------------------------------------------------------------------------
+
+# Compact per-language marker profiles: characteristic stopwords and
+# character sequences. A real system would learn profiles from corpora;
+# the operator contract (vectorized scoring over batches, profiles
+# broadcast once per actor) is what matters at scale.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the ", " and ", " of ", " is ", " to ", "ing ", " that "),
+    "fr": (" le ", " la ", " les ", " et ", " est ", " une ", " dans "),
+    "es": (" el ", " los ", " las ", " es ", " una ", " que ", "ción"),
+    "de": (" der ", " die ", " das ", " und ", " ist ", " ein ", "sch"),
+    "zh": ("的", "是", "在", "了", "和", "有", "中"),
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage: profiles are compiled ONCE per actor
+    in __init__ (the stateful-setup pattern — FOG analog: per-thread
+    attr buffers); __call__ scores each batch vectorized per language
+    via substring counts."""
+
+    def __init__(self, profiles: dict[str, tuple[str, ...]] | None = None):
+        self.profiles = profiles or LANG_PROFILES
+        self.langs = sorted(self.profiles)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        scores = np.zeros((len(t), len(self.langs)), dtype=np.float64)
+        length = np.maximum(
+            pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        for j, lang in enumerate(self.langs):
+            for marker in self.profiles[lang]:
+                scores[:, j] += pc.count_substring(txt, marker).to_numpy(
+                    zero_copy_only=False
+                )
+        scores /= length[:, None]
+        best = np.argmax(scores, axis=1)
+        none = scores.max(axis=1) == 0.0
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[none] = "und"
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pred_lang": pa.array(pred.tolist()),
+                "lang_score": pa.array(sql_round(scores.max(axis=1))),
+            }
+        )
+
+
+def lang_id(ds, concurrency: int = 4):
+    return ds.map_batches(LangId, concurrency=(1, concurrency), batch_format="pyarrow")

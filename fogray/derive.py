@@ -50,14 +50,101 @@ def add_content_sha(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(["content"]).append_column("content_sha", pa.array(shas))
 
 
-def _emit_pairs(group: pd.DataFrame, cap: int | None) -> pd.DataFrame:
-    repos = np.unique(group["repo"].to_numpy())
-    k = len(repos)
-    if k < 2 or (cap is not None and k > cap):
-        return pd.DataFrame({"src_repo": [], "dst_repo": []})
-    a, b = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
-    m = a.ravel() != b.ravel()
-    return pd.DataFrame({"src_repo": repos[a.ravel()[m]], "dst_repo": repos[b.ravel()[m]]})
+
+def _join_parts(cap: int = 32) -> int:
+    """Join partition count sized to the session (one aggregator actor
+    per partition; oversubscribing a small session deadlocks)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, cpus))
+
+def safe_inner_join(a: rd.Dataset, b: rd.Dataset, on: tuple, num_partitions: int | None = None,
+                    **join_kwargs) -> rd.Dataset:
+    """Inner join that tolerates an ENTIRELY empty side. Ray 2.49's hash
+    join learns input schemas only from non-empty blocks (see
+    fogray._ray_patches); an all-empty input leaves aggregator
+    partitions with zero-column tables and ``finalize`` crashes. An
+    inner join with an empty side is empty, so short-circuit to a
+    single empty block — the (guarded) map_batches that follows every
+    join in this package restores the proper schema. Both sides are
+    materialized first (the hash shuffle would buffer them in
+    aggregators anyway), making the emptiness check a metadata read."""
+    a, b = a.materialize(), b.materialize()
+    if a.count() == 0 or b.count() == 0:
+        return rd.from_arrow(pa.table({}))
+    return a.join(
+        b,
+        join_type="inner",
+        num_partitions=num_partitions or _join_parts(),
+        on=on,
+        **join_kwargs,
+    )
+
+
+def empty_guard(fn, schema: pa.Schema):
+    """Wrap a post-join ``map_batches`` fn: Ray 2.49's hash join emits
+    ZERO-COLUMN blocks for empty partitions, which break column access
+    and make downstream operators see mixed schemas ("no match or
+    multiple matches for key field"). Empty inputs short-circuit to a
+    correctly-typed empty table."""
+
+    def wrapped(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return schema.empty_table()
+        return fn(t)
+
+    return wrapped
+
+
+def _pairs_via_join(files: rd.Dataset, key_cols: list[str], cap: int | None) -> rd.Dataset:
+    """Distinct (key, repo) -> all ordered repo pairs sharing a key, as
+    hash joins (vectorized all-to-all; per-key ``map_groups`` would be a
+    Python call per key). The boilerplate cap is a count-groupby +
+    semi-join against the eligible keys — no key list ever funnels
+    through the driver."""
+    kr = (
+        files.select_columns(key_cols + ["repo"])
+        .groupby(key_cols + ["repo"])
+        .aggregate(Count(alias_name="c"))
+        .select_columns(key_cols + ["repo"])
+        .materialize()
+    )
+    sizes = kr.groupby(key_cols).aggregate(Count(alias_name="k"))
+
+    def eligible(t: pa.Table) -> pa.Table:
+        k = t.column("k")
+        m = pa.compute.greater_equal(k, 2)
+        if cap is not None:
+            m = pa.compute.and_(m, pa.compute.less_equal(k, cap))
+        return t.filter(m).select(key_cols)
+
+    keys_ok = sizes.map_batches(eligible, batch_format="pyarrow")
+    kr_ok = safe_inner_join(
+        kr, keys_ok, on=tuple(key_cols), right_suffix="_r"
+    ).map_batches(
+        empty_guard(
+            lambda t: t.select(key_cols + ["repo"]),
+            pa.schema([(c, pa.string()) for c in key_cols + ["repo"]]),
+        ),
+        batch_format="pyarrow",
+    )
+    # a dataset feeding BOTH sides of a self-join is materialized so the
+    # shared lineage executes once (read-once, then fan out).
+    kr_ok = kr_ok.materialize()
+    a = kr_ok.map_batches(
+        lambda t: t.rename_columns(key_cols + ["src_repo"]), batch_format="pyarrow"
+    )
+    b = kr_ok.map_batches(
+        lambda t: t.rename_columns(key_cols + ["dst_repo"]), batch_format="pyarrow"
+    )
+    return safe_inner_join(a, b, on=tuple(key_cols)).map_batches(
+        empty_guard(
+            lambda t: t.filter(
+                pa.compute.not_equal(t.column("src_repo"), t.column("dst_repo"))
+            ).select(["src_repo", "dst_repo"]),
+            pa.schema([("src_repo", pa.string()), ("dst_repo", pa.string())]),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def derive_edges(
@@ -81,30 +168,19 @@ def derive_edges(
     num_vertices = len(repo_names)
     names_ref = ray.put(repo_names)
 
+    # each channel's pair expansion is materialized before the union:
+    # Ray 2.49's hash-shuffle join aggregators mis-bind key schemas when
+    # two different-keyed joins execute concurrently in one streaming
+    # plan, so the channel pipelines run one after another.
     pair_sets = []
     if "content" in channels:
-        content_pairs = (
-            files.select_columns(["content_sha", "repo"])
-            .groupby("content_sha")
-            .map_groups(lambda g: _emit_pairs(g, max_repos_per_key), batch_format="pandas")
+        pair_sets.append(
+            _pairs_via_join(files, ["content_sha"], max_repos_per_key).materialize()
         )
-        pair_sets.append(content_pairs)
     if "pathlang" in channels:
-        path_pairs = (
-            files.map_batches(
-                lambda t: t.select(["path", "lang", "repo"]).append_column(
-                    "pl",
-                    pa.array(
-                        [f"{p}\x00{l}" for p, l in zip(t.column("path").to_pylist(),
-                                                       t.column("lang").to_pylist())]
-                    ),
-                ).select(["pl", "repo"]),
-                batch_format="pyarrow",
-            )
-            .groupby("pl")
-            .map_groups(lambda g: _emit_pairs(g, max_repos_per_key), batch_format="pandas")
+        pair_sets.append(
+            _pairs_via_join(files, ["path", "lang"], max_repos_per_key).materialize()
         )
-        pair_sets.append(path_pairs)
 
     pairs = pair_sets[0]
     for extra in pair_sets[1:]:

@@ -30,12 +30,15 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import algorithms as alg
 from .config import EngineConfig
 from .engine import GraphEngine
+from .derive import empty_guard, safe_inner_join
+from .util import sql_round
 from .triangles import triangle_count
 
 # ---------------------------------------------------------------------------
@@ -48,26 +51,47 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _join_parts(cap: int = 32) -> int:
+    """Hash-join partition count sized to the session: each partition is
+    an aggregator actor, so more partitions than CPUs deadlocks small
+    sessions (and wastes workers on big ones)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, cpus))
+
+
 @functools.lru_cache(maxsize=4)
 def cooccurrence_edges(sf_dir: str) -> pa.Table:
-    """Symmetric part co-occurrence edges (src, dst, weight) via ONE
-    groupby over orders — pairs are emitted per order group and
-    count-aggregated; mirrors fogray.derive's channel pattern."""
+    """Symmetric part co-occurrence edges (src, dst, weight): distinct
+    (order, part) pre-aggregation, then a hash self-JOIN on the order key
+    (the relational pair-expansion — one all-to-all, fully vectorized;
+    per-group ``map_groups`` calls would be a per-key Python loop), then
+    one (src, dst) count groupby for the weights."""
     li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(g["l_partkey"].to_numpy())
-        k = len(parts)
-        if k < 2:
-            z = np.empty(0, dtype=np.int64)
-            return pd.DataFrame({"src": z, "dst": z})
-        a, b = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
-        m = a.ravel() != b.ravel()
-        return pd.DataFrame({"src": parts[a.ravel()[m]], "dst": parts[b.ravel()[m]]})
-
+    op = (
+        li.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="c"))
+        .select_columns(["l_orderkey", "l_partkey"])
+        .materialize()
+    )
+    a = op.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "src"]), batch_format="pyarrow"
+    )
+    b = op.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "dst"]), batch_format="pyarrow"
+    )
     edges = (
-        li.groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pandas")
+        safe_inner_join(a, b, on=("l_orderkey",))
+        .map_batches(
+            empty_guard(
+                lambda t: t.filter(
+                    pc.not_equal(t.column("src"), t.column("dst"))
+                ).select(["src", "dst"]),
+                pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            ),
+            batch_format="pyarrow",
+        )
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="cnt"))
         .map_batches(
@@ -87,27 +111,52 @@ def cooccurrence_edges(sf_dir: str) -> pa.Table:
 def _collect(ds) -> list[pa.Table]:
     import ray
 
-    return ray.get(ds.to_arrow_refs())
+    # materialize first: collecting refs from a LAZY dataset triggers a
+    # schema probe (a limit-1 plan) that re-runs any upstream aggregate
+    # in full — materialize executes exactly once.
+    return ray.get(ds.materialize().to_arrow_refs())
 
 
 @functools.lru_cache(maxsize=4)
 def sequence_edges(sf_dir: str) -> pa.Table:
     """Directed part sequence graph: consecutive line numbers in an
-    order, distinct, self-loops dropped."""
+    order, distinct, self-loops dropped. Expressed as an equi-join of
+    the table against itself on (order, linenumber+1) — the SQL-native
+    form (_SEQ_SQL) and one hash shuffle."""
     li = rd.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    ).materialize()
+    a = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ln": pc.add(t.column("l_linenumber").cast(pa.int64()), 1),
+                "src": t.column("l_partkey"),
+            }
+        ),
+        batch_format="pyarrow",
     )
-
-    def seq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("l_linenumber")
-        p = g["l_partkey"].to_numpy()
-        ln = g["l_linenumber"].to_numpy()
-        m = (ln[1:] == ln[:-1] + 1) & (p[1:] != p[:-1])
-        return pd.DataFrame({"src": p[:-1][m], "dst": p[1:][m]})
-
+    b = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ln": t.column("l_linenumber").cast(pa.int64()),
+                "dst": t.column("l_partkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
     ds = (
-        li.groupby("l_orderkey")
-        .map_groups(seq, batch_format="pandas")
+        safe_inner_join(a, b, on=("l_orderkey", "ln"))
+        .map_batches(
+            empty_guard(
+                lambda t: t.filter(
+                    pc.not_equal(t.column("src"), t.column("dst"))
+                ).select(["src", "dst"]),
+                pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+            ),
+            batch_format="pyarrow",
+        )
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="cnt"))
         .select_columns(["src", "dst"])
@@ -178,7 +227,7 @@ def q_pagerank(sf_dir: str) -> pa.Table:
         eng.shutdown()
     ids = _touched(eng)
     return pa.table(
-        {"vid": ids.astype(np.int64), "rank": np.round(res.state["rank"][ids], 6)}
+        {"vid": ids.astype(np.int64), "rank": sql_round(res.state["rank"][ids])}
     )
 
 
@@ -255,7 +304,7 @@ def q_sssp_tree(sf_dir: str) -> pa.Table:
     v = res.state["value"]
     reached = np.flatnonzero(np.isfinite(v))
     return pa.table(
-        {"vid": reached.astype(np.int64), "value": np.round(v[reached], 6)}
+        {"vid": reached.astype(np.int64), "value": sql_round(v[reached])}
     )
 
 
@@ -267,7 +316,7 @@ def q_spmv(sf_dir: str) -> pa.Table:
         eng.shutdown()
     y = res.state["spmv_value"]
     ids = np.flatnonzero(eng.indeg > 0)
-    return pa.table({"vid": ids.astype(np.int64), "spmv_value": np.round(y[ids], 6)})
+    return pa.table({"vid": ids.astype(np.int64), "spmv_value": sql_round(y[ids])})
 
 
 def q_triangle_count(sf_dir: str) -> pa.Table:

@@ -7,10 +7,11 @@ defined in SURVEY.md section 2.4 and built Ray-Data-first:
    enumerated exactly once at its lowest-rank apex and out-degrees are
    O(sqrt(E)) — the standard bound that keeps wedge volume ~E^1.5;
    degrees are a broadcast O(V) array (ray.put), not a shuffle join;
-3. wedge generation per apex group (vectorized meshgrid), unioned with
-   the oriented edges, then ONE groupby over (x, y) counts wedge/edge
-   coincidences: sum(wedges) x exists(edge) summed = triangle count —
-   the closure join expressed as a single aggregate, no pairwise join.
+3. wedge generation = hash self-join of the oriented edges on the apex
+   (vectorized all-to-all), unioned with the oriented edges, then ONE
+   groupby over (x, y) counts wedge/edge coincidences: sum(wedges) x
+   exists(edge) summed = triangle count — the closure expressed as a
+   single aggregate.
 """
 
 from __future__ import annotations
@@ -22,6 +23,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
+from .derive import _join_parts, empty_guard, safe_inner_join
+
 
 def _normalize(batch: pa.Table) -> pa.Table:
     s = batch.column("src").to_numpy(zero_copy_only=False)
@@ -31,19 +34,34 @@ def _normalize(batch: pa.Table) -> pa.Table:
     return pa.table({"a": np.minimum(s, d), "b": np.maximum(s, d)})
 
 
-def triangle_count(edges, n: int) -> int:
-    """``edges``: Dataset with src/dst columns, or (src, dst) arrays."""
+def triangle_count(edges, n: int, closure: str = "auto") -> int:
+    """``edges``: Dataset with src/dst columns, or (src, dst) arrays.
+
+    ``closure`` selects how wedge-closure is checked:
+
+    - ``"broadcast"``: the oriented edge set is broadcast once as a
+      sorted int64 key array (x*(n+1)+y; 8 bytes/edge) and every wedge
+      batch does a vectorized searchsorted membership test, reducing to
+      a single per-batch count — NO post-join shuffle at all.
+    - ``"shuffle"``: union wedges with edges and close via one (x, y)
+      groupby — the all-to-all formulation for graphs whose edge set
+      exceeds single-node memory (> ~100M edges).
+    - ``"auto"``: broadcast below 50M edges, shuffle above.
+    """
     if not isinstance(edges, rd.Dataset):
         src, dst = edges
         edges = rd.from_arrow(
             pa.table({"src": np.asarray(src, dtype=np.int64),
                       "dst": np.asarray(dst, dtype=np.int64)})
         )
+    # materialized: degrees, orientation and the edge-flag union all read
+    # it — without this the dedup groupby re-executes once per consumer
     simple = (
         edges.map_batches(_normalize, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="cnt"))
         .select_columns(["a", "b"])
+        .materialize()
     )
 
     # degrees on the simple graph: per-batch partials -> one small groupby
@@ -75,27 +93,76 @@ def triangle_count(edges, n: int) -> int:
             {"x": np.where(a_first, a, b), "y": np.where(a_first, b, a)}
         )
 
-    oriented = simple.map_batches(orient, batch_format="pyarrow")
+    oriented = simple.map_batches(orient, batch_format="pyarrow").materialize()
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+    # wedge enumeration = hash self-join of the oriented edges on the
+    # apex (one all-to-all, vectorized; a per-apex map_groups would be a
+    # Python call per vertex). Keep each unordered leg pair once, ordered
+    # by the same (deg, vid) rank as the orientation, so the closing edge
+    # — if it exists — appears in `oriented` with exactly that key.
+    left = oriented.map_batches(
+        lambda t: t.rename_columns(["apex", "y1"]), batch_format="pyarrow"
+    )
+    right = oriented.map_batches(
+        lambda t: t.rename_columns(["apex", "y2"]), batch_format="pyarrow"
+    )
+    num_edges = oriented.count()
+    if closure == "auto":
+        closure = "broadcast" if num_edges <= 50_000_000 else "shuffle"
+
+    if closure == "broadcast":
+        # sorted int64 edge-key array, shipped ONCE per node
+        parts = [
+            t.column("x").to_numpy(zero_copy_only=False) * np.int64(n + 1)
+            + t.column("y").to_numpy(zero_copy_only=False)
+            for t in ray.get(oriented.to_arrow_refs())
+            if t.num_rows
+        ]
+        keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+        keys_ref = ray.put(keys)
+
+        def count_closed(t: pa.Table) -> pa.Table:
+            dg = ray.get(deg_ref)
+            ek = ray.get(keys_ref)
+            y1 = t.column("y1").to_numpy(zero_copy_only=False)
+            y2 = t.column("y2").to_numpy(zero_copy_only=False)
+            keep = (dg[y1] < dg[y2]) | ((dg[y1] == dg[y2]) & (y1 < y2))
+            wk = y1[keep] * np.int64(n + 1) + y2[keep]
+            pos = np.searchsorted(ek, wk)
+            pos[pos >= len(ek)] = max(len(ek) - 1, 0)
+            closed = int((ek[pos] == wk).sum()) if len(ek) else 0
+            return pa.table({"tri": np.array([closed], dtype=np.int64)})
+
+        counted = safe_inner_join(
+            left, right, on=("apex",), num_partitions=_join_parts(16)
+        ).map_batches(
+            empty_guard(count_closed, pa.schema([("tri", pa.int64())])),
+            batch_format="pyarrow",
+        )
+        return int(counted.sum("tri") or 0)
+
+    # shuffle closure: union wedges with flagged edges, close via groupby
+    def rank_filter(t: pa.Table) -> pa.Table:
         dg = ray.get(deg_ref)
-        ys = g["y"].to_numpy()
-        k = len(ys)
-        if k < 2:
-            z = np.empty(0, dtype=np.int64)
-            return pd.DataFrame({"x": z, "y": z, "w": z, "e": z})
-        order = np.lexsort((ys, dg[ys]))
-        ys = ys[order]
-        i, j = np.triu_indices(k, 1)
-        return pd.DataFrame(
-            {"x": ys[i], "y": ys[j],
-             "w": np.ones(len(i), dtype=np.int64),
-             "e": np.zeros(len(i), dtype=np.int64)}
+        y1 = t.column("y1").to_numpy(zero_copy_only=False)
+        y2 = t.column("y2").to_numpy(zero_copy_only=False)
+        keep = (dg[y1] < dg[y2]) | ((dg[y1] == dg[y2]) & (y1 < y2))
+        k = int(keep.sum())
+        return pa.table(
+            {
+                "x": y1[keep],
+                "y": y2[keep],
+                "w": np.ones(k, dtype=np.int64),
+                "e": np.zeros(k, dtype=np.int64),
+            }
         )
 
-    wedge_ds = oriented.groupby("x").map_groups(wedges, batch_format="pandas").map_batches(
-        lambda t: t, batch_format="pyarrow"  # unify block type for the union
+    wedge_schema = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64()), ("w", pa.int64()), ("e", pa.int64())]
     )
+    wedge_ds = safe_inner_join(
+        left, right, on=("apex",), num_partitions=_join_parts(16)
+    ).map_batches(empty_guard(rank_filter, wedge_schema), batch_format="pyarrow")
     edge_flag = oriented.map_batches(
         lambda t: t.append_column("w", pa.array(np.zeros(len(t), dtype=np.int64)))
         .append_column("e", pa.array(np.ones(len(t), dtype=np.int64))),

@@ -1,0 +1,310 @@
+"""Tests for fogray.datapipes: DuckDB conformance for the SQL-oracled
+queries, pure-Python oracles for the rest, planted-duplicate recall for
+the dedup family, and recall bounds for IVF ANN."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["txt_stats", "txt_fingerprint", "dd_exact", "dd_ngram_jaccard",
+     "dd_embed_cosine", "ann_topk"],
+)
+def test_datapipes_query_matches_oracle(ray_session, con, name):
+    from fogray.datapipes import queries as dq
+
+    got = normalize(dq.QUERIES[name](SF_DIR).to_pandas())
+    want = normalize(con.execute(dq.ORACLE_SQL[name]).df())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# synthetic corpora with planted duplicates
+# ---------------------------------------------------------------------------
+
+
+def _docs_table():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about rivers mountains and the endless open road ahead"
+    )
+    near = base.replace("lazy", "sleepy")  # one token differs
+    other = (
+        "completely different content about compilers registers allocation "
+        "and the joys of undefined behavior in systems programming land"
+    )
+    rows = {
+        "doc_id": list(range(6)),
+        "text": [base, base, near, other, other + " extra token", "tiny text"],
+        "source": ["s0"] * 6,
+    }
+    return pa.table(rows)
+
+
+def test_exact_dedup_planted(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    out = dedup.exact_dedup(rd.from_arrow(_docs_table())).to_pandas()
+    canon = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert canon[0] == 0 and canon[1] == 0  # exact dup pair
+    assert canon[2] == 2 and canon[3] == 3 and canon[4] == 4
+
+
+def test_jaccard_pairs_vs_oracle(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    t = _docs_table()
+    got = (
+        dedup.jaccard_pairs(rd.from_arrow(t), block_col="source", threshold=0.5)
+        .to_pandas()
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    # pandas oracle
+    df = t.to_pandas()
+    sets = {r.doc_id: set(r.text.split()) for r in df.itertuples()}
+    rows = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                rows.append((a, b, round(j, 6)))
+    want = pd.DataFrame(rows, columns=["da", "db", "jaccard"])
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    # the exact-dup pair and both near-dup pairs are found
+    pairs = set(zip(got["da"], got["db"]))
+    assert (0, 1) in pairs and (0, 2) in pairs and (3, 4) in pairs
+
+
+def test_minhash_lsh_finds_planted(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    ds = rd.from_arrow(_docs_table())
+    out = dedup.minhash_lsh_pairs(
+        ds, num_perm=32, bands=8, shingle_words=3, threshold=0.5
+    ).to_pandas()
+    pairs = set(zip(out["da"], out["db"]))
+    assert (0, 1) in pairs  # identical docs always collide
+    # jaccard values are EXACT (verification step), so (0,1) == 1.0
+    j01 = out.set_index(["da", "db"]).loc[(0, 1), "jaccard"]
+    assert j01 == 1.0
+    # determinism
+    out2 = dedup.minhash_lsh_pairs(
+        ds, num_perm=32, bands=8, shingle_words=3, threshold=0.5
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["da", "db"]).reset_index(drop=True),
+        out2.sort_values(["da", "db"]).reset_index(drop=True),
+    )
+
+
+def test_minhash_signature_estimates_jaccard():
+    from fogray.datapipes.dedup import MinHasher, _crc_shingles
+
+    mh = MinHasher(num_perm=128, shingle_words=2)
+    a = "w" + " w".join(str(i) for i in range(200))
+    b = "w" + " w".join(str(i) for i in range(100, 300))
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    xa, xb = _crc_shingles(a, 2), _crc_shingles(b, 2)
+    true = len(np.intersect1d(xa, xb)) / len(np.union1d(xa, xb))
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_near_pairs(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    out = dedup.simhash_pairs(rd.from_arrow(_docs_table()), max_hamming=8).to_pandas()
+    pairs = set(zip(out["da"], out["db"]))
+    assert (0, 1) in pairs
+    h01 = out.set_index(["da", "db"]).loc[(0, 1), "hamming"]
+    assert h01 == 0  # identical text -> identical simhash
+    # one-token change stays within a small hamming distance
+    assert (0, 2) in pairs
+
+
+def test_dedup_clusters():
+    from fogray.datapipes.dedup import dedup_clusters
+
+    pairs = pa.table({"da": [0, 2, 5], "db": [1, 0, 6], "jaccard": [1.0, 0.9, 0.8]})
+    out = dedup_clusters(pairs, np.arange(8)).to_pandas()
+    root = dict(zip(out["doc_id"], out["cluster_root"]))
+    assert root[0] == root[1] == root[2] == 0
+    assert root[5] == root[6] == 5
+    assert root[3] == 3 and root[7] == 7
+
+
+def test_embedding_cosine_pairs_vs_brute(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[10] = vecs[4] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    t = pa.table(
+        {
+            "vec_id": np.arange(60, dtype=np.int64),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    out = dedup.embedding_cosine_pairs(rd.from_arrow(t), threshold=0.9).to_pandas()
+    u = vecs.astype(np.float64)
+    u /= np.linalg.norm(u, axis=1)[:, None]
+    cos = u @ u.T
+    want = {(a, b) for a in range(60) for b in range(a + 1, 60) if cos[a, b] >= 0.9}
+    assert set(zip(out["va"], out["vb"])) == want
+    assert (4, 10) in want
+
+
+def test_ann_bruteforce_matches_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(4)
+    vecs = rng.standard_normal((80, 12)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": np.arange(80, dtype=np.int64),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    from fogray.datapipes import similarity
+
+    qids = np.arange(3)
+    out = similarity.ann_topk_bruteforce(
+        rd.from_arrow(t), qids, vecs[:3], k=5
+    ).to_pandas()
+    u = vecs.astype(np.float64)
+    u /= np.linalg.norm(u, axis=1)[:, None]
+    for q in qids:
+        scores = u @ u[q]
+        scores[q] = -np.inf
+        top = np.argsort(-scores, kind="stable")[:5]
+        got = out[out["qid"] == q]["nid"].to_numpy()
+        assert set(got) == set(top)
+
+
+def test_ann_ivf_recall_on_clusters(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import similarity
+
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((8, 16)) * 5
+    vecs = np.vstack(
+        [centers[i % 8] + 0.3 * rng.standard_normal(16) for i in range(400)]
+    ).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    qids = np.arange(5)
+    brute = similarity.ann_topk_bruteforce(ds, qids, vecs[:5], k=10).to_pandas()
+    ivf = similarity.ann_topk_ivf(ds, qids, vecs[:5], k=10, nlist=8, nprobe=3).to_pandas()
+    recalls = []
+    for q in qids:
+        bt = set(brute[brute["qid"] == q]["nid"])
+        it = set(ivf[ivf["qid"] == q]["nid"])
+        recalls.append(len(bt & it) / len(bt))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_mm_features_deterministic_and_oracle(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fogray.datapipes import multimodal
+
+    t = _docs_table()
+    out = multimodal.media_features(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    out2 = multimodal.media_features(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2.reset_index(drop=True))
+    # pure-Python oracle for doc 0
+    s = t.column("text")[0].as_py()
+    seed = hashlib.sha256(s.encode()).digest()
+    size = 256 + (len(s) % 1024)
+    payload = (seed * (size // len(seed) + 1))[:size]
+    w, h = 16 + len(s) % 48, 16 + (len(s) * 7) % 48
+    px = multimodal.decode_stub(payload, w, h)
+    hist = np.bincount(px.ravel(), minlength=256).astype(np.float64)
+    hist /= hist.sum()
+    proj = np.random.RandomState(13).standard_normal((256, multimodal.FEATURE_DIM))
+    want = hist @ proj
+    got = out[out["doc_id"] == 0][[f"feat_{j}" for j in range(8)]].to_numpy()[0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_langid_on_marked_fixture(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import text as txt
+
+    samples = {
+        "en": "the cat and the dog that is going to the park",
+        "fr": "le chat et la maison dans le jardin est une merveille",
+        "es": "el perro y los gatos es una maravilla que corre",
+        "de": "der hund und die katze ist ein schnelles tier",
+        "zh": "的学生是在学校和老师",
+    }
+    rows = {"doc_id": list(range(len(samples))), "text": list(samples.values())}
+    out = txt.lang_id(rd.from_arrow(pa.table(rows))).to_pandas().sort_values("doc_id")
+    assert list(out["pred_lang"]) == list(samples.keys())
+
+
+def test_winnow_fingerprints_shared_substrings(ray_session):
+    import ray.data as rd
+
+    from fogray.datapipes import text as txt
+
+    a = "abcdefghijklmnopqrstuvwxyz0123456789 shared run of bytes"
+    rows = pa.table({"doc_id": [0, 1], "text": [a, "PREFIX " + a]})
+    out = txt.winnow_fingerprints(rd.from_arrow(rows)).to_pandas()
+    f0 = set(out[out["doc_id"] == 0]["fp"])
+    f1 = set(out[out["doc_id"] == 1]["fp"])
+    assert f0 and f1
+    assert len(f0 & f1) >= 2  # long shared substring -> shared sketch entries
+
+
+def test_text_stats_kernel_edge_cases():
+    from fogray.datapipes.text import text_stats_batch
+
+    t = pa.table({"doc_id": [0, 1], "text": ["", "a b  c 12."]})
+    out = text_stats_batch(t).to_pandas()
+    assert out.loc[1, "n_tokens"] == 4
+    assert out.loc[1, "n_alpha"] == 3
+    assert out.loc[1, "n_digit"] == 2
