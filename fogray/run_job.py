@@ -1,0 +1,149 @@
+"""``ray job submit`` entry point — the cluster-run story required by
+the north rule (FOG analog: the ``fog`` binary's CLI, fogsrc/main.cpp).
+
+Usage (single node or against a cluster address):
+
+    ray job submit --working-dir . -- \
+        python -m fogray.run_job --algorithm pagerank \
+            --repo-table /path/to/repos.parquet \
+            --ckpt-dir /tmp/fogray_ckpt --output /tmp/fogray_out \
+            --resume
+
+    # or over a driver testdata graph:
+    python -m fogray.run_job --algorithm cc --sf-dir /root/testdata/sf0.01
+
+The script OWNS the Ray session (guarded init — under ``ray job submit``
+the cluster is already initialized). Results are written as partitioned
+Parquet (one file per vid-range shard) so a re-run can skip or overwrite
+deterministically; per-superstep checkpoints + manifests land under
+--ckpt-dir and --resume continues from the newest complete one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _build_engine(args):
+    import ray.data as rd
+
+    from fogray import derive, tables
+    from fogray.config import EngineConfig
+    from fogray.engine import GraphEngine
+    from fogray import queries as q
+
+    cfg = EngineConfig(num_partitions=args.num_partitions)
+    if args.repo_table or args.synthetic_repos:
+        if args.repo_table:
+            src = rd.read_parquet(args.repo_table)
+        else:
+            src = rd.from_arrow(
+                tables.make_repo_table(
+                    args.synthetic_repos * args.files_per_repo,
+                    args.synthetic_repos,
+                    seed=42,
+                )
+            )
+        out = derive.derive_edges(src)
+        edges = pa.concat_tables(
+            __import__("ray").get(out["edges"].materialize().to_arrow_refs()),
+            promote_options="default",
+        )
+        n = out["num_vertices"]
+        src_a = edges.column("src").to_numpy(zero_copy_only=False)
+        dst_a = edges.column("dst").to_numpy(zero_copy_only=False)
+        w_a = edges.column("weight").to_numpy(zero_copy_only=False)
+    else:
+        t = q.cooccurrence_edges(args.sf_dir)
+        src_a = t.column("src").to_numpy(zero_copy_only=False)
+        dst_a = t.column("dst").to_numpy(zero_copy_only=False)
+        w_a = t.column("weight").to_numpy(zero_copy_only=False)
+        n = int(max(src_a.max(), dst_a.max())) + 1 if len(src_a) else 1
+    return GraphEngine(n, arrays=(src_a, dst_a, w_a), cfg=cfg), n
+
+
+def _write_result(state: dict, n: int, out_dir: str, shards: int) -> None:
+    """Partitioned parquet: one file per vid-range shard (resumable /
+    parallel-readable output, never one giant file)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = np.linspace(0, n, shards + 1).astype(np.int64)
+    for i in range(shards):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        cols = {"vid": np.arange(lo, hi, dtype=np.int64)}
+        for k, v in state.items():
+            cols[k] = v[lo:hi]
+        pq.write_table(pa.table(cols), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="fogray graph job")
+    p.add_argument("--algorithm", required=True,
+                   choices=["pagerank", "cc", "label_propagation", "bfs", "sssp",
+                            "scc", "spmv"])
+    src_group = p.add_mutually_exclusive_group(required=True)
+    src_group.add_argument("--repo-table", help="parquet path of the (repo,path,commit,lang,content) table")
+    src_group.add_argument("--synthetic-repos", type=int, help="derive from a deterministic synthetic repo table with this many repos")
+    src_group.add_argument("--sf-dir", help="driver testdata dir (part co-occurrence graph)")
+    p.add_argument("--files-per-repo", type=int, default=16)
+    p.add_argument("--niters", type=int, default=10)
+    p.add_argument("--source", type=int, default=0, help="bfs/sssp source vid")
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", default=None)
+    p.add_argument("--output-shards", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 ignore_reinit_error=True)
+
+    from fogray import algorithms as alg
+    from fogray.triangles import triangle_count
+
+    t0 = time.perf_counter()
+    eng, n = _build_engine(args)
+    try:
+        run = {
+            "pagerank": lambda: alg.pagerank(eng, niters=args.niters,
+                                             ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "cc": lambda: alg.connected_components(eng, ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "label_propagation": lambda: alg.label_propagation(eng, ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "bfs": lambda: alg.bfs(eng, root=args.source, ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "sssp": lambda: alg.sssp(eng, source=args.source, ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "scc": lambda: alg.scc(eng, ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "spmv": lambda: alg.spmv(eng, ckpt_dir=args.ckpt_dir, resume=args.resume),
+        }[args.algorithm]
+        res = run()
+    finally:
+        eng.shutdown()
+
+    wall = time.perf_counter() - t0
+    if args.output:
+        _write_result(res.state, n, args.output, args.output_shards)
+    summary = {
+        "algorithm": args.algorithm,
+        "num_vertices": n,
+        "num_edges": res.num_edges,
+        "supersteps": res.supersteps,
+        "wall_s": round(wall, 3),
+        "edges_per_sec_per_iter": round(res.edges_per_sec_per_iter, 1),
+        "output": args.output,
+        "checkpoints": args.ckpt_dir,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
