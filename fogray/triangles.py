@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
 from .derive import _join_parts, empty_guard, safe_inner_join
+from .util import from_arrow_chunked
 
 
 def _normalize(batch: pa.Table) -> pa.Table:
@@ -50,7 +51,7 @@ def triangle_count(edges, n: int, closure: str = "auto") -> int:
     """
     if not isinstance(edges, rd.Dataset):
         src, dst = edges
-        edges = rd.from_arrow(
+        edges = from_arrow_chunked(
             pa.table({"src": np.asarray(src, dtype=np.int64),
                       "dst": np.asarray(dst, dtype=np.int64)})
         )
@@ -63,6 +64,9 @@ def triangle_count(edges, n: int, closure: str = "auto") -> int:
         .select_columns(["a", "b"])
         .materialize()
     )
+    if simple.count() == 0:
+        return 0  # edgeless / self-loops only (empty aggregates also
+        # come back 0-column, so nothing downstream could read them)
 
     # degrees on the simple graph: per-batch partials -> one small groupby
     def degree_partial(t: pa.Table) -> pa.Table:
@@ -111,34 +115,51 @@ def triangle_count(edges, n: int, closure: str = "auto") -> int:
         closure = "broadcast" if num_edges <= 50_000_000 else "shuffle"
 
     if closure == "broadcast":
-        # sorted int64 edge-key array, shipped ONCE per node
-        parts = [
-            t.column("x").to_numpy(zero_copy_only=False) * np.int64(n + 1)
-            + t.column("y").to_numpy(zero_copy_only=False)
-            for t in ray.get(oriented.to_arrow_refs())
-            if t.num_rows
-        ]
-        keys = np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
-        keys_ref = ray.put(keys)
+        # The whole oriented edge set fits on a node, so skip the wedge
+        # JOIN entirely: broadcast a rank-relabelled CSR + the sorted
+        # edge-key array ONCE, then a map over apex ranges enumerates
+        # each apex's ordered neighbor pairs (vectorized meshgrid per
+        # apex — tens of microseconds each) and membership-tests the
+        # closing edge with one searchsorted per batch. No all-to-all
+        # after the dedup groupby.
+        tabs = [t for t in ray.get(oriented.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return 0
+        x = np.concatenate([t.column("x").to_numpy(zero_copy_only=False) for t in tabs])
+        y = np.concatenate([t.column("y").to_numpy(zero_copy_only=False) for t in tabs])
+        # relabel by orientation rank (deg, vid) so each adjacency list
+        # is ascending in rank and every wedge's closing edge key is
+        # (lower_rank, higher_rank)
+        order = np.lexsort((np.arange(n), deg))
+        rank_of = np.empty(n, dtype=np.int64)
+        rank_of[order] = np.arange(n, dtype=np.int64)
+        rx, ry = rank_of[x], rank_of[y]
+        s = np.lexsort((ry, rx))
+        rx, ry = rx[s], ry[s]
+        offsets = np.searchsorted(rx, np.arange(n + 1, dtype=np.int64))
+        keys = rx * np.int64(n) + ry  # sorted ascending by construction
+        csr_ref = ray.put((offsets, ry, keys))
 
-        def count_closed(t: pa.Table) -> pa.Table:
-            dg = ray.get(deg_ref)
-            ek = ray.get(keys_ref)
-            y1 = t.column("y1").to_numpy(zero_copy_only=False)
-            y2 = t.column("y2").to_numpy(zero_copy_only=False)
-            keep = (dg[y1] < dg[y2]) | ((dg[y1] == dg[y2]) & (y1 < y2))
-            wk = y1[keep] * np.int64(n + 1) + y2[keep]
+        def count_range(t: pa.Table) -> pa.Table:
+            offs, nbrs, ek = ray.get(csr_ref)
+            total = 0
+            wk_parts = []
+            for v in t.column("id").to_numpy(zero_copy_only=False):
+                lst = nbrs[offs[v] : offs[v + 1]]
+                k = len(lst)
+                if k < 2:
+                    continue
+                i, j = np.triu_indices(k, 1)
+                wk_parts.append(lst[i] * np.int64(n) + lst[j])
+            if not wk_parts:
+                return pa.table({"tri": np.array([0], dtype=np.int64)})
+            wk = np.concatenate(wk_parts)
             pos = np.searchsorted(ek, wk)
-            pos[pos >= len(ek)] = max(len(ek) - 1, 0)
-            closed = int((ek[pos] == wk).sum()) if len(ek) else 0
-            return pa.table({"tri": np.array([closed], dtype=np.int64)})
+            pos[pos >= len(ek)] = len(ek) - 1
+            total = int((ek[pos] == wk).sum())
+            return pa.table({"tri": np.array([total], dtype=np.int64)})
 
-        counted = safe_inner_join(
-            left, right, on=("apex",), num_partitions=_join_parts(16)
-        ).map_batches(
-            empty_guard(count_closed, pa.schema([("tri", pa.int64())])),
-            batch_format="pyarrow",
-        )
+        counted = rd.range(n).map_batches(count_range, batch_format="pyarrow")
         return int(counted.sum("tri") or 0)
 
     # shuffle closure: union wedges with flagged edges, close via groupby
