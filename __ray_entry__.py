@@ -64,7 +64,38 @@ def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
             {"vid": np.arange(out["num_vertices"]), "rank": np.round(res.state["rank"], 6)}
         )
 
-    return {"repo_derive_edges": repo_edges, "repo_pagerank": repo_pagerank}
+    def repo_pagerank_dist(sf_dir: str):
+        """Same pipeline on the range-partitioned engine
+        (fogray.dist_engine) — vertex state sharded across actors,
+        actor-to-actor message exchange; exact-parity gate lives in
+        tests/test_dist_engine.py."""
+        import numpy as np
+        import pandas as pd
+
+        from fogray import algorithms as alg
+        from fogray.config import EngineConfig
+        from fogray.dist_engine import DistGraphEngine
+
+        out = _derived(sf_dir)
+        e = out["edges"].to_pandas()
+        eng = DistGraphEngine(
+            out["num_vertices"],
+            arrays=(e["src"].to_numpy(), e["dst"].to_numpy(), e["weight"].to_numpy()),
+            cfg=EngineConfig(num_partitions=4),
+        )
+        try:
+            res = alg.pagerank(eng, niters=10)
+        finally:
+            eng.shutdown()
+        return pd.DataFrame(
+            {"vid": np.arange(out["num_vertices"]), "rank": np.round(res.state["rank"], 6)}
+        )
+
+    return {
+        "repo_derive_edges": repo_edges,
+        "repo_pagerank": repo_pagerank,
+        "repo_pagerank_dist": repo_pagerank_dist,
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -46,6 +46,107 @@ def spmv(engine: GraphEngine, *, ckpt_dir=None, resume=False) -> RunResult:
     return engine.run(PROGRAMS["spmv"], {}, ckpt_dir=ckpt_dir, resume=resume)
 
 
+def _scc_build(state, lo, hi, outdeg, indeg):
+    """Slice-local SCC state construction + trivial-SCC marking
+    (scc.hpp:48-54): deg-0 vertices are their own components."""
+    vids = np.arange(lo, hi, dtype=np.float64)
+    state.clear()
+    state["prev_root"] = np.full(hi - lo, np.float64(UNREACHED))
+    state["component_root"] = vids.copy()
+    state["found"] = np.zeros(hi - lo, dtype=np.int64)
+    trivial = (outdeg == 0) | (indeg == 0)
+    state["found"][trivial] = 1
+    state["prev_root"][trivial] = vids[trivial]
+    state["component_root"][trivial] = vids[trivial]
+    return ~trivial
+
+
+def _scc_init_fwd(state, lo, hi, outdeg, indeg):
+    """Pre-forward re-init (scc.hpp:69-77), slice-local."""
+    vids = np.arange(lo, hi, dtype=np.float64)
+    m = state["component_root"] != state["prev_root"]
+    state["prev_root"][m] = state["component_root"][m]
+    state["component_root"][m] = vids[m]
+    return m
+
+
+def _scc_init_bwd(state, lo, hi, outdeg, indeg):
+    """Pre-backward re-init (scc.hpp:78-99), slice-local."""
+    vids = np.arange(lo, hi, dtype=np.float64)
+    changed = state["component_root"] != state["prev_root"]
+    state["prev_root"][changed] = state["component_root"][changed]
+    state["component_root"][changed] = vids[changed]
+    own_root = changed & (state["component_root"] == state["prev_root"])
+    state["found"][own_root] = 1
+    unchanged_unfound = (~changed) & (state["found"] == 0)
+    state["found"][unchanged_unfound] = 1
+    return own_root | unchanged_unfound
+
+
+def scc_dist(engine, *, ckpt_dir=None, resume=False, max_rounds: int = 10_000) -> RunResult:
+    """FOG SCC on the range-partitioned engine: the init phases run as
+    slice-local transforms INSIDE the state actors (engine.map_state) —
+    the multi-pass driver never sees a vertex array, only counts."""
+    t_start = time.perf_counter()
+    out_loop, direction = 0, FWD
+    superstep_no = 0
+    metrics: list[dict] = []
+    frontier_count = engine.map_state(_scc_build)
+    resumed_mid_pass = False
+    if resume and ckpt_dir:
+        got = engine._resume(ckpt_dir, "scc", {})
+        if got is not None:
+            superstep_no, metrics, frontier_count = got
+            out_loop = metrics[-1]["out_loop"]
+            direction = metrics[-1]["direction"]
+            if frontier_count > 0:
+                resumed_mid_pass = True
+            else:
+                direction = BWD if direction == FWD else FWD
+                out_loop += 1
+
+    while out_loop < max_rounds:
+        if resumed_mid_pass:
+            resumed_mid_pass = False
+        elif out_loop == 0 and superstep_no == 0:
+            pass  # frontier from _scc_build
+        elif direction == FWD:
+            frontier_count = engine.map_state(_scc_init_fwd)
+        else:
+            frontier_count = engine.map_state(_scc_init_bwd)
+        if frontier_count == 0:
+            break
+
+        prog = PROGRAMS["scc_fwd"] if direction == FWD else PROGRAMS["scc_bwd"]
+        while frontier_count:
+            m = engine._superstep(prog, direction)
+            frontier_count = sum(
+                __import__("ray").get(
+                    [a.swap_frontier.remote() for a in engine.state_actors]
+                )
+            )
+            superstep_no += 1
+            m.update(
+                {"superstep": superstep_no, "out_loop": out_loop, "direction": direction}
+            )
+            metrics.append(m)
+            if ckpt_dir and engine.cfg.ckpt_interval and superstep_no % engine.cfg.ckpt_interval == 0:
+                engine._write_checkpoint(ckpt_dir, superstep_no, "scc", {}, metrics)
+
+        direction = BWD if direction == FWD else FWD
+        out_loop += 1
+
+    state, frontier = engine.collect_state()
+    return RunResult(
+        state=state,
+        frontier=None,
+        supersteps=superstep_no,
+        metrics=metrics,
+        num_edges=engine.num_edges,
+        wall_seconds=time.perf_counter() - t_start,
+    )
+
+
 def scc(engine: GraphEngine, *, ckpt_dir=None, resume=False, max_rounds: int = 10_000) -> RunResult:
     """FOG SCC: the multi-pass forward/backward coloring driver
     (application/scc.hpp re-init logic at :46-102, finalize direction
@@ -56,6 +157,10 @@ def scc(engine: GraphEngine, *, ckpt_dir=None, resume=False, max_rounds: int = 1
     single-direction pass run to fixpoint. The outer loop stops when an
     init phase schedules nothing (fog_engine.cpp:112-115).
     """
+    from .dist_engine import DistGraphEngine
+
+    if isinstance(engine, DistGraphEngine):
+        return scc_dist(engine, ckpt_dir=ckpt_dir, resume=resume, max_rounds=max_rounds)
     t_start = time.perf_counter()
     n = engine.n
     state = {

@@ -1,0 +1,724 @@
+"""Fully-distributed superstep engine: vertex state SHARDED across
+stateful actors by explicit vid ranges — the multi-node scale path.
+
+:class:`fogray.engine.GraphEngine` broadcasts the dense vertex state
+from the driver each superstep (right when state is small relative to
+edges, O(V) << O(E)); at 10^8+ vertices the driver becomes both a
+memory ceiling and a serialization funnel. This engine removes the
+driver from the data path entirely:
+
+- **Vertex state lives in :class:`StatePartitionActor`\\ s**, one per
+  contiguous vid range (explicit RANGE partitioning — the rebuild of
+  FOG's attribute *segments*, headers/config.hpp:57-68, where
+  ``VID_TO_SEGMENT`` ranged the ``.attr`` file; here each segment is
+  pinned in an actor instead of LRU-paged from disk,
+  fog_engine.cpp:1060-1313). Range bounds are drawn from the cumulative
+  DEGREE histogram, not the vid count, so hub-heavy prefixes don't
+  overload one actor.
+
+- **Edge partitions are balanced by EDGE COUNT**, splitting a hub
+  vertex's edge list across several :class:`DistEdgeActor`\\ s when it
+  exceeds a partition (skew-aware splitting of hub vertices — FOG's
+  analog is mid-scatter work stealing, fog_engine.cpp:560-758, which
+  re-splits an overloaded CPU's range; here the split is static because
+  edge counts are known up front). Each actor holds a src-sorted span
+  (CSR analog) and a dst-sorted span (CSC analog) built once in
+  ``__init__``.
+
+- **The per-superstep message exchange is actor -> object store ->
+  actor.** Scatter returns ``num_returns=P`` per-destination-range
+  partials (each pre-combined by sum/min inside the edge actor — the
+  combiner that caps a hub's in-flight updates at one value per edge
+  partition); the driver passes the *refs* straight to the owning state
+  actors, which fetch and reduce them locally. No O(V) or O(E) bytes
+  ever transit the driver — it only routes ObjectRefs and reads scalar
+  counts, so superstep cost at the driver is O(P^2) refs.
+
+- **Scatter-side locality is by construction**: the forward view is
+  partitioned by src and forward kernels read state/frontier only at
+  ``s``; the backward view by dst, reading only at ``d`` (see
+  fogray.programs — the SCC backward guard, the one dest-side read, is
+  moved into the apply via unique-(dest,val) pairs, combine
+  ``pair_unique``). Each edge actor therefore needs only the state
+  slices overlapping its contiguous src (or dst) span, shipped as
+  shared-object refs, once per superstep per direction.
+
+- **Checkpoints are written in parallel by the state actors** (one
+  vid-range shard each, sha256 lineage), the driver only writes the
+  manifest — same on-disk format as fogray.checkpoint, so dense-engine
+  and dist-engine checkpoints are mutually resumable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .checkpoint import _params_key, latest_checkpoint
+from .config import EngineConfig
+from .engine import RunResult, expand_ranges
+from .programs import BWD, FWD, VertexProgram
+
+
+class _Shifted:
+    """A vid-range slice of a per-vertex array, indexable by ABSOLUTE
+    vid — so vertex-program kernels written against dense arrays
+    (``state["rank"][s]``) run unmodified on a partition slice."""
+
+    __slots__ = ("arr", "lo")
+
+    def __init__(self, arr: np.ndarray, lo: int):
+        self.arr = arr
+        self.lo = lo
+
+    def __getitem__(self, idx):
+        return self.arr[idx - self.lo]
+
+    def __setitem__(self, idx, val):
+        self.arr[idx - self.lo] = val
+
+
+class _SpanState:
+    """dict-of-_Shifted view over one or more concatenated slices."""
+
+    def __init__(self, arrays: dict[str, np.ndarray], lo: int):
+        self._arrays = arrays
+        self._lo = lo
+
+    def __getitem__(self, field: str) -> _Shifted:
+        return _Shifted(self._arrays[field], self._lo)
+
+    def __contains__(self, field) -> bool:
+        return field in self._arrays
+
+
+def _combine_for_range(kind: str, lo: int, hi: int, dest, vals, preds=None):
+    """Pre-combine updates destined for vid range [lo, hi); dest is
+    absolute. Returns a partial tuple (see apply_updates)."""
+    if kind == "sum":
+        if len(dest) == 0:
+            return ("dense", np.zeros(hi - lo, dtype=np.float64))
+        return ("dense", np.bincount(dest - lo, weights=vals, minlength=hi - lo))
+    if len(dest) == 0:
+        e = np.empty(0, dtype=np.int64)
+        f = np.empty(0, dtype=np.float64)
+        if kind == "min_pred":
+            return ("sparse", e, f, f.copy())
+        return ("sparse", e, f)
+    if kind == "min":
+        order = np.lexsort((vals, dest))
+        d, v = dest[order], vals[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        return ("sparse", d[first].astype(np.int64), v[first].astype(np.float64))
+    if kind == "min_pred":
+        order = np.lexsort((preds, vals, dest))
+        d, v, p = dest[order], vals[order], preds[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        return (
+            "sparse",
+            d[first].astype(np.int64),
+            v[first].astype(np.float64),
+            p[first].astype(np.float64),
+        )
+    if kind == "pair_unique":
+        bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.int64)
+        pairs = np.stack([dest.astype(np.int64), bits], axis=1)
+        uniq = np.unique(pairs, axis=0)
+        return (
+            "sparse",
+            np.ascontiguousarray(uniq[:, 0]),
+            np.ascontiguousarray(uniq[:, 1]).view(np.float64),
+        )
+    raise ValueError(kind)
+
+
+@ray.remote
+class DistEdgeActor:
+    """One edge-count-balanced span of the src-sorted edge array (CSR
+    side) plus one span of the dst-sorted array (CSC side), pinned as
+    numpy in ``__init__`` (index_vert_array rebuild,
+    fogsrc/index_vert_array.cpp:25-336). A span may begin/end mid-vertex
+    — that IS the hub split."""
+
+    def __init__(self, fwd_blocks: list, bwd_blocks: list, state_bounds: np.ndarray):
+        def _cat(blocks, cols):
+            ts = ray.get(list(blocks))
+            return tuple(
+                np.concatenate([t.column(c).to_numpy(zero_copy_only=False) for t in ts])
+                if ts
+                else np.empty(0, dtype=np.float64 if c == "weight" else np.int64)
+                for c in cols
+            )
+
+        self.fs, self.fd, self.fw = _cat(fwd_blocks, ("src", "dst", "weight"))
+        self.bs, self.bd, self.bw = _cat(bwd_blocks, ("src", "dst", "weight"))
+        self.bounds = state_bounds  # vid range bounds of the state partitions
+        # state-partition spans this actor's views overlap (driver reads
+        # these once to know which slice refs to ship each superstep)
+        self.fwd_span = self._span_of(self.fs)
+        self.bwd_span = self._span_of(self.bd)
+
+    def _span_of(self, keys: np.ndarray) -> tuple[int, int]:
+        if len(keys) == 0:
+            return (0, 0)
+        lo_p = int(np.searchsorted(self.bounds, int(keys[0]), side="right") - 1)
+        hi_p = int(np.searchsorted(self.bounds, int(keys[-1]), side="right") - 1)
+        return (lo_p, hi_p + 1)  # [lo_p, hi_p) state partition index range
+
+    def meta(self) -> dict:
+        return {
+            "fwd_edges": len(self.fs),
+            "bwd_edges": len(self.bs),
+            "fwd_span": self.fwd_span,
+            "bwd_span": self.bwd_span,
+        }
+
+    def degree_partials(self):
+        us, cs = np.unique(self.fs, return_counts=True)
+        ud, cd = np.unique(self.bd, return_counts=True)
+        return us.astype(np.int64), cs, ud.astype(np.int64), cd
+
+    def scatter(self, program: VertexProgram, direction: str, *slices):
+        """Run the program's vectorized kernel over this span, filtered
+        by the span's frontier slice, and return one pre-combined
+        partial PER STATE PARTITION (invoked with num_returns=P; Ray
+        ships each straight to its consumer)."""
+        if direction == FWD:
+            s, d, w, key = self.fs, self.fd, self.fw, self.fs
+            span = self.fwd_span
+        else:
+            s, d, w, key = self.bs, self.bd, self.bw, self.bd
+            span = self.bwd_span
+        lo = int(self.bounds[span[0]]) if span[1] > span[0] else 0
+        arrays = {}
+        if slices:
+            for f in slices[0]:
+                arrays[f] = (
+                    np.concatenate([sl[f] for sl in slices])
+                    if len(slices) > 1
+                    else slices[0][f]
+                )
+        state = _SpanState(arrays, lo)
+
+        frontier = arrays.get("__frontier")
+        if frontier is not None and len(key):
+            m = frontier[key - lo]
+            s, d, w = s[m], d[m], w[m]
+        if program.skip_self_loops and len(s):
+            m = s != d
+            s, d, w = s[m], d[m], w[m]
+
+        combine = getattr(program, "dist_combine", program.combine)
+        P = len(self.bounds) - 1
+        if len(s) == 0:
+            return tuple(
+                (
+                    _combine_for_range(
+                        combine,
+                        int(self.bounds[j]),
+                        int(self.bounds[j + 1]),
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
+                    ),
+                    0,
+                )
+                for j in range(P)
+            )
+
+        scatter = getattr(program, "scatter_dist", program.scatter)
+        out = scatter(state, s.astype(np.int64), d.astype(np.int64), w, direction)
+        dest = np.asarray(out[0], dtype=np.int64)
+        vals = np.asarray(out[1], dtype=np.float64)
+        preds = np.asarray(out[2], dtype=np.float64) if len(out) > 2 else None
+
+        # route by destination range: one searchsorted, then per-range
+        # pre-combine (the update_map/strip routing of cpu_thread.cpp:
+        # 290-326, minus the overflow machinery — backpressure is Ray's)
+        part = np.searchsorted(self.bounds, dest, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        dest, vals, part = dest[order], vals[order], part[order]
+        if preds is not None:
+            preds = preds[order]
+        cuts = np.searchsorted(part, np.arange(P + 1))
+        outs = []
+        for j in range(P):
+            a, b = cuts[j], cuts[j + 1]
+            outs.append(
+                (
+                    _combine_for_range(
+                        combine,
+                        int(self.bounds[j]),
+                        int(self.bounds[j + 1]),
+                        dest[a:b],
+                        vals[a:b],
+                        preds[a:b] if preds is not None else None,
+                    ),
+                    int(b - a),
+                )
+            )
+        return tuple(outs)
+
+
+@ray.remote
+class StatePartitionActor:
+    """Owns vids [lo, hi): the per-vertex attribute slice, the frontier
+    slice, and the degree slices. Applies combined updates with the
+    program's gather rule, maintains the frontier, exports its slice as
+    one shared object per superstep, and writes its own checkpoint
+    shard (per-partition lineage, north_rule)."""
+
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = int(lo), int(hi)
+        self.state: dict[str, np.ndarray] = {}
+        # double-buffered frontier (FOG's two context bitmaps per CPU,
+        # fog_engine.cpp:2366-2549): scatter reads `frontier`, gather
+        # schedules into `next_frontier`, the driver swaps at iteration
+        # end — so CC's bwd pass sees the iteration-start frontier even
+        # after the fwd pass applied changes.
+        self.frontier: np.ndarray | None = None
+        self.next_frontier: np.ndarray | None = None
+
+    def set_degrees(self, outdeg_slice: np.ndarray, indeg_slice: np.ndarray):
+        self.outdeg = outdeg_slice
+        self.indeg = indeg_slice
+
+    def init_program(self, program: VertexProgram, params: dict):
+        """Slice-local init via the program's span hook."""
+        state, frontier = program.init_span(
+            self.lo, self.hi, self.outdeg, self.indeg, **params
+        )
+        state["outdeg"] = self.outdeg.astype(np.float64)
+        self.state = state
+        self.frontier = frontier
+        self.next_frontier = (
+            np.zeros(self.hi - self.lo, dtype=bool) if frontier is not None else None
+        )
+        return int(frontier.sum()) if frontier is not None else (self.hi - self.lo)
+
+    def transform(self, fn, *args):
+        """Run a slice-local vectorized transform (SCC init phases):
+        fn(state, lo, hi, outdeg, indeg, *args) -> frontier_slice | None.
+        Returns the new frontier count."""
+        out = fn(self.state, self.lo, self.hi, self.outdeg, self.indeg, *args)
+        if out is not None:
+            self.frontier = out
+            self.next_frontier = np.zeros(self.hi - self.lo, dtype=bool)
+        return int(self.frontier.sum()) if self.frontier is not None else self.hi - self.lo
+
+    def export(self):
+        """One shared object per superstep: the slice arrays + frontier
+        (fetched via the object store by every edge actor whose span
+        overlaps — on a cluster each node materializes it at most once)."""
+        out = dict(self.state)
+        if self.frontier is not None:
+            out["__frontier"] = self.frontier
+        return out
+
+    def apply_updates(self, program: VertexProgram, *partials):
+        """Reduce the P_e pre-combined partials for this range and apply
+        the gather rule (gather_one_update analog, applied once per dest
+        on the combined value — valid because every program's gather is
+        commutative/associative, SURVEY.md 2.3). Changed vertices are
+        scheduled into the NEXT frontier buffer."""
+        combine = getattr(program, "dist_combine", program.combine)
+        parts = [p for (p, _emitted) in partials]
+        emitted = sum(e for (_p, e) in partials)
+        if parts and parts[0][0] == "dense":
+            acc = parts[0][1]
+            for p in parts[1:]:
+                acc = acc + p[1]
+            ids = np.flatnonzero(acc) + self.lo
+            vals, preds = acc[ids - self.lo], None
+        else:
+            ids = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+            vals = np.concatenate([p[2] for p in parts]) if parts else np.empty(0)
+            preds = (
+                np.concatenate([p[3] for p in parts])
+                if parts and len(parts[0]) > 3
+                else None
+            )
+            if len(ids) and combine != "pair_unique":
+                c = _combine_for_range(combine, self.lo, self.hi, ids, vals, preds)
+                ids, vals = c[1], c[2]
+                preds = c[3] if len(c) > 3 else None
+        view = _SpanState(self.state, self.lo)
+        apply = getattr(program, "apply_dist", program.apply)
+        changed = apply(view, ids, vals, preds)
+        if self.next_frontier is not None and len(changed):
+            self.next_frontier[np.asarray(changed, dtype=np.int64) - self.lo] = True
+        return {"changed": int(len(changed)), "emitted": int(emitted)}
+
+    def swap_frontier(self) -> int:
+        """End of iteration: next buffer becomes current (the
+        CONTEXT_PHASE flip, fog_engine.cpp:112-115)."""
+        if self.frontier is None:
+            return self.hi - self.lo
+        self.frontier = self.next_frontier
+        self.next_frontier = np.zeros(self.hi - self.lo, dtype=bool)
+        return int(self.frontier.sum())
+
+    def frontier_count(self) -> int:
+        return int(self.frontier.sum()) if self.frontier is not None else self.hi - self.lo
+
+    def get_state(self):
+        return self.state, self.frontier, self.lo, self.hi
+
+    def checkpoint_shard(self, directory: str, shard_idx: int) -> dict:
+        """Write this partition's shard (fogray.checkpoint layout)."""
+        import pyarrow.parquet as pq
+
+        cols: dict = {"vid": np.arange(self.lo, self.hi, dtype=np.int64)}
+        for k, v in self.state.items():
+            cols[k] = v
+        if self.frontier is not None:
+            cols["active"] = self.frontier
+        path = os.path.join(directory, f"shard-{shard_idx:05d}.parquet")
+        pq.write_table(pa.table(cols), path)
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        return {
+            "file": os.path.basename(path),
+            "vid_lo": self.lo,
+            "vid_hi": self.hi,
+            "rows": self.hi - self.lo,
+            "sha256": digest,
+        }
+
+    def load_shards(self, directory: str, shards_meta: list[dict], fields: list[str],
+                    has_frontier: bool):
+        """Restore this range from any overlapping checkpoint shards
+        (ranges need not match the writing run's partitioning)."""
+        import pyarrow.parquet as pq
+
+        n = self.hi - self.lo
+        arrays: dict[str, np.ndarray] = {}
+        frontier = np.zeros(n, dtype=bool) if has_frontier else None
+        for s in shards_meta:
+            if s["vid_hi"] <= self.lo or s["vid_lo"] >= self.hi:
+                continue
+            fp = os.path.join(directory, s["file"])
+            with open(fp, "rb") as f:
+                if hashlib.sha256(f.read()).hexdigest() != s["sha256"]:
+                    raise ValueError(f"checkpoint shard corrupt: {fp}")
+            t = pq.read_table(fp)
+            vids = t.column("vid").to_numpy(zero_copy_only=False)
+            m = (vids >= self.lo) & (vids < self.hi)
+            at = vids[m] - self.lo
+            for k in fields:
+                col = t.column(k).to_numpy(zero_copy_only=False)
+                if k not in arrays:
+                    arrays[k] = np.empty(n, dtype=col.dtype)
+                arrays[k][at] = col[m]
+            if frontier is not None:
+                frontier[at] = t.column("active").to_numpy(zero_copy_only=False)[m]
+        self.state = arrays
+        self.frontier = frontier
+        self.next_frontier = np.zeros(n, dtype=bool) if frontier is not None else None
+        return self.frontier_count()
+
+    def field_names(self) -> tuple[list[str], bool]:
+        return sorted(self.state.keys()), self.frontier is not None
+
+
+class DistGraphEngine:
+    """Driver-side orchestration; holds only ObjectRefs and scalar
+    counters. Mirrors :class:`fogray.engine.GraphEngine`'s run() API."""
+
+    def __init__(
+        self,
+        n: int,
+        *,
+        arrays=None,
+        dataset=None,
+        cfg: EngineConfig | None = None,
+        num_state_partitions: int | None = None,
+    ):
+        self.n = int(n)
+        self.cfg = cfg or EngineConfig()
+        p_edge = self.cfg.num_partitions
+        if p_edge is None:
+            p_edge = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
+        p_state = num_state_partitions or p_edge
+
+        if dataset is not None:
+            tbl = pa.concat_tables(ray.get(dataset.to_arrow_refs()), promote_options="default")
+            src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = (
+                tbl.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+                if "weight" in tbl.column_names
+                else np.ones(len(src))
+            )
+        else:
+            src, dst, w = arrays
+            src = np.asarray(src, dtype=np.int64)
+            dst = np.asarray(dst, dtype=np.int64)
+            w = (
+                np.asarray(w, dtype=np.float64)
+                if w is not None
+                else np.ones(len(src), dtype=np.float64)
+            )
+        self.num_edges = len(src)
+
+        # degree-weighted state range bounds: each state partition owns
+        # ~equal total degree, so one hub-heavy vid range doesn't
+        # overload an actor (skew-aware RANGE partitioning).
+        deg = np.bincount(src, minlength=self.n) + np.bincount(dst, minlength=self.n)
+        cum = np.cumsum(deg + 1)  # +1 keeps empty-vertex spans splittable
+        total = cum[-1]
+        bounds = [0]
+        for j in range(1, p_state):
+            b = max(int(np.searchsorted(cum, total * j / p_state)), bounds[-1] + 1)
+            if b >= self.n:
+                break
+            bounds.append(b)
+        bounds.append(max(self.n, 1))
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.P = len(self.bounds) - 1
+
+        # edge-count-balanced spans of the two sorted views (hub edges
+        # split across actors when a vertex's list exceeds a span)
+        fwd_order = np.lexsort((dst, src))
+        bwd_order = np.lexsort((src, dst))
+        p_edge = max(1, min(p_edge, max(1, self.num_edges)))
+        fwd_blocks, bwd_blocks = [], []
+        for i in range(p_edge):
+            a = (self.num_edges * i) // p_edge
+            b = (self.num_edges * (i + 1)) // p_edge
+            fidx, bidx = fwd_order[a:b], bwd_order[a:b]
+            fwd_blocks.append(
+                ray.put(
+                    pa.table({"src": src[fidx], "dst": dst[fidx], "weight": w[fidx]})
+                )
+            )
+            bwd_blocks.append(
+                ray.put(
+                    pa.table({"src": src[bidx], "dst": dst[bidx], "weight": w[bidx]})
+                )
+            )
+
+        bounds_ref = self.bounds
+        self.edge_actors = [
+            DistEdgeActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
+                [fwd_blocks[i]], [bwd_blocks[i]], bounds_ref
+            )
+            for i in range(p_edge)
+        ]
+        self.state_actors = [
+            StatePartitionActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
+                int(self.bounds[j]), int(self.bounds[j + 1])
+            )
+            for j in range(self.P)
+        ]
+        self.edge_meta = ray.get([a.meta.remote() for a in self.edge_actors])
+
+        # degrees: combined once on the driver (O(V) ints, setup-time
+        # only), sliced to the state actors
+        outdeg = np.bincount(src, minlength=self.n)
+        indeg = np.bincount(dst, minlength=self.n)
+        self.outdeg, self.indeg = outdeg, indeg
+        ray.get(
+            [
+                self.state_actors[j].set_degrees.remote(
+                    outdeg[self.bounds[j] : self.bounds[j + 1]],
+                    indeg[self.bounds[j] : self.bounds[j + 1]],
+                )
+                for j in range(self.P)
+            ]
+        )
+
+    # ------------------------------------------------------------------
+
+    def _superstep(self, program: VertexProgram, direction: str):
+        t0 = time.perf_counter()
+        slices = [a.export.remote() for a in self.state_actors]
+        per_edge: list = []
+        for i, ea in enumerate(self.edge_actors):
+            span = self.edge_meta[i]["fwd_span" if direction == FWD else "bwd_span"]
+            need = slices[span[0] : span[1]]
+            refs = ea.scatter.options(num_returns=self.P).remote(
+                program, direction, *need
+            )
+            if self.P == 1:
+                refs = [refs]
+            per_edge.append(refs)
+        stats = ray.get(
+            [
+                self.state_actors[j].apply_updates.remote(
+                    program, *[per_edge[i][j] for i in range(len(per_edge))]
+                )
+                for j in range(self.P)
+            ]
+        )
+        return {
+            "direction": direction,
+            "updates_emitted": sum(s["emitted"] for s in stats),
+            "changed": sum(s["changed"] for s in stats),
+            "wall_s": time.perf_counter() - t0,
+        }
+
+    def map_state(self, fn, *args) -> int:
+        """Slice-local transform on every state partition (SCC init
+        phases); returns the global frontier count."""
+        return sum(ray.get([a.transform.remote(fn, *args) for a in self.state_actors]))
+
+    def _write_checkpoint(self, ckpt_dir, iteration, program_name, params, metrics):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        final = os.path.join(ckpt_dir, f"iter={iteration:06d}")
+        tmp = final + f".tmp-{os.getpid()}"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        shard_meta = ray.get(
+            [
+                self.state_actors[j].checkpoint_shard.remote(tmp, j)
+                for j in range(self.P)
+            ]
+        )
+        fields, has_frontier = ray.get(self.state_actors[0].field_names.remote())
+        manifest = {
+            "iteration": iteration,
+            "program": program_name,
+            "params_key": _params_key(program_name, params),
+            "num_vertices": self.n,
+            "state_fields": fields,
+            "has_frontier": has_frontier,
+            "frontier_count": None,
+            "shards": shard_meta,
+            "metrics": metrics,
+        }
+        mtmp = os.path.join(tmp, "manifest.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, os.path.join(tmp, "manifest.json"))
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        ltmp = os.path.join(ckpt_dir, f".LATEST.tmp-{os.getpid()}")
+        with open(ltmp, "w") as f:
+            f.write(os.path.basename(final))
+        os.replace(ltmp, os.path.join(ckpt_dir, "LATEST"))
+
+    def _resume(self, ckpt_dir, program_name, params):
+        found = latest_checkpoint(ckpt_dir)
+        if found is None:
+            return None
+        with open(os.path.join(found, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest["params_key"] != _params_key(program_name, params):
+            raise ValueError(
+                f"checkpoint at {found} was written by a different program/params"
+            )
+        counts = ray.get(
+            [
+                a.load_shards.remote(
+                    found,
+                    manifest["shards"],
+                    manifest["state_fields"],
+                    manifest["has_frontier"],
+                )
+                for a in self.state_actors
+            ]
+        )
+        return manifest["iteration"], manifest["metrics"], sum(counts)
+
+    def run(
+        self,
+        program: VertexProgram,
+        params: dict | None = None,
+        *,
+        ckpt_dir: str | None = None,
+        resume: bool = False,
+        max_supersteps: int = 10_000,
+    ) -> RunResult:
+        params = params or {}
+        t_start = time.perf_counter()
+        frontier_count = sum(
+            ray.get(
+                [a.init_program.remote(program, params) for a in self.state_actors]
+            )
+        )
+        completed = 0
+        metrics: list[dict] = []
+        if resume and ckpt_dir:
+            got = self._resume(ckpt_dir, program.name, params)
+            if got is not None:
+                completed, metrics, frontier_count = got
+
+        while not program.done(completed, frontier_count, params):
+            if completed >= max_supersteps:
+                raise RuntimeError(f"{program.name}: exceeded {max_supersteps} supersteps")
+            if program.paired_fwd_bwd:
+                # cc.hpp:112-133: fwd then bwd over the SAME frontier
+                # (both scatter from the current buffer; changes land in
+                # the next buffer), fwd-applied labels visible to bwd
+                iter_metrics = [
+                    self._superstep(program, FWD),
+                    self._superstep(program, BWD),
+                ]
+            else:
+                iter_metrics = [self._superstep(program, FWD)]
+            frontier_count = sum(
+                ray.get([a.swap_frontier.remote() for a in self.state_actors])
+            )
+            completed += 1
+            metrics.append(
+                {
+                    "superstep": completed,
+                    "frontier_next": frontier_count,
+                    "passes": iter_metrics,
+                    "wall_s": sum(p["wall_s"] for p in iter_metrics),
+                }
+            )
+            if ckpt_dir and self.cfg.ckpt_interval and completed % self.cfg.ckpt_interval == 0:
+                self._write_checkpoint(ckpt_dir, completed, program.name, params, metrics)
+        state, frontier = self.collect_state()
+        return RunResult(
+            state=state,
+            frontier=frontier,
+            supersteps=completed,
+            metrics=metrics,
+            num_edges=self.num_edges,
+            wall_seconds=time.perf_counter() - t_start,
+        )
+
+    def collect_state(self):
+        """Assemble the dense result arrays (test/report scale only —
+        at corpus scale use write_state_parquet)."""
+        parts = ray.get([a.get_state.remote() for a in self.state_actors])
+        fields = parts[0][0].keys()
+        state = {
+            k: np.concatenate([p[0][k] for p in parts]) for k in fields
+        }
+        frontier = (
+            np.concatenate([p[1] for p in parts]) if parts[0][1] is not None else None
+        )
+        return state, frontier
+
+    def write_state_parquet(self, out_dir: str) -> list[dict]:
+        """Partitioned result output: one vid-range file per state
+        partition, written in parallel by the owning actors."""
+        os.makedirs(out_dir, exist_ok=True)
+        return ray.get(
+            [
+                self.state_actors[j].checkpoint_shard.remote(out_dir, j)
+                for j in range(self.P)
+            ]
+        )
+
+    def shutdown(self):
+        for a in self.edge_actors + self.state_actors:
+            ray.kill(a)
+        self.edge_actors, self.state_actors = [], []

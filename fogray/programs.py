@@ -38,6 +38,9 @@ class VertexProgram:
     engine: str = "global"  # 'global' | 'target'
     paired_fwd_bwd: bool = False  # CC: each iteration = fwd then bwd superstep
     combine: str = "sum"  # 'sum' | 'min' | 'min_pred'
+    #: state fields holding VERTEX IDS (shifted to absolute vids when a
+    #: program is initialized per vid-range slice in the dist engine)
+    vid_valued_fields: tuple[str, ...] = ()
 
     @property
     def skip_self_loops(self) -> bool:
@@ -45,6 +48,17 @@ class VertexProgram:
 
     def init(self, n, outdeg, indeg, **params):
         raise NotImplementedError
+
+    def init_span(self, lo, hi, outdeg, indeg, **params):
+        """Slice-local init for the range-partitioned engine
+        (fogray.dist_engine): build state/frontier for vids [lo, hi)
+        given the range's degree slices. Default: run :meth:`init` on
+        the slice and shift vid-valued identity fields to absolute vids.
+        Programs seeding a single vertex (BFS/SSSP) override this."""
+        state, frontier = self.init(hi - lo, outdeg, indeg, **params)
+        for k in self.vid_valued_fields:
+            state[k] = state[k] + lo
+        return state, frontier
 
     def scatter(self, state, s, d, w, direction):
         raise NotImplementedError
@@ -123,6 +137,7 @@ class ConnectedComponents(VertexProgram):
     engine = "target"
     paired_fwd_bwd = True
     combine = "min"
+    vid_valued_fields = ("component_root",)
 
     def init(self, n, outdeg, indeg, **params):
         state = {"component_root": np.arange(n, dtype=np.int64)}
@@ -166,6 +181,15 @@ class BFS(VertexProgram):
         frontier[root] = True
         return {"bfs_level": level}, frontier
 
+    def init_span(self, lo, hi, outdeg, indeg, **params):
+        root = int(params["root"])
+        level = np.full(hi - lo, np.float64(UNREACHED))
+        frontier = np.zeros(hi - lo, dtype=bool)
+        if lo <= root < hi:
+            level[root - lo] = 0.0
+            frontier[root - lo] = True
+        return {"bfs_level": level}, frontier
+
     def scatter(self, state, s, d, w, direction):
         return d, state["bfs_level"][s] + 1.0
 
@@ -194,6 +218,16 @@ class SSSP(VertexProgram):
         pred = np.full(n, np.float64(UNREACHED))
         frontier = np.zeros(n, dtype=bool)
         frontier[source] = True
+        return {"value": value, "predecessor": pred}, frontier
+
+    def init_span(self, lo, hi, outdeg, indeg, **params):
+        source = int(params["source"])
+        value = np.full(hi - lo, np.inf, dtype=np.float64)
+        pred = np.full(hi - lo, np.float64(UNREACHED))
+        frontier = np.zeros(hi - lo, dtype=bool)
+        if lo <= source < hi:
+            value[source - lo] = 0.0
+            frontier[source - lo] = True
         return {"value": value, "predecessor": pred}, frontier
 
     def scatter(self, state, s, d, w, direction):
@@ -228,6 +262,13 @@ class SCCForward(VertexProgram):
         keep = (vals < state["component_root"][dest]) & (state["found"][dest] == 0)
         return dest[keep], vals[keep]
 
+    def scatter_dist(self, state, s, d, w, direction):
+        # range-partitioned engine: dest state is non-local, so the
+        # scatter-time guard (an emission-dedup optimization) is dropped;
+        # min-combine + the identical re-check in apply() give the same
+        # accepted value per dest.
+        return d, state["component_root"][s]
+
     def apply(self, state, ids, vals, preds=None):
         cur = state["component_root"][ids]
         m = (vals < cur) & (state["found"][ids] == 0)
@@ -247,10 +288,20 @@ class SCCBackward(VertexProgram):
     def init(self, n, outdeg, indeg, **params):
         raise RuntimeError("SCC state is managed by fogray.algorithms.scc")
 
+    #: dist engine: the bwd gather is "accept iff ANY incoming root ==
+    #: prev_root(dest)" — not expressible as a min once the dest-side
+    #: guard moves out of scatter, so partials are unique (dest, val)
+    #: PAIRS (a valid pre-combine for an any-equals predicate); apply()
+    #: tolerates repeated dest ids.
+    dist_combine = "pair_unique"
+
     def scatter(self, state, s, d, w, direction):
         dest, vals = s, state["component_root"][d]
         keep = (vals == state["prev_root"][dest]) & (state["found"][dest] == 0)
         return dest[keep], vals[keep]
+
+    def scatter_dist(self, state, s, d, w, direction):
+        return s, state["component_root"][d]
 
     def apply(self, state, ids, vals, preds=None):
         m = (vals == state["prev_root"][ids]) & (state["found"][ids] == 0)

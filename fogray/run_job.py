@@ -40,7 +40,10 @@ def _build_engine(args):
     from fogray.engine import GraphEngine
     from fogray import queries as q
 
+    from fogray.dist_engine import DistGraphEngine
+
     cfg = EngineConfig(num_partitions=args.num_partitions)
+    engine_cls = DistGraphEngine if args.engine == "dist" else GraphEngine
     if args.repo_table or args.synthetic_repos:
         if args.repo_table:
             src = rd.read_parquet(args.repo_table)
@@ -67,7 +70,7 @@ def _build_engine(args):
         dst_a = t.column("dst").to_numpy(zero_copy_only=False)
         w_a = t.column("weight").to_numpy(zero_copy_only=False)
         n = int(max(src_a.max(), dst_a.max())) + 1 if len(src_a) else 1
-    return GraphEngine(n, arrays=(src_a, dst_a, w_a), cfg=cfg), n
+    return engine_cls(n, arrays=(src_a, dst_a, w_a), cfg=cfg), n
 
 
 def _write_result(state: dict, n: int, out_dir: str, shards: int) -> None:
@@ -96,6 +99,15 @@ def main(argv=None) -> int:
     p.add_argument("--niters", type=int, default=10)
     p.add_argument("--source", type=int, default=0, help="bfs/sssp source vid")
     p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument(
+        "--engine",
+        choices=["broadcast", "dist"],
+        default="broadcast",
+        help="broadcast: driver-held state, broadcast per superstep "
+        "(fogray.engine — fastest when state << edges); dist: vertex "
+        "state range-sharded across actors, actor-to-actor exchange "
+        "(fogray.dist_engine — the multi-node scale path)",
+    )
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", default=None)

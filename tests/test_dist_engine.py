@@ -1,0 +1,240 @@
+"""Range-partitioned engine (fogray.dist_engine) vs the same
+FOG-semantics oracles — every algorithm, plus hub-split/partition-shape
+edge cases and dist-engine checkpoint/resume interop."""
+
+import numpy as np
+import pytest
+
+from fogray import algorithms as alg
+from fogray import fixtures as fx
+from fogray import oracle as orc
+from fogray.config import EngineConfig
+from fogray.dist_engine import DistGraphEngine
+
+GRAPHS = [
+    "path5", "star_hub", "two_cliques_bridge", "selfloops", "isolated",
+    "sccs", "random64", "random256",
+]
+
+
+def load_graph(name):
+    if name == "random64":
+        return fx.random_graph(64, 0.08, seed=11)
+    if name == "random256":
+        return fx.random_graph(256, 0.03, seed=23)
+    return fx.ALL_TOYS[name]()
+
+
+@pytest.fixture(scope="module")
+def engines(ray_session):
+    cache = {}
+    for name in GRAPHS:
+        src, dst, w, n = load_graph(name)
+        cache[name] = (
+            DistGraphEngine(
+                n,
+                arrays=(src, dst, w),
+                cfg=EngineConfig(num_partitions=3),
+                num_state_partitions=3,
+            ),
+            (src, dst, w, n),
+        )
+    yield cache
+    for eng, _ in cache.values():
+        eng.shutdown()
+
+
+def test_partition_shapes(engines):
+    for name, (eng, (src, dst, w, n)) in engines.items():
+        assert eng.num_edges == len(src), name
+        assert eng.bounds[0] == 0 and eng.bounds[-1] == n
+        assert (np.diff(eng.bounds) > 0).all()
+        meta = eng.edge_meta
+        assert sum(m["fwd_edges"] for m in meta) == len(src)
+        assert sum(m["bwd_edges"] for m in meta) == len(src)
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_pagerank(engines, name):
+    eng, (src, dst, w, n) = engines[name]
+    res = alg.pagerank(eng, niters=10)
+    np.testing.assert_allclose(
+        res.state["rank"], orc.pagerank_fog(src, dst, n, niters=10), rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_cc(engines, name):
+    eng, (src, dst, w, n) = engines[name]
+    res = alg.connected_components(eng)
+    np.testing.assert_array_equal(
+        res.state["component_root"].astype(np.int64), orc.wcc_fog(src, dst, n)
+    )
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_bfs(engines, name):
+    eng, (src, dst, w, n) = engines[name]
+    root = int(src[0])
+    res = alg.bfs(eng, root=root)
+    np.testing.assert_array_equal(
+        res.state["bfs_level"].astype(np.uint64), orc.bfs_fog(src, dst, n, root=root)
+    )
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_sssp(engines, name):
+    eng, (src, dst, w, n) = engines[name]
+    source = int(src[0])
+    res = alg.sssp(eng, source=source)
+    eval_, epred = orc.sssp_fog(src, dst, w, n, source=source)
+    np.testing.assert_allclose(res.state["value"], eval_, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(res.state["predecessor"].astype(np.uint64), epred)
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_spmv(engines, name):
+    eng, (src, dst, w, n) = engines[name]
+    res = alg.spmv(eng)
+    _, y = orc.spmv_fog(src, dst, w, n)
+    np.testing.assert_allclose(res.state["spmv_value"], y, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_scc(engines, name):
+    eng, (src, dst, w, n) = engines[name]
+    res = alg.scc(eng)
+    np.testing.assert_array_equal(
+        res.state["component_root"].astype(np.int64), orc.scc_fog(src, dst, n),
+        err_msg=name,
+    )
+    assert (res.state["found"] == 1).all()
+
+
+def test_hub_edges_split_across_actors(ray_session):
+    """A hub whose edge list exceeds one balanced span must be split
+    across edge actors (skew-aware hub splitting) — and results must
+    still match."""
+    n = 40
+    hub_dst = np.arange(1, n, dtype=np.int64)
+    src = np.concatenate([np.zeros(n - 1, dtype=np.int64), hub_dst])
+    dst = np.concatenate([hub_dst, np.zeros(n - 1, dtype=np.int64)])
+    w = np.ones(len(src))
+    eng = DistGraphEngine(
+        n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=6),
+        num_state_partitions=4,
+    )
+    try:
+        # vertex 0 has 39 out-edges but spans hold ~13 edges each: the
+        # hub's list MUST straddle >= 2 actors
+        spans = [m["fwd_span"] for m in eng.edge_meta]
+        first_owners = sum(1 for m in eng.edge_meta if m["fwd_edges"] > 0 and m["fwd_span"][0] == 0)
+        assert first_owners >= 2, spans
+        res = alg.pagerank(eng, niters=5)
+        np.testing.assert_allclose(
+            res.state["rank"], orc.pagerank_fog(src, dst, n, 5), rtol=1e-6
+        )
+        res2 = alg.connected_components(eng)
+        np.testing.assert_array_equal(
+            res2.state["component_root"].astype(np.int64), orc.wcc_fog(src, dst, n)
+        )
+    finally:
+        eng.shutdown()
+
+
+def test_more_state_partitions_than_vertices(ray_session):
+    src, dst, w, n = fx.ALL_TOYS["path5"]()
+    eng = DistGraphEngine(
+        n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=2),
+        num_state_partitions=max(16, n * 2),
+    )
+    try:
+        res = alg.bfs(eng, root=0)
+        np.testing.assert_array_equal(
+            res.state["bfs_level"].astype(np.uint64), orc.bfs_fog(src, dst, n, 0)
+        )
+    finally:
+        eng.shutdown()
+
+
+def test_dist_checkpoint_resume(ray_session, tmp_path):
+    """Kill-after-superstep-k resume: a fresh dist engine continues from
+    the per-partition shards and converges to the identical result."""
+    src, dst, w, n = fx.random_graph(80, 0.06, seed=31)
+    ck = str(tmp_path / "ck")
+    eng = DistGraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=3))
+    try:
+        full = alg.pagerank(eng, niters=6, ckpt_dir=ck)
+    finally:
+        eng.shutdown()
+    # resume from iter 3 in a brand-new engine with different sharding
+    import shutil, os
+
+    for d in sorted(os.listdir(ck)):
+        if d.startswith("iter=") and int(d.split("=")[1]) > 3:
+            shutil.rmtree(os.path.join(ck, d))
+    with open(os.path.join(ck, "LATEST"), "w") as f:
+        f.write("iter=000003")
+    # same partitioning -> bit-identical result
+    eng2 = DistGraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=3))
+    try:
+        res = alg.pagerank(eng2, niters=6, ckpt_dir=ck, resume=True)
+    finally:
+        eng2.shutdown()
+    np.testing.assert_allclose(res.state["rank"], full.state["rank"], rtol=0, atol=0)
+    # different edge/state partitioning -> identical up to fp summation
+    # order (well inside the 1e-6 conformance bar)
+    eng3 = DistGraphEngine(
+        n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=5),
+        num_state_partitions=4,
+    )
+    try:
+        res3 = alg.pagerank(eng3, niters=6, ckpt_dir=ck, resume=True)
+    finally:
+        eng3.shutdown()
+    np.testing.assert_allclose(res3.state["rank"], full.state["rank"], rtol=1e-12)
+
+
+def test_dense_and_dist_checkpoints_interop(ray_session, tmp_path):
+    """A checkpoint written by the broadcast engine resumes on the
+    range-partitioned engine (same manifest/shard format)."""
+    from fogray.engine import GraphEngine
+
+    src, dst, w, n = fx.random_graph(60, 0.07, seed=41)
+    ck = str(tmp_path / "ck2")
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=2))
+    try:
+        full = alg.pagerank(eng, niters=6, ckpt_dir=ck)
+    finally:
+        eng.shutdown()
+    import os, shutil
+
+    for d in sorted(os.listdir(ck)):
+        if d.startswith("iter=") and int(d.split("=")[1]) > 2:
+            shutil.rmtree(os.path.join(ck, d))
+    with open(os.path.join(ck, "LATEST"), "w") as f:
+        f.write("iter=000002")
+    eng2 = DistGraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=3))
+    try:
+        res = alg.pagerank(eng2, niters=6, ckpt_dir=ck, resume=True)
+    finally:
+        eng2.shutdown()
+    # engines sum partials in different orders -> fp-order tolerance only
+    np.testing.assert_allclose(res.state["rank"], full.state["rank"], rtol=1e-12)
+
+
+def test_write_state_parquet(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    src, dst, w, n = fx.ALL_TOYS["two_cliques_bridge"]()
+    eng = DistGraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=2))
+    try:
+        alg.connected_components(eng)
+        metas = eng.write_state_parquet(str(tmp_path / "out"))
+        assert sum(m["rows"] for m in metas) == n
+        t = pq.read_table(str(tmp_path / "out"))
+        assert len(t) == n
+        got = t.sort_by("vid").column("component_root").to_numpy()
+        np.testing.assert_array_equal(got.astype(np.int64), orc.wcc_fog(src, dst, n))
+    finally:
+        eng.shutdown()
