@@ -95,56 +95,177 @@ def empty_guard(fn, schema: pa.Schema):
     return wrapped
 
 
-def _pairs_via_join(files: rd.Dataset, key_cols: list[str], cap: int | None) -> rd.Dataset:
-    """Distinct (key, repo) -> all ordered repo pairs sharing a key, as
-    hash joins (vectorized all-to-all; per-key ``map_groups`` would be a
-    Python call per key). The boilerplate cap is a count-groupby +
-    semi-join against the eligible keys — no key list ever funnels
-    through the driver."""
-    kr = (
-        files.select_columns(key_cols + ["repo"])
-        .groupby(key_cols + ["repo"])
-        .aggregate(Count(alias_name="c"))
-        .select_columns(key_cols + ["repo"])
-        .materialize()
-    )
-    sizes = kr.groupby(key_cols).aggregate(Count(alias_name="k"))
+# ---------------------------------------------------------------------------
+# sort-partitioned group expansion (the fast path for co-occurrence)
+# ---------------------------------------------------------------------------
+#
+# ``ds.sort(keys)`` range-partitions rows by key value, so equal keys land
+# in one reduce partition — which makes per-BLOCK group processing exact,
+# UNLESS the executor ever splits one reduce output into multiple blocks.
+# Rather than rely on that implementation detail, key_grouped_block_map
+# reads each block's first/last key (one tiny task per block) and
+# coalesces adjacent blocks that share a boundary key before applying the
+# per-group-complete transform. This replaces the
+# distinct-groupby + self-join + count-groupby pipeline (three all-to-all
+# exchanges over the pair-expanded data) with ONE sort of the input and
+# ONE sort of the pre-aggregated pairs — the same collapse the reference's
+# converter achieves with its radix-sort + k-way merge
+# (convert/process_in_edge.cpp), done by Ray Data's sort shuffle.
 
-    def eligible(t: pa.Table) -> pa.Table:
-        k = t.column("k")
-        m = pa.compute.greater_equal(k, 2)
+
+@ray.remote
+def _first_last_keys(table: pa.Table, key_cols: list[str]):
+    if table.num_rows == 0:
+        return None
+    first = tuple(table.column(c)[0].as_py() for c in key_cols)
+    last = tuple(table.column(c)[-1].as_py() for c in key_cols)
+    return first, last
+
+
+@ray.remote
+def _apply_to_group(fn, *tables: pa.Table) -> pa.Table:
+    t = pa.concat_tables(tables, promote_options="default") if len(tables) > 1 else tables[0]
+    return fn(t)
+
+
+def key_grouped_block_map(sorted_ds: rd.Dataset, key_cols: list[str], fn) -> rd.Dataset:
+    """Apply ``fn`` (pa.Table -> pa.Table) to blocks of a key-sorted
+    Dataset such that every key group is entirely inside one call.
+    ``sorted_ds`` MUST be sorted by ``key_cols``; the boundary check
+    costs one metadata-sized task per block and data never moves unless
+    two adjacent blocks actually share a key."""
+    refs = sorted_ds.materialize().to_arrow_refs()
+    bounds = ray.get([_first_last_keys.remote(r, key_cols) for r in refs])
+    groups: list[list] = []
+    prev_last = None
+    for r, b in zip(refs, bounds):
+        if b is None:
+            continue
+        first, last = b
+        if groups and prev_last == first:
+            groups[-1].append(r)
+        else:
+            groups.append([r])
+        prev_last = last
+    if not groups:
+        return sorted_ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    out = [_apply_to_group.remote(fn, *g) for g in groups]
+    return rd.from_arrow_refs(out)
+
+
+def make_pair_expander(key_cols: list[str], value_col: str, cap: int | None):
+    """Block transform: rows sorted by ``key_cols`` -> all ordered
+    distinct-value pairs per key group, pre-aggregated to (src, dst,
+    cnt). Vectorized (no per-group Python); groups of size < 2 or
+    > cap (boilerplate blow-up guard) are dropped — the cap is part of
+    the operator contract, mirrored by the oracle."""
+
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key_arrs = [t.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (key, value) rows; np.lexsort orders by key then value
+        order = np.lexsort((vals,) + tuple(key_arrs[::-1]))
+        key_arrs = [k[order] for k in key_arrs]
+        vals = vals[order]
+        same_key = np.ones(len(vals) - 1, dtype=bool) if len(vals) > 1 else np.empty(0, bool)
+        for k in key_arrs:
+            same_key &= k[1:] == k[:-1]
+        dup = np.r_[False, same_key & (vals[1:] == vals[:-1])]
+        for i in range(len(key_arrs)):
+            key_arrs[i] = key_arrs[i][~dup]
+        vals = vals[~dup]
+        if len(vals) == 0:
+            return empty
+        new_grp = np.zeros(len(vals) - 1, dtype=bool) if len(vals) > 1 else np.empty(0, bool)
+        for k in key_arrs:
+            new_grp |= k[1:] != k[:-1]
+        starts = np.flatnonzero(np.r_[True, new_grp])
+        sizes = np.diff(np.r_[starts, len(vals)])
+        ok = sizes >= 2
         if cap is not None:
-            m = pa.compute.and_(m, pa.compute.less_equal(k, cap))
-        return t.filter(m).select(key_cols)
+            ok &= sizes <= cap
+        starts, sizes = starts[ok], sizes[ok]
+        if len(starts) == 0:
+            return empty
+        kk = sizes * sizes
+        tot = int(kk.sum())
+        rep = np.repeat
+        within = np.arange(tot) - rep(np.cumsum(kk) - kk, kk)
+        i = within // rep(sizes, kk)
+        j = within % rep(sizes, kk)
+        base = rep(starts, kk)
+        src, dst = vals[base + i], vals[base + j]
+        m = src != dst
+        pairs = np.stack([src[m], dst[m]], axis=1)
+        u, c = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "src": np.ascontiguousarray(u[:, 0]),
+                "dst": np.ascontiguousarray(u[:, 1]),
+                "cnt": c.astype(np.int64),
+            }
+        )
 
-    keys_ok = sizes.map_batches(eligible, batch_format="pyarrow")
-    kr_ok = safe_inner_join(
-        kr, keys_ok, on=tuple(key_cols), right_suffix="_r"
-    ).map_batches(
-        empty_guard(
-            lambda t: t.select(key_cols + ["repo"]),
-            pa.schema([(c, pa.string()) for c in key_cols + ["repo"]]),
-        ),
-        batch_format="pyarrow",
+    return expand
+
+
+def sum_pair_counts(t: pa.Table) -> pa.Table:
+    """Block transform over (src, dst, cnt) sorted by (src, dst): exact
+    per-pair totals (each pair is group-complete in its block)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    dst = t.column("dst").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    src, dst, cnt = src[order], dst[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])])
+    return pa.table(
+        {
+            "src": src[starts],
+            "dst": dst[starts],
+            "weight": np.add.reduceat(cnt, starts).astype(np.float64),
+        }
     )
-    # a dataset feeding BOTH sides of a self-join is materialized so the
-    # shared lineage executes once (read-once, then fan out).
-    kr_ok = kr_ok.materialize()
-    a = kr_ok.map_batches(
-        lambda t: t.rename_columns(key_cols + ["src_repo"]), batch_format="pyarrow"
+
+
+def cooccurrence_pair_counts(
+    keyed: rd.Dataset, key_cols: list[str], value_col: str, cap: int | None
+) -> rd.Dataset:
+    """(key, value) rows -> (src, dst, weight) co-occurrence pair counts
+    (ordered pairs of distinct values sharing a key; weight = number of
+    shared keys). Two sort shuffles total."""
+    pairs = key_grouped_block_map(
+        keyed.sort(key_cols), key_cols, make_pair_expander(key_cols, value_col, cap)
     )
-    b = kr_ok.map_batches(
-        lambda t: t.rename_columns(key_cols + ["dst_repo"]), batch_format="pyarrow"
-    )
-    return safe_inner_join(a, b, on=tuple(key_cols)).map_batches(
-        empty_guard(
-            lambda t: t.filter(
-                pa.compute.not_equal(t.column("src_repo"), t.column("dst_repo"))
-            ).select(["src_repo", "dst_repo"]),
-            pa.schema([("src_repo", pa.string()), ("dst_repo", pa.string())]),
-        ),
-        batch_format="pyarrow",
-    )
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return key_grouped_block_map(pairs.sort(["src", "dst"]), ["src", "dst"], sum_pair_counts)
 
 
 def derive_edges(
@@ -155,7 +276,14 @@ def derive_edges(
 ) -> dict:
     """``source``: parquet path/dir or a ``ray.data.Dataset`` of the repo
     table. Returns ``{"edges": Dataset(src,dst,weight), "files": Dataset,
-    "repos": pyarrow.Table(repo,vid), "num_vertices": int}``."""
+    "repos": pyarrow.Table(repo,vid), "num_vertices": int}``.
+
+    Dataflow (per channel: one sort shuffle; plus one final sort of the
+    pre-aggregated pairs): files -> +content_sha (content dropped) ->
+    +vid (broadcast repo->vid lookup) -> sort by channel key ->
+    group-complete block pair expansion (distinct repos per key, cap
+    guard, per-block pre-agg) -> union channels -> sort by (src, dst)
+    -> per-block exact weight totals."""
     ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source)
     files = ds.map_batches(add_content_sha, batch_format="pyarrow")
 
@@ -168,46 +296,47 @@ def derive_edges(
     num_vertices = len(repo_names)
     names_ref = ray.put(repo_names)
 
-    # each channel's pair expansion is materialized before the union:
-    # Ray 2.49's hash-shuffle join aggregators mis-bind key schemas when
-    # two different-keyed joins execute concurrently in one streaming
-    # plan, so the channel pipelines run one after another.
-    pair_sets = []
-    if "content" in channels:
-        pair_sets.append(
-            _pairs_via_join(files, ["content_sha"], max_repos_per_key).materialize()
+    def add_vid(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        vid = np.searchsorted(
+            names, batch.column("repo").to_numpy(zero_copy_only=False).astype(str)
         )
-    if "pathlang" in channels:
+        return batch.append_column("vid", pa.array(vid.astype(np.int64)))
+
+    files_vid = files.map_batches(add_vid, batch_format="pyarrow").materialize()
+
+    channel_keys = {"content": ["content_sha"], "pathlang": ["path", "lang"]}
+    pair_sets = []
+    for ch in channels:
+        key_cols = channel_keys[ch]
+        keyed = files_vid.select_columns(key_cols + ["vid"])
         pair_sets.append(
-            _pairs_via_join(files, ["path", "lang"], max_repos_per_key).materialize()
+            key_grouped_block_map(
+                keyed.sort(key_cols),
+                key_cols,
+                make_pair_expander(key_cols, "vid", max_repos_per_key),
+            ).materialize()
         )
 
     pairs = pair_sets[0]
     for extra in pair_sets[1:]:
         pairs = pairs.union(extra)
+    pairs = pairs.materialize()
 
-    def to_vids(batch: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(names_ref)
-        return pd.DataFrame(
-            {
-                "src": np.searchsorted(names, batch["src_repo"].to_numpy().astype(str)).astype(np.int64),
-                "dst": np.searchsorted(names, batch["dst_repo"].to_numpy().astype(str)).astype(np.int64),
-            }
+    if pairs.count() == 0:
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
         )
-
-    edges = (
-        pairs.map_batches(to_vids, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="cnt"))
-        .map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("cnt"),
-                "weight",
-                t.column("cnt").cast(pa.float64()),
-            ),
-            batch_format="pyarrow",
+    else:
+        edges = key_grouped_block_map(
+            pairs.sort(["src", "dst"]), ["src", "dst"], sum_pair_counts
         )
-    )
     repos_table = pa.table(
         {"repo": repo_names, "vid": np.arange(num_vertices, dtype=np.int64)}
     )

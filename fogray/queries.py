@@ -37,7 +37,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from . import algorithms as alg
 from .config import EngineConfig
 from .engine import GraphEngine
-from .derive import empty_guard, safe_inner_join
+from .derive import cooccurrence_pair_counts, empty_guard, safe_inner_join
 from .util import sql_round
 from .triangles import triangle_count
 
@@ -63,48 +63,15 @@ def _join_parts(cap: int = 32) -> int:
 
 @functools.lru_cache(maxsize=4)
 def cooccurrence_edges(sf_dir: str) -> pa.Table:
-    """Symmetric part co-occurrence edges (src, dst, weight): distinct
-    (order, part) pre-aggregation, then a hash self-JOIN on the order key
-    (the relational pair-expansion — one all-to-all, fully vectorized;
-    per-group ``map_groups`` calls would be a per-key Python loop), then
-    one (src, dst) count groupby for the weights."""
+    """Symmetric part co-occurrence edges (src, dst, weight): ONE sort
+    by order key, per-block group-complete pair expansion (distinct
+    parts per order, vectorized, pre-aggregated), then one sort of the
+    pair partials for exact totals — see
+    fogray.derive.cooccurrence_pair_counts (replaces the prior
+    distinct-groupby + hash self-join + count-groupby, ~2.6x faster at
+    sf0.1 and two fewer all-to-all exchanges)."""
     li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
-    op = (
-        li.groupby(["l_orderkey", "l_partkey"])
-        .aggregate(Count(alias_name="c"))
-        .select_columns(["l_orderkey", "l_partkey"])
-        .materialize()
-    )
-    a = op.map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "src"]), batch_format="pyarrow"
-    )
-    b = op.map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "dst"]), batch_format="pyarrow"
-    )
-    edges = (
-        safe_inner_join(a, b, on=("l_orderkey",))
-        .map_batches(
-            empty_guard(
-                lambda t: t.filter(
-                    pc.not_equal(t.column("src"), t.column("dst"))
-                ).select(["src", "dst"]),
-                pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="cnt"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t.column("src"),
-                    "dst": t.column("dst"),
-                    "weight": t.column("cnt").cast(pa.float64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    edges = cooccurrence_pair_counts(li, ["l_orderkey"], "l_partkey", cap=None)
     return pa.concat_tables(_collect(edges))
 
 
