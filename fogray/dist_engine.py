@@ -449,7 +449,15 @@ class DistGraphEngine:
         p_state = num_state_partitions or p_edge
 
         if dataset is not None:
-            tbl = pa.concat_tables(ray.get(dataset.to_arrow_refs()), promote_options="default")
+            blocks = [t for t in ray.get(dataset.to_arrow_refs()) if t.num_rows > 0]
+            tbl = (
+                pa.concat_tables(blocks, promote_options="default")
+                if blocks
+                else pa.table(
+                    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                     "weight": pa.array([], pa.float64())}
+                )
+            )
             src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
             dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
             w = (

@@ -158,18 +158,23 @@ class EdgePartitionActor:
     vectorized kernel over frontier-filtered edges and pre-combines."""
 
     def __init__(self, block_refs: list, n: int, has_weights: bool):
-        tables: list[pa.Table] = ray.get(list(block_refs))
+        # Ray emits empty map-output blocks as ZERO-COLUMN tables
+        # (see fogray._ray_patches) — drop them before concatenating
+        tables: list[pa.Table] = [
+            t for t in ray.get(list(block_refs)) if t.num_rows > 0
+        ]
         vid_t = np.int32 if n <= 2**31 - 1 else np.int64
-        src = np.concatenate(
-            [t.column("src").to_numpy(zero_copy_only=False) for t in tables]
-        ).astype(vid_t, copy=False)
-        dst = np.concatenate(
-            [t.column("dst").to_numpy(zero_copy_only=False) for t in tables]
-        ).astype(vid_t, copy=False)
+        def _col(name, dtype):
+            if not tables:
+                return np.empty(0, dtype=dtype)
+            return np.concatenate(
+                [t.column(name).to_numpy(zero_copy_only=False) for t in tables]
+            ).astype(dtype, copy=False)
+
+        src = _col("src", vid_t)
+        dst = _col("dst", vid_t)
         if has_weights:
-            w = np.concatenate(
-                [t.column("weight").to_numpy(zero_copy_only=False) for t in tables]
-            ).astype(np.float64, copy=False)
+            w = _col("weight", np.float64)
         else:
             w = np.ones(len(src), dtype=np.float64)
         del tables
