@@ -2,28 +2,34 @@
 defined in SURVEY.md section 2.4 and built Ray-Data-first:
 
 1. collapse to the undirected simple graph: (min,max) normalize, drop
-   self-loops, ONE groupby dedup;
+   self-loops, dedup via ONE sort + group-complete per-block unique
+   (fogray.derive.key_grouped_block_map — a groupby-aggregate here costs
+   3-5x more for the same exchange);
 2. degree-order orientation (low (deg, vid) -> high) so every wedge is
-   enumerated exactly once at its lowest-rank apex and out-degrees are
-   O(sqrt(E)) — the standard bound that keeps wedge volume ~E^1.5;
-   degrees are a broadcast O(V) array (ray.put), not a shuffle join;
-3. wedge generation = hash self-join of the oriented edges on the apex
-   (vectorized all-to-all), unioned with the oriented edges, then ONE
-   groupby over (x, y) counts wedge/edge coincidences: sum(wedges) x
-   exists(edge) summed = triangle count — the closure expressed as a
-   single aggregate.
+   enumerated exactly once at its lowest-rank apex and oriented
+   out-degrees are O(sqrt(E)) — the standard bound that keeps wedge
+   volume ~E^1.5; degrees come from per-block partials combined on the
+   driver (O(V) ints, no shuffle);
+3. closure ``broadcast`` path: the rank-relabelled CSR + sorted edge-key
+   array are broadcast once (ray.put); wedge enumeration and the
+   closing-edge membership test are ONE vectorized pass per apex-range
+   batch (expand_ranges over neighbor suffixes + searchsorted) — no
+   all-to-all after the dedup, no per-apex Python loop;
+4. closure ``shuffle`` path (edge set exceeds single-node memory):
+   wedges via hash self-join on the apex, closed by one (x, y) groupby
+   summing wedge x edge coincidences.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max, Sum
 
-from .derive import _join_parts, empty_guard, safe_inner_join
+from .derive import _join_parts, empty_guard, key_grouped_block_map, safe_inner_join
+from .engine import expand_ranges
 from .util import from_arrow_chunked
 
 
@@ -35,134 +41,142 @@ def _normalize(batch: pa.Table) -> pa.Table:
     return pa.table({"a": np.minimum(s, d), "b": np.maximum(s, d)})
 
 
+def _dedup_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return pa.table({"a": a[first], "b": b[first]})
+
+
+@ray.remote
+def _degree_partial(t: pa.Table):
+    v = np.concatenate(
+        [t.column("a").to_numpy(zero_copy_only=False),
+         t.column("b").to_numpy(zero_copy_only=False)]
+    )
+    u, c = np.unique(v, return_counts=True)
+    return u, c
+
+
 def triangle_count(edges, n: int, closure: str = "auto") -> int:
     """``edges``: Dataset with src/dst columns, or (src, dst) arrays.
 
-    ``closure`` selects how wedge-closure is checked:
-
-    - ``"broadcast"``: the oriented edge set is broadcast once as a
-      sorted int64 key array (x*(n+1)+y; 8 bytes/edge) and every wedge
-      batch does a vectorized searchsorted membership test, reducing to
-      a single per-batch count — NO post-join shuffle at all.
-    - ``"shuffle"``: union wedges with edges and close via one (x, y)
-      groupby — the all-to-all formulation for graphs whose edge set
-      exceeds single-node memory (> ~100M edges).
-    - ``"auto"``: broadcast below 50M edges, shuffle above.
-    """
+    ``closure``: ``"broadcast"`` (edge set fits a node: zero post-dedup
+    shuffles), ``"shuffle"`` (all-to-all wedge join for > ~100M edges),
+    or ``"auto"``."""
     if not isinstance(edges, rd.Dataset):
         src, dst = edges
         edges = from_arrow_chunked(
             pa.table({"src": np.asarray(src, dtype=np.int64),
                       "dst": np.asarray(dst, dtype=np.int64)})
         )
-    # materialized: degrees, orientation and the edge-flag union all read
-    # it — without this the dedup groupby re-executes once per consumer
-    simple = (
-        edges.map_batches(_normalize, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="cnt"))
-        .select_columns(["a", "b"])
-        .materialize()
-    )
-    if simple.count() == 0:
-        return 0  # edgeless / self-loops only (empty aggregates also
-        # come back 0-column, so nothing downstream could read them)
+    normalized = edges.map_batches(_normalize, batch_format="pyarrow").materialize()
+    if normalized.count() == 0:
+        return 0
+    simple = key_grouped_block_map(
+        normalized.sort(["a", "b"]), ["a", "b"], _dedup_block
+    ).materialize()
 
-    # degrees on the simple graph: per-batch partials -> one small groupby
-    def degree_partial(t: pa.Table) -> pa.Table:
-        v = np.concatenate(
-            [t.column("a").to_numpy(zero_copy_only=False),
-             t.column("b").to_numpy(zero_copy_only=False)]
-        )
-        u, c = np.unique(v, return_counts=True)
-        return pa.table({"v": u, "c": c})
-
-    deg_rows = (
-        simple.map_batches(degree_partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="deg"))
-        .to_pandas()
-    )
+    refs = [r for r in simple.to_arrow_refs()]
     deg = np.zeros(n, dtype=np.int64)
-    deg[deg_rows["v"].to_numpy()] = deg_rows["deg"].to_numpy()
+    for u, c in ray.get([_degree_partial.remote(r) for r in refs]):
+        np.add.at(deg, u, c)
+
+    num_edges = simple.count()
+    if closure == "auto":
+        closure = "broadcast" if num_edges <= 50_000_000 else "shuffle"
+
+    if closure == "broadcast":
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        a = np.concatenate([t.column("a").to_numpy(zero_copy_only=False) for t in tabs])
+        b = np.concatenate([t.column("b").to_numpy(zero_copy_only=False) for t in tabs])
+        # orient low (deg, vid) -> high and relabel by that rank so each
+        # adjacency list is ascending and a wedge's closing key is
+        # (lower_rank * n + higher_rank); ONE combined-key sort builds
+        # the rank CSR (keys//n is non-decreasing => offsets via a
+        # searchsorted of the apex boundaries)
+        order = np.lexsort((np.arange(n), deg))
+        rank_of = np.empty(n, dtype=np.int64)
+        rank_of[order] = np.arange(n, dtype=np.int64)
+        ra, rb = rank_of[a], rank_of[b]
+        keys = np.sort(np.minimum(ra, rb) * np.int64(n) + np.maximum(ra, rb))
+        nbrs = keys % np.int64(n)
+        offsets = np.searchsorted(keys, np.arange(n + 1, dtype=np.int64) * np.int64(n))
+        # membership structure: a dense bitset over the n^2 key space is
+        # an O(1) probe (vs log2(E) binary-search rounds, each a random
+        # gather); it costs n^2/8 bytes, so guard it to <=256 MiB and
+        # fall back to searchsorted on the sorted key array above
+        use_bits = n * n <= (1 << 31)
+        if use_bits:
+            bits = np.zeros(((n * n) >> 3) + 1, dtype=np.uint8)
+            np.bitwise_or.at(
+                bits, (keys >> 3).astype(np.int64), (1 << (keys & 7)).astype(np.uint8)
+            )
+            member_ref = ray.put(bits)
+        else:
+            member_ref = ray.put(keys)
+        csr_ref = ray.put((offsets, nbrs))
+
+        def count_block(t: pa.Table) -> pa.Table:
+            """All wedges whose apex rank falls in this batch, one
+            vectorized pass: position p in the CSR emits pairs
+            (nbrs[p], nbrs[p+1 .. end-of-apex])."""
+            offs, nb = ray.get(csr_ref)
+            ids = t.column("id").to_numpy(zero_copy_only=False)
+            lo, hi = int(ids[0]), int(ids[-1]) + 1
+            p0, p1 = offs[lo], offs[hi]
+            if p1 - p0 < 2:
+                return pa.table({"tri": np.array([0], dtype=np.int64)})
+            pos = np.arange(p0, p1, dtype=np.int64)
+            apex_sizes = offs[lo + 1 : hi + 1] - offs[lo:hi]
+            apex_end = np.repeat(offs[lo + 1 : hi + 1], apex_sizes)
+            firsts = np.repeat(nb[pos], apex_end - pos - 1)
+            seconds = nb[expand_ranges(pos + 1, apex_end)]
+            if len(firsts) == 0:
+                return pa.table({"tri": np.array([0], dtype=np.int64)})
+            nn = np.int64(len(offs) - 1)
+            wk = firsts * nn + seconds
+            m = ray.get(member_ref)
+            if use_bits:
+                hit = (m[(wk >> 3).astype(np.int64)] >> (wk & 7).astype(np.uint8)) & 1
+                total = int(hit.sum())
+            else:
+                at = np.searchsorted(m, wk)
+                at[at >= len(m)] = len(m) - 1
+                total = int((m[at] == wk).sum())
+            return pa.table({"tri": np.array([total], dtype=np.int64)})
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        bs = max(64, n // (cpus * 4))
+        counted = rd.range(n).map_batches(
+            count_block, batch_format="pyarrow", batch_size=bs
+        )
+        return int(counted.sum("tri") or 0)
+
+    # ---- shuffle closure: wedge self-join + (x, y) groupby ------------
     deg_ref = ray.put(deg)
 
     def orient(t: pa.Table) -> pa.Table:
         dg = ray.get(deg_ref)
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
-        # rank(v) = (deg[v], v); orient low -> high
         a_first = (dg[a] < dg[b]) | ((dg[a] == dg[b]) & (a < b))
         return pa.table(
             {"x": np.where(a_first, a, b), "y": np.where(a_first, b, a)}
         )
 
     oriented = simple.map_batches(orient, batch_format="pyarrow").materialize()
-
-    # wedge enumeration = hash self-join of the oriented edges on the
-    # apex (one all-to-all, vectorized; a per-apex map_groups would be a
-    # Python call per vertex). Keep each unordered leg pair once, ordered
-    # by the same (deg, vid) rank as the orientation, so the closing edge
-    # — if it exists — appears in `oriented` with exactly that key.
     left = oriented.map_batches(
         lambda t: t.rename_columns(["apex", "y1"]), batch_format="pyarrow"
     )
     right = oriented.map_batches(
         lambda t: t.rename_columns(["apex", "y2"]), batch_format="pyarrow"
     )
-    num_edges = oriented.count()
-    if closure == "auto":
-        closure = "broadcast" if num_edges <= 50_000_000 else "shuffle"
 
-    if closure == "broadcast":
-        # The whole oriented edge set fits on a node, so skip the wedge
-        # JOIN entirely: broadcast a rank-relabelled CSR + the sorted
-        # edge-key array ONCE, then a map over apex ranges enumerates
-        # each apex's ordered neighbor pairs (vectorized meshgrid per
-        # apex — tens of microseconds each) and membership-tests the
-        # closing edge with one searchsorted per batch. No all-to-all
-        # after the dedup groupby.
-        tabs = [t for t in ray.get(oriented.to_arrow_refs()) if t.num_rows]
-        if not tabs:
-            return 0
-        x = np.concatenate([t.column("x").to_numpy(zero_copy_only=False) for t in tabs])
-        y = np.concatenate([t.column("y").to_numpy(zero_copy_only=False) for t in tabs])
-        # relabel by orientation rank (deg, vid) so each adjacency list
-        # is ascending in rank and every wedge's closing edge key is
-        # (lower_rank, higher_rank)
-        order = np.lexsort((np.arange(n), deg))
-        rank_of = np.empty(n, dtype=np.int64)
-        rank_of[order] = np.arange(n, dtype=np.int64)
-        rx, ry = rank_of[x], rank_of[y]
-        s = np.lexsort((ry, rx))
-        rx, ry = rx[s], ry[s]
-        offsets = np.searchsorted(rx, np.arange(n + 1, dtype=np.int64))
-        keys = rx * np.int64(n) + ry  # sorted ascending by construction
-        csr_ref = ray.put((offsets, ry, keys))
-
-        def count_range(t: pa.Table) -> pa.Table:
-            offs, nbrs, ek = ray.get(csr_ref)
-            total = 0
-            wk_parts = []
-            for v in t.column("id").to_numpy(zero_copy_only=False):
-                lst = nbrs[offs[v] : offs[v + 1]]
-                k = len(lst)
-                if k < 2:
-                    continue
-                i, j = np.triu_indices(k, 1)
-                wk_parts.append(lst[i] * np.int64(n) + lst[j])
-            if not wk_parts:
-                return pa.table({"tri": np.array([0], dtype=np.int64)})
-            wk = np.concatenate(wk_parts)
-            pos = np.searchsorted(ek, wk)
-            pos[pos >= len(ek)] = len(ek) - 1
-            total = int((ek[pos] == wk).sum())
-            return pa.table({"tri": np.array([total], dtype=np.int64)})
-
-        counted = rd.range(n).map_batches(count_range, batch_format="pyarrow")
-        return int(counted.sum("tri") or 0)
-
-    # shuffle closure: union wedges with flagged edges, close via groupby
     def rank_filter(t: pa.Table) -> pa.Table:
         dg = ray.get(deg_ref)
         y1 = t.column("y1").to_numpy(zero_copy_only=False)
