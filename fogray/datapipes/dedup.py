@@ -35,7 +35,13 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from ..derive import _join_parts, empty_guard, safe_inner_join
+from ..derive import (
+    _join_parts,
+    cooccurrence_pair_counts,
+    empty_guard,
+    key_grouped_block_map,
+    safe_inner_join,
+)
 from ..util import sql_round
 
 # ---------------------------------------------------------------------------
@@ -50,18 +56,28 @@ def _sha_batch(t: pa.Table, text_col: str) -> pa.Table:
 
 def exact_dedup(ds, text_col: str = "text") -> rd.Dataset:
     """-> (doc_id, canonical_id): canonical = min doc_id sharing
-    sha256(text). Hash-partition by sha (one groupby), then one hash
-    join back — no driver-side state."""
+    sha256(text). ONE sort by sha range-partitions each hash group into
+    a single block, where the per-group min and the assignment are one
+    vectorized pass (replaces groupby + join-back: one exchange instead
+    of two, nothing re-shuffled)."""
     shas = ds.map_batches(lambda t: _sha_batch(t, text_col), batch_format="pyarrow")
-    shas = shas.materialize()
-    mins = shas.groupby("sha").aggregate(Min("doc_id", alias_name="canonical_id"))
-    return safe_inner_join(shas, mins, on=("sha",)).map_batches(
-        empty_guard(
-            lambda t: t.select(["doc_id", "canonical_id"]),
-            pa.schema([("doc_id", pa.int64()), ("canonical_id", pa.int64())]),
-        ),
-        batch_format="pyarrow",
-    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "canonical_id": pa.array([], pa.int64())}
+            )
+        sha = t.column("sha").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sha))
+        sha, doc = sha[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, sha[1:] != sha[:-1]])
+        sizes = np.diff(np.r_[starts, len(sha)])
+        canon = np.repeat(doc[starts], sizes)  # min doc per sha (doc-sorted)
+        return pa.table({"doc_id": doc, "canonical_id": canon})
+
+    return key_grouped_block_map(shas.sort("sha"), ["sha"], assign)
 
 
 # ---------------------------------------------------------------------------
@@ -246,27 +262,19 @@ def minhash_lsh_pairs(
             }
         )
 
+    # candidate pairs = docs sharing an LSH (band, band-hash) bucket:
+    # the same sort + group-complete pair-expansion dataflow as the
+    # derive stage (fogray.derive.cooccurrence_pair_counts — two sorts,
+    # no hash join, pairs deduped across bands by the final sum stage)
     buckets = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
-    a = buckets.map_batches(
-        lambda t: t.rename_columns(["da", "band", "bh"]), batch_format="pyarrow"
-    )
-    b = buckets.map_batches(
-        lambda t: t.rename_columns(["db", "band", "bh"]), batch_format="pyarrow"
-    )
-    cand = (
-        safe_inner_join(a, b, on=("band", "bh"))
-        .map_batches(
-            empty_guard(
-                lambda t: t.filter(pc.less(t.column("da"), t.column("db"))).select(
-                    ["da", "db"]
-                ),
-                pa.schema([("da", pa.int64()), ("db", pa.int64())]),
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby(["da", "db"])
-        .aggregate(Count(alias_name="nb"))
-        .select_columns(["da", "db"])
+    cand = cooccurrence_pair_counts(buckets, ["band", "bh"], "doc_id", cap=None).map_batches(
+        empty_guard(
+            lambda t: t.filter(pc.less(t.column("src"), t.column("dst")))
+            .select(["src", "dst"])
+            .rename_columns(["da", "db"]),
+            pa.schema([("da", pa.int64()), ("db", pa.int64())]),
+        ),
+        batch_format="pyarrow",
     )
 
     # exact verification against true shingle sets (broadcast at test
