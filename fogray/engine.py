@@ -3,39 +3,49 @@
 
 Architecture (Ray-Data-first, designed for a multi-node cluster):
 
-- **Edge partitions pinned in stateful actors.** The edge table (a
-  ``ray.data.Dataset`` or arrays) is split into P partitions; each
-  :class:`EdgePartitionActor` builds, ONCE in ``__init__``, a src-sorted
-  view (CSR analog of the ``.edge``/``.index`` files,
-  fogsrc/index_vert_array.cpp:25-167) and a dst-sorted view (CSC analog
-  of ``.in-edge``/``.in-index`` — note the converter's entire external
-  radix-sort + k-way-merge subsystem, convert/process_in_edge.cpp,
-  collapses into one in-actor argsort). Actors live across supersteps,
-  so edges are read from storage exactly once per job.
+- **Edge partitions pinned in stateful actors, partitioned by the
+  EMISSION-TARGET vid range.** Each :class:`EdgePartitionActor` owns a
+  contiguous vid range and holds, built ONCE in ``__init__``: the edges
+  whose *dst* falls in its range (src-sorted — the forward-scatter
+  view) and the edges whose *src* falls in its range (dst-sorted — the
+  backward view for CC/SCC reverse passes). This is FOG's update
+  routing turned inside out: instead of scattering anywhere and
+  bucketing updates into per-destination-segment strips
+  (cpu_thread.cpp:290-326, types.hpp:169-172), every actor only ever
+  PRODUCES updates for its own range — so the whole per-superstep
+  exchange is ONE range-sized partial per actor, O(V) total,
+  independent of the partition count. (The earlier tree-reduce design
+  shipped P partials of size V — O(P*V) — and therefore got *slower*
+  with more CPUs.)
 
 - **Vertex state is a dense driver-side array set, broadcast per
   superstep** via a single ``ray.put`` — the ``.attr`` array analog
   (fog_engine.cpp:377-403). On a cluster the object is shipped once per
-  node and mapped zero-copy by every actor on it; this is the
-  "broadcast small side instead of shuffle join" pattern (state is O(V),
-  edges are O(E) >> O(V)).
+  node and mapped zero-copy by every actor on it; scatter may read
+  state at ANY src because the full state is present (this is the
+  "broadcast small side instead of shuffle join" pattern; state is
+  O(V), edges are O(E) >> O(V)). The broadcast engine's ceiling is
+  state-fits-on-the-driver; beyond that use fogray.dist_engine, which
+  range-shards the state itself.
 
 - **Scatter is vectorized numpy** over frontier-filtered edge arrays
   (no per-edge calls — FOG's per-edge ``scatter_one_edge`` loop,
   cpu_thread.cpp:230-328, becomes array kernels), and each partition
-  PRE-COMBINES its updates per destination (sum/min) before anything
-  leaves the actor — the combiner that makes the per-superstep message
-  exchange O(V) instead of O(E) per partition and that replaces FOG's
-  per-(segment,cpu) update strips (cpu_thread.cpp:290-326). This
-  pre-combine is also the skew answer: a hub vertex's millions of
-  incoming updates collapse to <= P partial values before the exchange
-  (FOG's analog machinery is work stealing, fog_engine.cpp:560-758).
+  pre-combines per destination (sum/min) INSIDE its own range before
+  anything moves — a hub vertex's in-edges collapse to at most
+  ``actors_per_range`` partial values.
 
-- **Gather is a pairwise tree-reduce of the P partials** in Ray tasks
-  (dense float accumulators for sum programs when V is small enough,
-  sparse (ids, vals) partials otherwise), then the FOG
-  ``gather_one_update`` rule is applied on the driver and the next
-  frontier derived (add_schedule analog, fog_engine.cpp:2162-2214).
+- **Skew**: range bounds are degree-weighted, and a range whose edge
+  count exceeds its fair share is served by MULTIPLE actors (the hub's
+  edge list is split across them; the driver adds their few range-sized
+  partials) — the static replacement for FOG's mid-scatter work
+  stealing (fog_engine.cpp:560-758).
+
+- **Gather**: the driver concatenates the disjoint range partials and
+  applies the FOG ``gather_one_update`` rule once, vectorized
+  (fog_engine.cpp:1046-1780 collapses into one numpy apply), then
+  derives the next frontier (add_schedule analog,
+  fog_engine.cpp:2162-2214).
 
 - **Per-superstep checkpoints** (state + frontier sharded by vid range,
   with an atomic manifest) make runs resumable mid-algorithm — FOG has
@@ -75,34 +85,6 @@ def expand_ranges(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-def _combine_sparse_sum(ids_a, vals_a, ids_b, vals_b):
-    ids = np.concatenate([ids_a, ids_b])
-    vals = np.concatenate([vals_a, vals_b])
-    uids, inv = np.unique(ids, return_inverse=True)
-    return uids, np.bincount(inv, weights=vals, minlength=len(uids))
-
-
-def _combine_sparse_min(ids_a, vals_a, ids_b, vals_b):
-    ids = np.concatenate([ids_a, ids_b])
-    vals = np.concatenate([vals_a, vals_b])
-    order = np.lexsort((vals, ids))
-    ids, vals = ids[order], vals[order]
-    first = np.ones(len(ids), dtype=bool)
-    first[1:] = ids[1:] != ids[:-1]
-    return ids[first], vals[first]
-
-
-def _combine_sparse_min_pred(ids_a, vals_a, preds_a, ids_b, vals_b, preds_b):
-    ids = np.concatenate([ids_a, ids_b])
-    vals = np.concatenate([vals_a, vals_b])
-    preds = np.concatenate([preds_a, preds_b])
-    order = np.lexsort((preds, vals, ids))
-    ids, vals, preds = ids[order], vals[order], preds[order]
-    first = np.ones(len(ids), dtype=bool)
-    first[1:] = ids[1:] != ids[:-1]
-    return ids[first], vals[first], preds[first]
-
-
 def local_combine(kind: str, n: int, dense: bool, dest, vals, preds=None):
     """Per-partition pre-combine of scattered updates by destination."""
     if kind == "sum":
@@ -127,74 +109,43 @@ def local_combine(kind: str, n: int, dense: bool, dest, vals, preds=None):
     raise ValueError(kind)
 
 
-@ray.remote
-def _reduce_pair(kind: str, a, b):
-    """Tree-reduce combiner over two partials (runs in a worker so the
-    exchange volume never funnels through the driver serially)."""
-    pa_, pb = a[0], b[0]
-    emitted = a[-1] + b[-1]
-    if pa_[0] == "dense":
-        return (("dense", pa_[1] + pb[1]), emitted)
-    if kind == "sum":
-        return (("sparse",) + _combine_sparse_sum(pa_[1], pa_[2], pb[1], pb[2]), emitted)
-    if kind == "min":
-        return (("sparse",) + _combine_sparse_min(pa_[1], pa_[2], pb[1], pb[2]), emitted)
-    return (
-        ("sparse",)
-        + _combine_sparse_min_pred(pa_[1], pa_[2], pa_[3], pb[1], pb[2], pb[3]),
-        emitted,
-    )
-
-
 # ---------------------------------------------------------------------------
-# the pinned edge-partition actor
+# the pinned edge-partition actor (emission-target range partitioned)
 # ---------------------------------------------------------------------------
 
 @ray.remote
 class EdgePartitionActor:
-    """Holds one edge partition as src-sorted and dst-sorted numpy views,
-    built once (the rebuild of the mmapped ``index_vert_array`` CSR/CSC,
+    """Serves one emission-target vid range [lo, hi): holds the edges
+    whose dst lies in the range (src-sorted — the forward-scatter view)
+    and the edges whose src lies in the range (dst-sorted — the backward
+    view for CC/SCC reverse passes), built once (the rebuild of the
+    mmapped ``index_vert_array`` CSR/CSC,
     fogsrc/index_vert_array.cpp:25-336). ``scatter`` runs the program's
-    vectorized kernel over frontier-filtered edges and pre-combines."""
+    vectorized kernel over frontier-filtered edges and pre-combines into
+    ONE range-sized partial. A hot range is served by several actors
+    sharing it (hub split): each emits only range-local partials that
+    the driver adds."""
 
-    def __init__(self, block_refs: list, n: int, has_weights: bool):
-        # Ray emits empty map-output blocks as ZERO-COLUMN tables
-        # (see fogray._ray_patches) — drop them before concatenating
-        tables: list[pa.Table] = [
-            t for t in ray.get(list(block_refs)) if t.num_rows > 0
-        ]
-        vid_t = np.int32 if n <= 2**31 - 1 else np.int64
-        def _col(name, dtype):
-            if not tables:
-                return np.empty(0, dtype=dtype)
-            return np.concatenate(
-                [t.column(name).to_numpy(zero_copy_only=False) for t in tables]
-            ).astype(dtype, copy=False)
+    def __init__(self, ftab: pa.Table, btab: pa.Table, lo: int, hi: int):
+        # (the driver passes ObjectRefs; Ray dereferences top-level args)
+        self.lo, self.hi = int(lo), int(hi)
 
-        src = _col("src", vid_t)
-        dst = _col("dst", vid_t)
-        if has_weights:
-            w = _col("weight", np.float64)
-        else:
-            w = np.ones(len(src), dtype=np.float64)
-        del tables
-        self.n = n
-        fwd = np.argsort(src, kind="stable")
-        self.fs, self.fd, self.fw = src[fwd], dst[fwd], w[fwd]
-        bwd = np.argsort(dst, kind="stable")
-        self.bs, self.bd, self.bw = src[bwd], dst[bwd], w[bwd]
-        self.num_edges = len(src)
+        def _cols(t):
+            return (
+                t.column("src").to_numpy(zero_copy_only=False),
+                t.column("dst").to_numpy(zero_copy_only=False),
+                t.column("weight").to_numpy(zero_copy_only=False),
+            )
 
-    def stats(self) -> dict:
-        return {"edges": self.num_edges}
+        src, dst, w = _cols(ftab)
+        order = np.argsort(src, kind="stable")
+        self.fs, self.fd, self.fw = src[order], dst[order], w[order]
+        src, dst, w = _cols(btab)
+        order = np.argsort(dst, kind="stable")
+        self.bs, self.bd, self.bw = src[order], dst[order], w[order]
 
-    def degree_partials(self):
-        """Sparse (vid, count) partials for out- and in-degree; combined
-        on the driver into the dense degree arrays (the converter's
-        max_out_edges/degree bookkeeping, convert/process_edgelist.cpp)."""
-        us, cs = np.unique(self.fs, return_counts=True)
-        ud, cd = np.unique(self.bd, return_counts=True)
-        return us.astype(np.int64), cs, ud.astype(np.int64), cd
+    def ready(self) -> bool:
+        return True
 
     def scatter(
         self,
@@ -226,27 +177,32 @@ class EdgePartitionActor:
             m = s != d  # cpu_thread.cpp:236-240 (TARGET skips self-loops)
             s, d, w = s[m], d[m], w[m]
 
+        span = self.hi - self.lo
         if len(s) == 0:
             if program.combine == "sum" and dense:
-                return (("dense", np.zeros(self.n, dtype=np.float64)), 0)
+                return (("dense", np.zeros(span, dtype=np.float64)), 0)
             empty = np.empty(0, dtype=np.int64)
             ef = np.empty(0, dtype=np.float64)
             if program.combine == "min_pred":
                 return (("sparse", empty, ef, ef.copy()), 0)
             return (("sparse", empty, ef), 0)
 
-        out = program.scatter(state, s.astype(np.int64), d.astype(np.int64), w, direction)
-        dest, vals = out[0], np.asarray(out[1], dtype=np.float64)
+        out = program.scatter(state, s, d, w, direction)
+        dest = np.asarray(out[0], dtype=np.int64)
+        vals = np.asarray(out[1], dtype=np.float64)
         preds = np.asarray(out[2], dtype=np.float64) if len(out) > 2 else None
         emitted = len(dest)
-        partial = local_combine(program.combine, self.n, dense, dest, vals, preds)
-        if partial[0] == "sparse":
-            partial = ("sparse",) + tuple(
-                np.asarray(x, dtype=np.float64) if i else np.asarray(x, dtype=np.int64)
-                for i, x in enumerate(partial[1:])
+        if program.combine == "sum" and dense:
+            return (
+                ("dense", np.bincount(dest - self.lo, weights=vals, minlength=span)),
+                emitted,
             )
+        partial = local_combine(program.combine, span, False, dest, vals, preds)
+        partial = ("sparse",) + tuple(
+            np.asarray(x, dtype=np.float64) if i else np.asarray(x, dtype=np.int64)
+            for i, x in enumerate(partial[1:])
+        )
         return (partial, emitted)
-
 
 # ---------------------------------------------------------------------------
 # driver-side engine
@@ -286,46 +242,88 @@ class GraphEngine:
         p = self.cfg.num_partitions
         if p is None:
             p = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
+
         if dataset is not None:
-            refs = dataset.to_arrow_refs()
+            blocks = [t for t in ray.get(dataset.to_arrow_refs()) if t.num_rows > 0]
+            if blocks:
+                src = np.concatenate(
+                    [t.column("src").to_numpy(zero_copy_only=False) for t in blocks]
+                ).astype(np.int64)
+                dst = np.concatenate(
+                    [t.column("dst").to_numpy(zero_copy_only=False) for t in blocks]
+                ).astype(np.int64)
+                w = (
+                    np.concatenate(
+                        [t.column("weight").to_numpy(zero_copy_only=False) for t in blocks]
+                    ).astype(np.float64)
+                    if has_weights and "weight" in blocks[0].column_names
+                    else np.ones(len(src), dtype=np.float64)
+                )
+            else:
+                src = dst = np.empty(0, dtype=np.int64)
+                w = np.empty(0, dtype=np.float64)
         elif arrays is not None:
             src, dst, w = arrays
-            t = pa.table(
-                {
-                    "src": np.asarray(src, dtype=np.int64),
-                    "dst": np.asarray(dst, dtype=np.int64),
-                    "weight": np.asarray(
-                        w if w is not None else np.ones(len(src)), dtype=np.float64
-                    ),
-                }
+            src = np.asarray(src, dtype=np.int64)
+            dst = np.asarray(dst, dtype=np.int64)
+            w = (
+                np.asarray(w, dtype=np.float64)
+                if w is not None and has_weights
+                else np.ones(len(src), dtype=np.float64)
             )
-            chunk = max(1, (len(t) + p - 1) // p)
-            refs = [ray.put(t.slice(i * chunk, chunk)) for i in range(p) if i * chunk < max(len(t), 1)]
-            if not refs:
-                refs = [ray.put(t)]
         else:
             raise ValueError("need dataset= or arrays=")
-        p = min(p, len(refs)) or 1
-        groups: list[list] = [[] for _ in range(p)]
-        for i, r in enumerate(refs):
-            groups[i % p].append(r)
-        self.actors = [
-            EdgePartitionActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
-                g, self.n, has_weights
-            )
-            for g in groups
-        ]
-        stats = ray.get([a.stats.remote() for a in self.actors])
-        self.num_edges = sum(s["edges"] for s in stats)
-        self.outdeg, self.indeg = self._degrees()
+        self.num_edges = len(src)
+        self.outdeg = np.bincount(src, minlength=self.n)
+        self.indeg = np.bincount(dst, minlength=self.n)
 
-    def _degrees(self):
-        outdeg = np.zeros(self.n, dtype=np.int64)
-        indeg = np.zeros(self.n, dtype=np.int64)
-        for us, cs, ud, cd in ray.get([a.degree_partials.remote() for a in self.actors]):
-            np.add.at(outdeg, us, cs)
-            np.add.at(indeg, ud, cd)
-        return outdeg, indeg
+        # emission-target range bounds, degree-weighted so hub-heavy vid
+        # prefixes don't load one range (same scheme as dist_engine)
+        deg = self.outdeg + self.indeg
+        cum = np.cumsum(deg + 1)
+        total = int(cum[-1])
+        bounds = [0]
+        for j in range(1, p):
+            b = max(int(np.searchsorted(cum, total * j / p)), bounds[-1] + 1)
+            if b >= self.n:
+                break
+            bounds.append(b)
+        bounds.append(max(self.n, 1))
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        P = len(self.bounds) - 1
+
+        # per range: fwd edges = dst in range, bwd edges = src in range;
+        # ranges whose edge share exceeds ~E/P get multiple actors (hub
+        # split) — each actor still emits only range-local partials
+        fwd_order = np.argsort(dst, kind="stable")
+        bwd_order = np.argsort(src, kind="stable")
+        fcuts = np.searchsorted(dst[fwd_order], self.bounds)
+        bcuts = np.searchsorted(src[bwd_order], self.bounds)
+        target = max(1, self.num_edges // max(p, 1))
+        self.actors = []
+        self.actor_range: list[int] = []  # actor index -> range index
+        for j in range(P):
+            fidx = fwd_order[fcuts[j] : fcuts[j + 1]]
+            bidx = bwd_order[bcuts[j] : bcuts[j + 1]]
+            k = max(1, min(8, -(-max(len(fidx), len(bidx)) // target)))
+            for c in range(k):
+                fc = fidx[(len(fidx) * c) // k : (len(fidx) * (c + 1)) // k]
+                bc = bidx[(len(bidx) * c) // k : (len(bidx) * (c + 1)) // k]
+                fwd_ref = ray.put(
+                    pa.table({"src": src[fc], "dst": dst[fc], "weight": w[fc]})
+                )
+                bwd_ref = ray.put(
+                    pa.table({"src": src[bc], "dst": dst[bc], "weight": w[bc]})
+                )
+                self.actors.append(
+                    EdgePartitionActor.options(
+                        num_cpus=self.cfg.num_cpus_per_actor
+                    ).remote(
+                        fwd_ref, bwd_ref, int(self.bounds[j]), int(self.bounds[j + 1])
+                    )
+                )
+                self.actor_range.append(j)
+        ray.get([a.ready.remote() for a in self.actors])
 
     # -- one superstep -----------------------------------------------------
 
@@ -342,30 +340,42 @@ class GraphEngine:
         return ray.put((state, f, active_ids)), count
 
     def superstep(self, program: VertexProgram, state, frontier, direction: str):
-        """scatter -> pre-combine -> tree-reduce gather -> apply. Returns
+        """scatter (each actor pre-combines into its own range) ->
+        driver adds the disjoint range partials -> apply. Exchange is
+        O(V) total regardless of the actor count. Returns
         (changed_ids, metrics)."""
         t0 = time.perf_counter()
-        dense = program.combine == "sum" and self.n <= self.cfg.dense_threshold
+        span_max = int(np.diff(self.bounds).max())
+        dense = program.combine == "sum" and span_max <= self.cfg.dense_threshold
         bcast, active_count = self._broadcast(state, frontier)
         futs = [
             a.scatter.remote(program, bcast, direction, dense) for a in self.actors
         ]
-        while len(futs) > 1:
-            nxt = []
-            for i in range(0, len(futs) - 1, 2):
-                nxt.append(_reduce_pair.remote(program.combine, futs[i], futs[i + 1]))
-            if len(futs) % 2:
-                nxt.append(futs[-1])
-            futs = nxt
-        (partial, emitted) = ray.get(futs[0])
-        if partial[0] == "dense":
-            acc = partial[1]
+        results = ray.get(futs)
+        emitted = sum(r[1] for r in results)
+        if dense:
+            acc = np.zeros(self.n, dtype=np.float64)
+            for (partial, _e), j in zip(results, self.actor_range):
+                lo, hi = self.bounds[j], self.bounds[j + 1]
+                acc[lo:hi] += partial[1]
             ids = np.flatnonzero(acc)
             vals, preds = acc[ids], None
         else:
-            ids = partial[1]
-            vals = partial[2]
-            preds = partial[3] if len(partial) > 3 else None
+            id_parts = [r[0][1] for r in results]
+            val_parts = [r[0][2] for r in results]
+            ids = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+            vals = np.concatenate(val_parts) if val_parts else np.empty(0)
+            preds = (
+                np.concatenate([r[0][3] for r in results])
+                if results and len(results[0][0]) > 3
+                else None
+            )
+            if len(ids):
+                # hub-split ranges can contribute duplicate dests; one
+                # driver-side combine settles them (cheap: |ids| <= V)
+                c = local_combine(program.combine, self.n, False, ids, vals, preds)
+                ids, vals = c[1], c[2]
+                preds = c[3] if len(c) > 3 else None
         changed = program.apply(state, ids, vals, preds)
         del bcast
         metrics = {

@@ -296,6 +296,31 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     return pa.table({"triangles": np.array([cnt], dtype=np.int64)})
 
 
+def q_src_edgelist(sf_dir: str) -> pa.Table:
+    """Round-trip conformance for the SNAP text reader
+    (fogray.sources.read_edgelist): serialize the co-occurrence graph as
+    an edge-list text fixture (scratch under /tmp), parse it back with
+    the distributed reader, return the (src, dst) pairs."""
+    import os
+
+    from . import sources
+
+    t = cooccurrence_edges(sf_dir)
+    df = t.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    path = f"/tmp/fogray_edgelist_{os.path.basename(sf_dir.rstrip('/'))}.txt"
+    with open(path + ".tmp", "w") as f:
+        f.write("# fogray edge-list round-trip fixture\n")
+        f.writelines(f"{s}\t{d}\n" for s, d in zip(df["src"], df["dst"]))
+    os.replace(path + ".tmp", path)
+    out = (
+        sources.read_edgelist(path)
+        .to_pandas()[["src", "dst"]]
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -313,6 +338,7 @@ def q_scc(sf_dir: str) -> pa.Table:
 
 ORACLE_SQL: dict[str, str] = {
     "derive_edges": f"SELECT src, dst, weight FROM ({_COOC_SQL}) ORDER BY src, dst",
+    "src_edgelist": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
     "out_degrees": f"""
         SELECT src AS vid, COUNT(*) AS out_degree
         FROM ({_COOC_SQL}) GROUP BY src ORDER BY vid
@@ -417,6 +443,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "derive_edges": q_derive_edges,
+    "src_edgelist": q_src_edgelist,
     "out_degrees": q_out_degrees,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
