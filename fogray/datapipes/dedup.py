@@ -164,26 +164,57 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_FNV = np.uint64(1099511628211)
+
+
+def _batch_shingle_hashes(texts: list[str], n_words: int):
+    """Vectorized word-shingle hashing for a whole batch: tokenize, hash
+    each DISTINCT token once (vocab dedup — the per-shingle-string crc32
+    loop this replaces re-hashed every occurrence), then roll a
+    Karp-Rabin polynomial over the token-hash windows with numpy slices.
+    Returns (flat_shingle_hashes uint64, doc_offsets len=#docs+1);
+    shingles are a multiset (min-hash only needs the min)."""
+    token_lists = [s.split() for s in texts]
+    lens = np.fromiter((len(x) for x in token_lists), dtype=np.int64, count=len(token_lists))
+    flat = [w for lst in token_lists for w in lst]
+    if not flat:
+        return np.zeros(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (zlib.crc32(w.encode()) for w in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    th = uh[inv]  # per-token 32-bit hash, widened
+    tok_offs = np.r_[0, np.cumsum(lens)]
+    # windows of n_words consecutive token hashes, but never across docs:
+    # shingle count per doc = max(len-n+1, 1 if len>0 else 0)
+    sh_counts = np.where(lens == 0, 0, np.maximum(lens - n_words + 1, 1))
+    sh_offs = np.r_[0, np.cumsum(sh_counts)]
+    total = int(sh_offs[-1])
+    out = np.zeros(total, dtype=np.uint64)
+    # polynomial roll: out = ((h0*F + h1)*F + h2)... vectorized across all
+    # windows at once, one slice-shift per window position
+    starts = np.repeat(tok_offs[:-1], sh_counts)  # window start per shingle
+    win = np.repeat(np.minimum(lens, n_words), sh_counts)  # window length
+    pos = np.arange(total) - np.repeat(sh_offs[:-1], sh_counts)
+    base = starts + pos
+    for k in range(n_words):
+        m = win > k
+        out[m] = out[m] * _FNV + th[base[m] + k]
+    return out, sh_offs
 
 
 def _crc_shingles(text: str, n_words: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < n_words:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + n_words]) for i in range(len(toks) - n_words + 1)]
-    if not joined:
-        return np.zeros(0, dtype=np.uint64)
-    return np.unique(
-        np.array([zlib.crc32(s.encode()) for s in joined], dtype=np.uint64)
-    )
+    """Distinct shingle hashes of one document (the single-doc view of
+    :func:`_batch_shingle_hashes` — same values)."""
+    flat, offs = _batch_shingle_hashes([text], n_words)
+    return np.unique(flat)
 
 
 class MinHasher:
     """Actor-pool MinHash stage: the permutation coefficients are drawn
     ONCE per actor in __init__ from a fixed seed (stateful-setup
-    pattern); __call__ computes per-doc signatures with one vectorized
-    (num_perm x num_shingles) broadcast per doc."""
+    pattern); __call__ computes the whole batch's signatures in one
+    (num_perm x batch_shingles) pass with a segmented min per doc."""
 
     def __init__(self, num_perm: int = 32, shingle_words: int = 3, seed: int = 7):
         rng = np.random.RandomState(seed)
@@ -201,7 +232,14 @@ class MinHasher:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
-        sigs = np.stack([self.signature(s) for s in t.column("text").to_pylist()])
+        flat, offs = _batch_shingle_hashes(t.column("text").to_pylist(),
+                                           self.shingle_words)
+        sigs = np.zeros((len(ids), self.num_perm), dtype=np.uint64)
+        if len(flat):
+            h = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+            nonempty = np.flatnonzero(np.diff(offs) > 0)
+            seg = np.minimum.reduceat(h, offs[nonempty], axis=1)
+            sigs[nonempty] = seg.T
         cols = {"doc_id": pa.array(ids, type=pa.int64())}
         cols["sig"] = pa.array(sigs.astype(np.int64).tolist(),
                                type=pa.list_(pa.int64(), self.num_perm))
@@ -279,23 +317,19 @@ def minhash_lsh_pairs(
 
     # exact verification against true shingle sets (broadcast at test
     # scale; semi-join at corpus scale — see docstring)
+    def _shingle_rows(t: pa.Table) -> pa.Table:
+        flat, offs = _batch_shingle_hashes(t.column("text").to_pylist(), shingle_words)
+        sh = [
+            np.unique(flat[offs[i] : offs[i + 1]]).astype(np.int64).tolist()
+            for i in range(len(t))
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "sh": pa.array(sh, type=pa.list_(pa.int64()))}
+        )
+
     shingle_map = {}
     for t in ray.get(
-        ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "sh": pa.array(
-                        [
-                            _crc_shingles(s, shingle_words).astype(np.int64).tolist()
-                            for s in t.column("text").to_pylist()
-                        ],
-                        type=pa.list_(pa.int64()),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).to_arrow_refs()
+        ds.map_batches(_shingle_rows, batch_format="pyarrow").to_arrow_refs()
     ):
         for did, sh in zip(t.column("doc_id").to_pylist(), t.column("sh").to_pylist()):
             shingle_map[did] = np.asarray(sh, dtype=np.int64)
