@@ -87,47 +87,45 @@ def _collect(ds) -> list[pa.Table]:
 @functools.lru_cache(maxsize=4)
 def sequence_edges(sf_dir: str) -> pa.Table:
     """Directed part sequence graph: consecutive line numbers in an
-    order, distinct, self-loops dropped. Expressed as an equi-join of
-    the table against itself on (order, linenumber+1) — the SQL-native
-    form (_SEQ_SQL) and one hash shuffle."""
+    order, distinct, self-loops dropped. (l_orderkey, l_linenumber) is
+    unique, so after ONE sort by (order, line) every consecutive-line
+    pair is a pair of ADJACENT ROWS — a shift-compare per block replaces
+    the equi-join on (order, linenumber+1); a second sort dedups the
+    pairs (fogray.derive.key_grouped_block_map on both)."""
+    from .derive import key_grouped_block_map
+
     li = rd.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    )
+
+    def adjacent_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, o))
+        o, ln, p = o[order], ln[order], p[order]
+        m = (o[1:] == o[:-1]) & (ln[1:] == ln[:-1] + 1) & (p[1:] != p[:-1])
+        return pa.table({"src": p[:-1][m], "dst": p[1:][m]})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        first = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        return pa.table({"src": s[first], "dst": d[first]})
+
+    pairs = key_grouped_block_map(
+        li.sort(["l_orderkey", "l_linenumber"]), ["l_orderkey"], adjacent_pairs
     ).materialize()
-    a = li.map_batches(
-        lambda t: pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "ln": pc.add(t.column("l_linenumber").cast(pa.int64()), 1),
-                "src": t.column("l_partkey"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    b = li.map_batches(
-        lambda t: pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "ln": t.column("l_linenumber").cast(pa.int64()),
-                "dst": t.column("l_partkey"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    ds = (
-        safe_inner_join(a, b, on=("l_orderkey", "ln"))
-        .map_batches(
-            empty_guard(
-                lambda t: t.filter(
-                    pc.not_equal(t.column("src"), t.column("dst"))
-                ).select(["src", "dst"]),
-                pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="cnt"))
-        .select_columns(["src", "dst"])
-    )
+    if pairs.count() == 0:
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    ds = key_grouped_block_map(pairs.sort(["src", "dst"]), ["src", "dst"], dedup)
     return pa.concat_tables(_collect(ds))
 
 
