@@ -42,7 +42,7 @@ from ..derive import (
     key_grouped_block_map,
     safe_inner_join,
 )
-from ..util import sql_round
+from ..util import list_col_matrix, sql_round
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -282,7 +282,7 @@ def minhash_lsh_pairs(
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        sig = np.asarray(t.column("sig").to_pylist(), dtype=np.uint64)
+        sig = list_col_matrix(t.column("sig"), dtype=np.int64).astype(np.uint64)
         out_doc, out_band, out_hash = [], [], []
         for bidx in range(bands):
             chunk = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
@@ -518,7 +518,7 @@ def embedding_cosine_pairs(
     mat_tbl = emb_ds.select_columns([id_col, vec_col]).materialize()
     rows = pa.concat_tables(ray.get(mat_tbl.to_arrow_refs()), promote_options="default")
     ids = rows.column(id_col).to_numpy(zero_copy_only=False)
-    vecs = np.asarray(rows.column(vec_col).to_pylist(), dtype=np.float64)
+    vecs = list_col_matrix(rows.column(vec_col))
     if len(ids) > broadcast_cutoff:
         raise ValueError(
             f"N={len(ids)} exceeds broadcast_cutoff; bucket with hyperplane_buckets first"
@@ -531,7 +531,7 @@ def embedding_cosine_pairs(
     def block_pairs(t: pa.Table) -> pa.Table:
         all_ids, all_unit = ray.get(ref)
         bids = t.column(id_col).to_numpy(zero_copy_only=False)
-        bvec = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        bvec = list_col_matrix(t.column(vec_col))
         bn = np.linalg.norm(bvec, axis=1)
         bn[bn == 0] = 1.0
         bunit = bvec / bn[:, None]
@@ -561,7 +561,7 @@ def hyperplane_buckets(emb_ds, *, num_planes: int = 12, seed: int = 11,
             self.rng = rng
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+            vecs = list_col_matrix(t.column(vec_col))
             if self.planes is None:
                 self.planes = np.random.RandomState(seed).standard_normal(
                     (vecs.shape[1], num_planes)

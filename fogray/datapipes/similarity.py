@@ -20,13 +20,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..util import sql_round
+from ..util import list_col_matrix, sql_round
 
 
 def _to_matrix(t: pa.Table, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
-    vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
-    return ids, vecs
+    return ids, list_col_matrix(t.column(vec_col))
 
 
 def _unit(vecs: np.ndarray) -> np.ndarray:
@@ -159,7 +158,7 @@ class IVFIndex:
                 promote_options="default",
             )
             cid = rows.column("cid").to_numpy(zero_copy_only=False)
-            s = np.asarray(rows.column("s").to_pylist(), dtype=np.float64)
+            s = list_col_matrix(rows.column("s"))
             n = rows.column("n").to_numpy(zero_copy_only=False)
             sums = np.zeros_like(cents)
             cnts = np.zeros(self.nlist, dtype=np.int64)

@@ -14,6 +14,32 @@ def sql_round(x, decimals: int = 6) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def list_col_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<T>`` column (equal-length lists) -> (rows, dim)
+    numpy matrix via flatten + reshape — no per-row Python lists (the
+    ``to_pylist`` path this replaces materializes millions of Python
+    floats). Raises if the lists are ragged."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+        return flat.reshape(n, dim)
+    offsets = np.asarray(col.offsets)
+    widths = np.diff(offsets)
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError("ragged list column; expected fixed-length vectors")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    # col.flatten() already accounts for any slicing offset
+    return flat.reshape(n, dim)
+
+
 def from_arrow_chunked(table, num_blocks: int = 32):
     """ray.data.from_arrow with the table pre-split into blocks.
 
