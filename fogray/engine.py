@@ -4,7 +4,7 @@
 Architecture (Ray-Data-first, designed for a multi-node cluster):
 
 - **Edge partitions pinned in stateful actors, partitioned by the
-  EMISSION-TARGET vid range.** Each :class:`EdgePartitionActor` owns a
+  EMISSION-TARGET vid range.** Each :class:`EdgeViewActor` owns a
   contiguous vid range and holds, built ONCE in ``__init__``: the edges
   whose *dst* falls in its range (src-sorted — the forward-scatter
   view) and the edges whose *src* falls in its range (dst-sorted — the
@@ -110,39 +110,37 @@ def local_combine(kind: str, n: int, dense: bool, dest, vals, preds=None):
 
 
 # ---------------------------------------------------------------------------
-# the pinned edge-partition actor (emission-target range partitioned)
+# the pinned edge-view actor (emission-target range partitioned)
 # ---------------------------------------------------------------------------
 
 @ray.remote
-class EdgePartitionActor:
-    """Serves one emission-target vid range [lo, hi): holds the edges
-    whose dst lies in the range (src-sorted — the forward-scatter view)
-    and the edges whose src lies in the range (dst-sorted — the backward
-    view for CC/SCC reverse passes), built once (the rebuild of the
-    mmapped ``index_vert_array`` CSR/CSC,
-    fogsrc/index_vert_array.cpp:25-336). ``scatter`` runs the program's
+class EdgeViewActor:
+    """Serves ONE scatter view for one emission-target vid range
+    [lo, hi): either the forward view (edges whose dst lies in the
+    range, sorted by src) or the backward view (edges whose src lies in
+    the range, sorted by dst) — the rebuild of the mmapped
+    ``index_vert_array`` CSR/CSC, fogsrc/index_vert_array.cpp:25-336,
+    built once in ``__init__``. ``scatter`` runs the program's
     vectorized kernel over frontier-filtered edges and pre-combines into
-    ONE range-sized partial. A hot range is served by several actors
-    sharing it (hub split): each emits only range-local partials that
-    the driver adds."""
+    ONE range-sized partial. Ranges may OVERLAP (a hot range split
+    across actors, or dataset-block construction where a vertex's edges
+    straddle two sorted blocks): the driver adds/combines the partials,
+    so overlap costs only a few duplicate entries."""
 
-    def __init__(self, ftab: pa.Table, btab: pa.Table, lo: int, hi: int):
-        # (the driver passes ObjectRefs; Ray dereferences top-level args)
+    def __init__(self, tab: pa.Table, lo: int, hi: int, emit_key: str):
+        # (the driver passes an ObjectRef; Ray dereferences top-level args)
         self.lo, self.hi = int(lo), int(hi)
-
-        def _cols(t):
-            return (
-                t.column("src").to_numpy(zero_copy_only=False),
-                t.column("dst").to_numpy(zero_copy_only=False),
-                t.column("weight").to_numpy(zero_copy_only=False),
-            )
-
-        src, dst, w = _cols(ftab)
-        order = np.argsort(src, kind="stable")
-        self.fs, self.fd, self.fw = src[order], dst[order], w[order]
-        src, dst, w = _cols(btab)
-        order = np.argsort(dst, kind="stable")
-        self.bs, self.bd, self.bw = src[order], dst[order], w[order]
+        src = tab.column("src").to_numpy(zero_copy_only=False)
+        dst = tab.column("dst").to_numpy(zero_copy_only=False)
+        w = (
+            tab.column("weight").to_numpy(zero_copy_only=False)
+            if "weight" in tab.column_names
+            else np.ones(len(src), dtype=np.float64)
+        )
+        read_key = src if emit_key == "dst" else dst
+        order = np.argsort(read_key, kind="stable")
+        self.s, self.d, self.w = src[order], dst[order], w[order]
+        self.key_sorted = self.s if emit_key == "dst" else self.d
 
     def ready(self) -> bool:
         return True
@@ -154,13 +152,9 @@ class EdgePartitionActor:
         direction: str,
         dense: bool,
     ):
+        s, d, w = self.s, self.d, self.w
+        key_sorted = self.key_sorted
         state, frontier, active_ids = bcast
-        if direction == FWD:
-            s, d, w = self.fs, self.fd, self.fw
-            key_sorted = self.fs
-        else:
-            s, d, w = self.bs, self.bd, self.bw
-            key_sorted = self.bd
 
         if active_ids is not None:
             # sparse frontier: touch only active vertices' edge ranges
@@ -204,6 +198,20 @@ class EdgePartitionActor:
         )
         return (partial, emitted)
 
+
+@ray.remote
+def _block_degrees(tab: pa.Table):
+    """Per-block sparse degree partials (driver combines into dense).
+    Empty blocks arrive ZERO-COLUMN (see fogray._ray_patches)."""
+    if tab.num_rows == 0 or tab.num_columns == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e, 0
+    s = tab.column("src").to_numpy(zero_copy_only=False)
+    d = tab.column("dst").to_numpy(zero_copy_only=False)
+    us, cs = np.unique(s, return_counts=True)
+    ud, cd = np.unique(d, return_counts=True)
+    return us, cs, ud, cd, len(s)
+
 # ---------------------------------------------------------------------------
 # driver-side engine
 # ---------------------------------------------------------------------------
@@ -243,25 +251,15 @@ class GraphEngine:
         if p is None:
             p = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
 
+        # the engine keeps two independent actor lists — forward view
+        # (emit at dst) and backward view (emit at src) — each a list of
+        # (actor, lo, hi); ranges may overlap (hub split / block-based
+        # construction), the gather tolerates duplicates
+        self.fwd_views: list[tuple] = []
+        self.bwd_views: list[tuple] = []
+
         if dataset is not None:
-            blocks = [t for t in ray.get(dataset.to_arrow_refs()) if t.num_rows > 0]
-            if blocks:
-                src = np.concatenate(
-                    [t.column("src").to_numpy(zero_copy_only=False) for t in blocks]
-                ).astype(np.int64)
-                dst = np.concatenate(
-                    [t.column("dst").to_numpy(zero_copy_only=False) for t in blocks]
-                ).astype(np.int64)
-                w = (
-                    np.concatenate(
-                        [t.column("weight").to_numpy(zero_copy_only=False) for t in blocks]
-                    ).astype(np.float64)
-                    if has_weights and "weight" in blocks[0].column_names
-                    else np.ones(len(src), dtype=np.float64)
-                )
-            else:
-                src = dst = np.empty(0, dtype=np.int64)
-                w = np.empty(0, dtype=np.float64)
+            self._init_from_dataset(dataset, has_weights)
         elif arrays is not None:
             src, dst, w = arrays
             src = np.asarray(src, dtype=np.int64)
@@ -271,14 +269,20 @@ class GraphEngine:
                 if w is not None and has_weights
                 else np.ones(len(src), dtype=np.float64)
             )
+            self._init_from_arrays(src, dst, w, p)
         else:
             raise ValueError("need dataset= or arrays=")
+        ray.get(
+            [a.ready.remote() for a, _, _ in self.fwd_views + self.bwd_views]
+        )
+
+    def _init_from_arrays(self, src, dst, w, p):
+        """Driver-held arrays (test/report scale): degree-weighted range
+        bounds; ranges whose edge share exceeds ~E/P get multiple actors
+        (hub split)."""
         self.num_edges = len(src)
         self.outdeg = np.bincount(src, minlength=self.n)
         self.indeg = np.bincount(dst, minlength=self.n)
-
-        # emission-target range bounds, degree-weighted so hub-heavy vid
-        # prefixes don't load one range (same scheme as dist_engine)
         deg = self.outdeg + self.indeg
         cum = np.cumsum(deg + 1)
         total = int(cum[-1])
@@ -289,41 +293,73 @@ class GraphEngine:
                 break
             bounds.append(b)
         bounds.append(max(self.n, 1))
-        self.bounds = np.asarray(bounds, dtype=np.int64)
-        P = len(self.bounds) - 1
+        bounds = np.asarray(bounds, dtype=np.int64)
 
-        # per range: fwd edges = dst in range, bwd edges = src in range;
-        # ranges whose edge share exceeds ~E/P get multiple actors (hub
-        # split) — each actor still emits only range-local partials
-        fwd_order = np.argsort(dst, kind="stable")
-        bwd_order = np.argsort(src, kind="stable")
-        fcuts = np.searchsorted(dst[fwd_order], self.bounds)
-        bcuts = np.searchsorted(src[bwd_order], self.bounds)
         target = max(1, self.num_edges // max(p, 1))
-        self.actors = []
-        self.actor_range: list[int] = []  # actor index -> range index
-        for j in range(P):
-            fidx = fwd_order[fcuts[j] : fcuts[j + 1]]
-            bidx = bwd_order[bcuts[j] : bcuts[j + 1]]
-            k = max(1, min(8, -(-max(len(fidx), len(bidx)) // target)))
-            for c in range(k):
-                fc = fidx[(len(fidx) * c) // k : (len(fidx) * (c + 1)) // k]
-                bc = bidx[(len(bidx) * c) // k : (len(bidx) * (c + 1)) // k]
-                fwd_ref = ray.put(
-                    pa.table({"src": src[fc], "dst": dst[fc], "weight": w[fc]})
-                )
-                bwd_ref = ray.put(
-                    pa.table({"src": src[bc], "dst": dst[bc], "weight": w[bc]})
-                )
-                self.actors.append(
-                    EdgePartitionActor.options(
-                        num_cpus=self.cfg.num_cpus_per_actor
-                    ).remote(
-                        fwd_ref, bwd_ref, int(self.bounds[j]), int(self.bounds[j + 1])
+        for emit_key, order_key, views in (
+            ("dst", dst, self.fwd_views),
+            ("src", src, self.bwd_views),
+        ):
+            order = np.argsort(order_key, kind="stable")
+            cuts = np.searchsorted(order_key[order], bounds)
+            for j in range(len(bounds) - 1):
+                idx = order[cuts[j] : cuts[j + 1]]
+                k = max(1, min(8, -(-len(idx) // target)))
+                for c in range(k):
+                    part = idx[(len(idx) * c) // k : (len(idx) * (c + 1)) // k]
+                    ref = ray.put(
+                        pa.table(
+                            {"src": src[part], "dst": dst[part], "weight": w[part]}
+                        )
+                    )
+                    views.append(
+                        (
+                            EdgeViewActor.options(
+                                num_cpus=self.cfg.num_cpus_per_actor
+                            ).remote(ref, int(bounds[j]), int(bounds[j + 1]), emit_key),
+                            int(bounds[j]),
+                            int(bounds[j + 1]),
+                        )
+                    )
+
+    def _init_from_dataset(self, dataset, has_weights):
+        """Streaming construction: TWO distributed sorts partition the
+        edge Dataset by dst (forward views) and by src (backward views);
+        each sorted BLOCK becomes one actor whose range is the block's
+        own key span. The driver touches only ObjectRefs and per-block
+        boundary keys — the edge table is never materialized driver-side
+        (the scale path for edge tables that dwarf one machine; the
+        sorts are Ray Data's shuffle, the converter's external-sort
+        rebuild, convert/process_in_edge.cpp)."""
+        self.num_edges = 0
+        self.outdeg = np.zeros(self.n, dtype=np.int64)
+        self.indeg = np.zeros(self.n, dtype=np.int64)
+        first = True
+        for sort_key, emit_key, views in (
+            ("dst", "dst", self.fwd_views),
+            ("src", "src", self.bwd_views),
+        ):
+            refs = dataset.sort(sort_key).materialize().to_arrow_refs()
+            metas = ray.get([_block_degrees.remote(r) for r in refs])
+            for r, (us, cs, ud, cd, ne) in zip(refs, metas):
+                if ne == 0:
+                    continue
+                if first:
+                    np.add.at(self.outdeg, us, cs)
+                    np.add.at(self.indeg, ud, cd)
+                    self.num_edges += ne
+                key_lo = int(us[0] if emit_key == "src" else ud[0])
+                key_hi = int((us[-1] if emit_key == "src" else ud[-1])) + 1
+                views.append(
+                    (
+                        EdgeViewActor.options(
+                            num_cpus=self.cfg.num_cpus_per_actor
+                        ).remote(r, key_lo, key_hi, emit_key),
+                        key_lo,
+                        key_hi,
                     )
                 )
-                self.actor_range.append(j)
-        ray.get([a.ready.remote() for a in self.actors])
+            first = False
 
     # -- one superstep -----------------------------------------------------
 
@@ -345,18 +381,16 @@ class GraphEngine:
         O(V) total regardless of the actor count. Returns
         (changed_ids, metrics)."""
         t0 = time.perf_counter()
-        span_max = int(np.diff(self.bounds).max())
+        views = self.fwd_views if direction == FWD else self.bwd_views
+        span_max = max((hi - lo for _, lo, hi in views), default=1)
         dense = program.combine == "sum" and span_max <= self.cfg.dense_threshold
         bcast, active_count = self._broadcast(state, frontier)
-        futs = [
-            a.scatter.remote(program, bcast, direction, dense) for a in self.actors
-        ]
+        futs = [a.scatter.remote(program, bcast, direction, dense) for a, _, _ in views]
         results = ray.get(futs)
         emitted = sum(r[1] for r in results)
         if dense:
             acc = np.zeros(self.n, dtype=np.float64)
-            for (partial, _e), j in zip(results, self.actor_range):
-                lo, hi = self.bounds[j], self.bounds[j + 1]
+            for (partial, _e), (_a, lo, hi) in zip(results, views):
                 acc[lo:hi] += partial[1]
             ids = np.flatnonzero(acc)
             vals, preds = acc[ids], None
@@ -462,6 +496,6 @@ class GraphEngine:
         )
 
     def shutdown(self):
-        for a in self.actors:
+        for a, _, _ in self.fwd_views + self.bwd_views:
             ray.kill(a)
-        self.actors = []
+        self.fwd_views, self.bwd_views = [], []

@@ -159,6 +159,37 @@ def test_frontier_range_path(ray_session):
         eng.shutdown()
 
 
+def test_dataset_streaming_construction(ray_session):
+    """GraphEngine(dataset=...) builds actors from SORTED BLOCKS (the
+    driver holds only refs); block key spans may overlap mid-vertex and
+    the gather must settle the duplicates. Multi-block input forces the
+    straddle case."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    src, dst, w, n = fx.random_graph(200, 0.05, seed=77)
+    t = pa.table({"src": src, "dst": dst, "weight": w})
+    chunk = max(1, len(t) // 7)
+    ds = rd.from_arrow([t.slice(i * chunk, chunk) for i in range((len(t) + chunk - 1) // chunk)])
+    eng = GraphEngine(n, dataset=ds, cfg=EngineConfig(num_partitions=4))
+    try:
+        assert eng.num_edges == len(src)
+        np.testing.assert_array_equal(eng.outdeg, np.bincount(src, minlength=n))
+        res = alg.pagerank(eng, niters=6)
+        np.testing.assert_allclose(
+            res.state["rank"], orc.pagerank_fog(src, dst, n, 6), rtol=1e-6
+        )
+        res2 = alg.connected_components(eng)
+        np.testing.assert_array_equal(
+            res2.state["component_root"].astype(np.int64), orc.wcc_fog(src, dst, n)
+        )
+        res3 = alg.sssp(eng, source=int(src[0]))
+        ev, ep = orc.sssp_fog(src, dst, w, n, source=int(src[0]))
+        np.testing.assert_allclose(res3.state["value"], ev, rtol=1e-6)
+    finally:
+        eng.shutdown()
+
+
 def test_single_vertex_no_edges(ray_session):
     eng = GraphEngine(
         3,
