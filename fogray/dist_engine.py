@@ -148,18 +148,32 @@ class DistEdgeActor:
     fogsrc/index_vert_array.cpp:25-336). A span may begin/end mid-vertex
     — that IS the hub split."""
 
-    def __init__(self, fwd_blocks: list, bwd_blocks: list, state_bounds: np.ndarray):
-        def _cat(blocks, cols):
-            ts = ray.get(list(blocks))
-            return tuple(
-                np.concatenate([t.column(c).to_numpy(zero_copy_only=False) for t in ts])
-                if ts
-                else np.empty(0, dtype=np.float64 if c == "weight" else np.int64)
-                for c in cols
-            )
+    def __init__(self, fwd_blocks: list, bwd_blocks: list, state_bounds: np.ndarray,
+                 presorted: bool = True):
+        def _cat(blocks, cols, sort_by):
+            ts = [t for t in ray.get(list(blocks)) if t.num_rows > 0 and t.num_columns > 0]
+            out = []
+            for c in cols:
+                if not ts:
+                    out.append(np.empty(0, dtype=np.float64 if c == "weight" else np.int64))
+                elif c == "weight" and c not in ts[0].column_names:
+                    out.append(np.ones(sum(len(t) for t in ts), dtype=np.float64))
+                else:
+                    out.append(
+                        np.concatenate(
+                            [t.column(c).to_numpy(zero_copy_only=False) for t in ts]
+                        )
+                    )
+            if not presorted and len(out[0]):
+                order = np.argsort(out[sort_by], kind="stable")
+                out = [x[order] for x in out]
+            return tuple(out)
 
-        self.fs, self.fd, self.fw = _cat(fwd_blocks, ("src", "dst", "weight"))
-        self.bs, self.bd, self.bw = _cat(bwd_blocks, ("src", "dst", "weight"))
+        # fwd view must be src-sorted, bwd view dst-sorted; blocks from
+        # ds.sort(...) arrive sorted (presorted=True), driver-sliced
+        # lexsorted arrays too
+        self.fs, self.fd, self.fw = _cat(fwd_blocks, ("src", "dst", "weight"), 0)
+        self.bs, self.bd, self.bw = _cat(bwd_blocks, ("src", "dst", "weight"), 1)
         self.bounds = state_bounds  # vid range bounds of the state partitions
         # state-partition spans this actor's views overlap (driver reads
         # these once to know which slice refs to ship each superstep)
@@ -210,8 +224,20 @@ class DistEdgeActor:
 
         frontier = arrays.get("__frontier")
         if frontier is not None and len(key):
-            m = frontier[key - lo]
-            s, d, w = s[m], d[m], w[m]
+            if frontier.mean() < 0.05:
+                # sparse frontier: CSR range expansion over the sorted
+                # key instead of an O(E) mask (bitmap-walk analog,
+                # cpu_thread.cpp:168-171)
+                active = np.flatnonzero(frontier) + lo
+                starts = np.searchsorted(key, active, side="left")
+                ends = np.searchsorted(key, active, side="right")
+                from .engine import expand_ranges as _er
+
+                idx = _er(starts, ends)
+                s, d, w = s[idx], d[idx], w[idx]
+            else:
+                m = frontier[key - lo]
+                s, d, w = s[m], d[m], w[m]
         if program.skip_self_loops and len(s):
             m = s != d
             s, d, w = s[m], d[m], w[m]
@@ -449,22 +475,26 @@ class DistGraphEngine:
         p_state = num_state_partitions or p_edge
 
         if dataset is not None:
-            blocks = [t for t in ray.get(dataset.to_arrow_refs()) if t.num_rows > 0]
-            tbl = (
-                pa.concat_tables(blocks, promote_options="default")
-                if blocks
-                else pa.table(
-                    {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
-                     "weight": pa.array([], pa.float64())}
-                )
-            )
-            src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-            w = (
-                tbl.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
-                if "weight" in tbl.column_names
-                else np.ones(len(src))
-            )
+            # streaming construction: two distributed sorts partition
+            # the Dataset into src-sorted (forward) and dst-sorted
+            # (backward) block runs — the driver holds only ObjectRefs;
+            # degrees come from per-block remote partials (O(V) ints is
+            # the only driver-side vertex-sized state at setup)
+            from .engine import _block_degrees
+
+            fwd_blocks = list(dataset.sort("src").materialize().to_arrow_refs())
+            bwd_blocks = list(dataset.sort("dst").materialize().to_arrow_refs())
+            outdeg = np.zeros(self.n, dtype=np.int64)
+            indeg = np.zeros(self.n, dtype=np.int64)
+            self.num_edges = 0
+            for us, cs, ud, cd, ne in ray.get(
+                [_block_degrees.remote(r) for r in fwd_blocks]
+            ):
+                np.add.at(outdeg, us, cs)
+                np.add.at(indeg, ud, cd)
+                self.num_edges += ne
+            deg = outdeg + indeg
+            p_edge = max(1, max(len(fwd_blocks), len(bwd_blocks)))
         else:
             src, dst, w = arrays
             src = np.asarray(src, dtype=np.int64)
@@ -474,12 +504,14 @@ class DistGraphEngine:
                 if w is not None
                 else np.ones(len(src), dtype=np.float64)
             )
-        self.num_edges = len(src)
+            self.num_edges = len(src)
+            outdeg = np.bincount(src, minlength=self.n)
+            indeg = np.bincount(dst, minlength=self.n)
+            deg = outdeg + indeg
 
         # degree-weighted state range bounds: each state partition owns
         # ~equal total degree, so one hub-heavy vid range doesn't
         # overload an actor (skew-aware RANGE partitioning).
-        deg = np.bincount(src, minlength=self.n) + np.bincount(dst, minlength=self.n)
         cum = np.cumsum(deg + 1)  # +1 keeps empty-vertex spans splittable
         total = cum[-1]
         bounds = [0]
@@ -492,31 +524,39 @@ class DistGraphEngine:
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
 
-        # edge-count-balanced spans of the two sorted views (hub edges
-        # split across actors when a vertex's list exceeds a span)
-        fwd_order = np.lexsort((dst, src))
-        bwd_order = np.lexsort((src, dst))
-        p_edge = max(1, min(p_edge, max(1, self.num_edges)))
-        fwd_blocks, bwd_blocks = [], []
-        for i in range(p_edge):
-            a = (self.num_edges * i) // p_edge
-            b = (self.num_edges * (i + 1)) // p_edge
-            fidx, bidx = fwd_order[a:b], bwd_order[a:b]
-            fwd_blocks.append(
-                ray.put(
-                    pa.table({"src": src[fidx], "dst": dst[fidx], "weight": w[fidx]})
+        if dataset is None:
+            # edge-count-balanced spans of the two sorted views (hub
+            # edges split across actors when a vertex's list exceeds a
+            # span)
+            fwd_order = np.lexsort((dst, src))
+            bwd_order = np.lexsort((src, dst))
+            p_edge = max(1, min(p_edge, max(1, self.num_edges)))
+            fwd_blocks, bwd_blocks = [], []
+            for i in range(p_edge):
+                a = (self.num_edges * i) // p_edge
+                b = (self.num_edges * (i + 1)) // p_edge
+                fidx, bidx = fwd_order[a:b], bwd_order[a:b]
+                fwd_blocks.append(
+                    ray.put(
+                        pa.table({"src": src[fidx], "dst": dst[fidx], "weight": w[fidx]})
+                    )
                 )
-            )
-            bwd_blocks.append(
-                ray.put(
-                    pa.table({"src": src[bidx], "dst": dst[bidx], "weight": w[bidx]})
+                bwd_blocks.append(
+                    ray.put(
+                        pa.table({"src": src[bidx], "dst": dst[bidx], "weight": w[bidx]})
+                    )
                 )
-            )
 
         bounds_ref = self.bounds
+        empty_tab = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+             "weight": pa.array([], pa.float64())}
+        )
         self.edge_actors = [
             DistEdgeActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
-                [fwd_blocks[i]], [bwd_blocks[i]], bounds_ref
+                [fwd_blocks[i]] if i < len(fwd_blocks) else [ray.put(empty_tab)],
+                [bwd_blocks[i]] if i < len(bwd_blocks) else [ray.put(empty_tab)],
+                bounds_ref,
             )
             for i in range(p_edge)
         ]
@@ -530,8 +570,6 @@ class DistGraphEngine:
 
         # degrees: combined once on the driver (O(V) ints, setup-time
         # only), sliced to the state actors
-        outdeg = np.bincount(src, minlength=self.n)
-        indeg = np.bincount(dst, minlength=self.n)
         self.outdeg, self.indeg = outdeg, indeg
         ray.get(
             [

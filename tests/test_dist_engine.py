@@ -157,6 +157,33 @@ def test_more_state_partitions_than_vertices(ray_session):
         eng.shutdown()
 
 
+def test_dist_dataset_streaming_construction(ray_session):
+    """DistGraphEngine(dataset=...): sorted blocks feed the edge actors
+    directly (driver holds refs only); degrees from remote partials."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    src, dst, w, n = fx.random_graph(150, 0.06, seed=55)
+    t = pa.table({"src": src, "dst": dst, "weight": w})
+    chunk = max(1, len(t) // 5)
+    ds = rd.from_arrow([t.slice(i * chunk, chunk) for i in range((len(t) + chunk - 1) // chunk)])
+    eng = DistGraphEngine(n, dataset=ds, cfg=EngineConfig(num_partitions=3))
+    try:
+        assert eng.num_edges == len(src)
+        np.testing.assert_array_equal(eng.outdeg, np.bincount(src, minlength=n))
+        res = alg.pagerank(eng, niters=5)
+        np.testing.assert_allclose(
+            res.state["rank"], orc.pagerank_fog(src, dst, n, 5), rtol=1e-6
+        )
+        res2 = alg.bfs(eng, root=int(src[0]))
+        np.testing.assert_array_equal(
+            res2.state["bfs_level"].astype(np.uint64),
+            orc.bfs_fog(src, dst, n, int(src[0])),
+        )
+    finally:
+        eng.shutdown()
+
+
 def test_dist_checkpoint_resume(ray_session, tmp_path):
     """Kill-after-superstep-k resume: a fresh dist engine continues from
     the per-partition shards and converges to the identical result."""
