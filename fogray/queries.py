@@ -38,7 +38,7 @@ from . import algorithms as alg
 from .config import EngineConfig
 from .engine import GraphEngine
 from .derive import cooccurrence_pair_counts, empty_guard, safe_inner_join
-from .util import sql_round
+from .util import sorted_table, sql_round
 from .triangles import triangle_count
 
 # ---------------------------------------------------------------------------
@@ -171,9 +171,7 @@ def _touched(eng: GraphEngine) -> np.ndarray:
 
 
 def q_derive_edges(sf_dir: str) -> pa.Table:
-    t = cooccurrence_edges(sf_dir)
-    df = t.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"])
 
 
 def q_out_degrees(sf_dir: str) -> pa.Table:
@@ -303,20 +301,16 @@ def q_src_edgelist(sf_dir: str) -> pa.Table:
 
     from . import sources
 
-    t = cooccurrence_edges(sf_dir)
-    df = t.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    t = sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"])
     path = f"/tmp/fogray_edgelist_{os.path.basename(sf_dir.rstrip('/'))}.txt"
     with open(path + ".tmp", "w") as f:
         f.write("# fogray edge-list round-trip fixture\n")
-        f.writelines(f"{s}\t{d}\n" for s, d in zip(df["src"], df["dst"]))
+        t.select(["src", "dst"]).to_pandas().to_csv(
+            f, sep="\t", header=False, index=False
+        )
     os.replace(path + ".tmp", path)
-    out = (
-        sources.read_edgelist(path)
-        .to_pandas()[["src", "dst"]]
-        .sort_values(["src", "dst"])
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    parsed = pa.concat_tables(_collect(sources.read_edgelist(path)))
+    return sorted_table(parsed.select(["src", "dst"]), ["src", "dst"])
 
 
 def q_scc(sf_dir: str) -> pa.Table:

@@ -14,6 +14,18 @@ def sql_round(x, decimals: int = 6) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def sorted_table(t, cols: list[str]):
+    """Arrow table sorted by ``cols`` via numpy lexsort (pandas
+    ``sort_values`` measured ~10x slower on multi-million-row frames)."""
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return t
+    keys = [t.column(c).to_numpy(zero_copy_only=False) for c in cols]
+    order = np.lexsort(tuple(reversed(keys)))
+    return t.take(pa.array(order))
+
+
 def list_col_matrix(col, dtype=np.float64) -> np.ndarray:
     """Arrow ``list<T>`` column (equal-length lists) -> (rows, dim)
     numpy matrix via flatten + reshape — no per-row Python lists (the
