@@ -161,6 +161,17 @@ def _engine_for(table: pa.Table, weights: bool = True) -> tuple[GraphEngine, int
     return eng, n
 
 
+@functools.lru_cache(maxsize=2)
+def _cooc_engine(sf_dir: str) -> tuple[GraphEngine, int]:
+    """ONE pinned-actor engine per sf_dir serves every co-occurrence
+    graph query (pagerank/cc/lp/bfs/spmv all run over the same edges;
+    programs that ignore weights just don't read them). Engines hold no
+    cross-run state — each run() re-inits its vertex state — so reuse is
+    safe, and re-building identical CSR actors per query was pure
+    overhead."""
+    return _engine_for(cooccurrence_edges(sf_dir))
+
+
 def _touched(eng: GraphEngine) -> np.ndarray:
     return np.flatnonzero((eng.outdeg > 0) | (eng.indeg > 0))
 
@@ -183,11 +194,8 @@ def q_out_degrees(sf_dir: str) -> pa.Table:
 
 
 def q_pagerank(sf_dir: str) -> pa.Table:
-    eng, n = _engine_for(cooccurrence_edges(sf_dir))
-    try:
-        res = alg.pagerank(eng, niters=10)
-    finally:
-        eng.shutdown()
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.pagerank(eng, niters=10)
     ids = _touched(eng)
     return pa.table(
         {"vid": ids.astype(np.int64), "rank": sql_round(res.state["rank"][ids])}
@@ -195,11 +203,8 @@ def q_pagerank(sf_dir: str) -> pa.Table:
 
 
 def q_connected_components(sf_dir: str) -> pa.Table:
-    eng, n = _engine_for(cooccurrence_edges(sf_dir), weights=False)
-    try:
-        res = alg.connected_components(eng)
-    finally:
-        eng.shutdown()
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.connected_components(eng)
     ids = _touched(eng)
     return pa.table(
         {
@@ -210,11 +215,8 @@ def q_connected_components(sf_dir: str) -> pa.Table:
 
 
 def q_label_propagation(sf_dir: str) -> pa.Table:
-    eng, n = _engine_for(cooccurrence_edges(sf_dir), weights=False)
-    try:
-        res = alg.label_propagation(eng)
-    finally:
-        eng.shutdown()
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.label_propagation(eng)
     ids = _touched(eng)
     return pa.table(
         {"vid": ids.astype(np.int64), "label": res.state["component_root"][ids].astype(np.int64)}
@@ -223,12 +225,9 @@ def q_label_propagation(sf_dir: str) -> pa.Table:
 
 def q_bfs(sf_dir: str) -> pa.Table:
     t = cooccurrence_edges(sf_dir)
-    eng, n = _engine_for(t, weights=False)
+    eng, n = _cooc_engine(sf_dir)
     root = int(t.column("src").to_numpy(zero_copy_only=False).min())
-    try:
-        res = alg.bfs(eng, root=root)
-    finally:
-        eng.shutdown()
+    res = alg.bfs(eng, root=root)
     lv = res.state["bfs_level"]
     reached = np.flatnonzero(lv < np.float64(2**32 - 1))
     return pa.table(
@@ -272,11 +271,8 @@ def q_sssp_tree(sf_dir: str) -> pa.Table:
 
 
 def q_spmv(sf_dir: str) -> pa.Table:
-    eng, n = _engine_for(cooccurrence_edges(sf_dir))
-    try:
-        res = alg.spmv(eng)
-    finally:
-        eng.shutdown()
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.spmv(eng)
     y = res.state["spmv_value"]
     ids = np.flatnonzero(eng.indeg > 0)
     return pa.table({"vid": ids.astype(np.int64), "spmv_value": sql_round(y[ids])})
