@@ -1,0 +1,167 @@
+"""Property-based checks (SURVEY.md section 5.3): random graphs drawn by
+hypothesis, engine results vs the pure-numpy FOG oracles and structural
+invariants that must hold for ANY graph."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fogray import algorithms as alg
+from fogray import oracle as orc
+from fogray.config import EngineConfig
+from fogray.engine import GraphEngine
+
+_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=40))
+    m = draw(st.integers(min_value=1, max_value=120))
+    src = draw(
+        st.lists(st.integers(0, n - 1), min_size=m, max_size=m).map(
+            lambda x: np.asarray(x, dtype=np.int64)
+        )
+    )
+    dst = draw(
+        st.lists(st.integers(0, n - 1), min_size=m, max_size=m).map(
+            lambda x: np.asarray(x, dtype=np.int64)
+        )
+    )
+    wseed = draw(st.integers(0, 2**31 - 1))
+    w = (np.arange(m, dtype=np.float64) * 37 + wseed) % 10 + 0.25
+    parts = draw(st.integers(1, 5))
+    return src, dst, w, n, parts
+
+
+@given(graphs())
+@_settings
+def test_pagerank_matches_oracle(ray_session, g):
+    src, dst, w, n, parts = g
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=parts))
+    try:
+        res = alg.pagerank(eng, niters=4)
+    finally:
+        eng.shutdown()
+    np.testing.assert_allclose(
+        res.state["rank"], orc.pagerank_fog(src, dst, n, 4), rtol=1e-6, atol=1e-6
+    )
+
+
+@given(graphs())
+@_settings
+def test_cc_labels_are_min_reachable(ray_session, g):
+    """CC invariant: every label is the minimum vid of the vertex's
+    undirected connected component (independent of the oracle's
+    propagation schedule)."""
+    src, dst, w, n, parts = g
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=parts))
+    try:
+        res = alg.connected_components(eng)
+    finally:
+        eng.shutdown()
+    labels = res.state["component_root"].astype(np.int64)
+    # union-find ground truth
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(v) for v in range(n)])
+    comp_min = np.full(n, -1, dtype=np.int64)
+    for v in range(n):
+        r = roots[v]
+        comp_min[r] = v if comp_min[r] == -1 else min(comp_min[r], v)
+    expected = comp_min[roots]
+    # vertices with no (non-self-loop) edges keep their own vid
+    touched = np.zeros(n, dtype=bool)
+    nl = src != dst
+    touched[src[nl]] = True
+    touched[dst[nl]] = True
+    expected[~touched] = np.arange(n)[~touched]
+    np.testing.assert_array_equal(labels, expected)
+
+
+@given(graphs())
+@_settings
+def test_bfs_levels_are_shortest_hops(ray_session, g):
+    src, dst, w, n, parts = g
+    root = int(src[0])
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=parts))
+    try:
+        res = alg.bfs(eng, root=root)
+    finally:
+        eng.shutdown()
+    # breadth-first ground truth over non-self-loop out-edges
+    INF = np.iinfo(np.uint64).max & 0xFFFFFFFF
+    lvl = {root: 0}
+    frontier = [root]
+    adj = {}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj.setdefault(int(a), []).append(int(b))
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in lvl:
+                    lvl[v] = lvl[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    got = res.state["bfs_level"]
+    for v in range(n):
+        if v in lvl:
+            assert int(got[v]) == lvl[v], (v, got[v], lvl[v])
+        else:
+            assert got[v] >= 2**32 - 1
+
+
+@given(graphs())
+@_settings
+def test_triangle_count_matches_bruteforce(ray_session, g):
+    from fogray.triangles import triangle_count
+
+    src, dst, w, n, parts = g
+    got = triangle_count((src, dst), n)
+    # brute force over the undirected simple graph
+    es = set()
+    for a, b in zip(src, dst):
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    adj = [set() for _ in range(n)]
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = sum(
+        1
+        for a, b in es
+        for c in (adj[a] & adj[b])
+        if c > b
+    )
+    assert got == brute
+
+
+@given(graphs())
+@_settings
+def test_spmv_is_weighted_indegree_sum(ray_session, g):
+    src, dst, w, n, parts = g
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=parts))
+    try:
+        res = alg.spmv(eng)
+    finally:
+        eng.shutdown()
+    expected = np.zeros(n)
+    np.add.at(expected, dst, w)  # x = 1.0 everywhere
+    np.testing.assert_allclose(res.state["spmv_value"], expected, rtol=1e-9)
