@@ -34,6 +34,16 @@ def _unit(vecs: np.ndarray) -> np.ndarray:
     return vecs / n[:, None]
 
 
+def _sq_dists(v: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Pairwise squared distances via |v|^2 + |c|^2 - 2 v.c — one matmul
+    instead of an O(rows x centroids x dim) broadcast temporary."""
+    return (
+        (v * v).sum(axis=1)[:, None]
+        + (c * c).sum(axis=1)[None, :]
+        - 2.0 * (v @ c.T)
+    )
+
+
 def ann_topk_bruteforce(
     emb_ds,
     query_ids: np.ndarray,
@@ -136,8 +146,7 @@ class IVFIndex:
             def partials(t: pa.Table) -> pa.Table:
                 c = ray.get(cref)
                 _, v = _to_matrix(t, id_col, vec_col)
-                d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                assign = d.argmin(axis=1)
+                assign = _sq_dists(v, c).argmin(axis=1)
                 sums = np.zeros_like(c)
                 np.add.at(sums, assign, v)
                 cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
@@ -175,7 +184,7 @@ class IVFIndex:
         def cell(t: pa.Table) -> pa.Table:
             c = ray.get(cref)
             ids, v = _to_matrix(t, id_col, vec_col)
-            d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            d = _sq_dists(v, c)
             return t.append_column("cell", pa.array(d.argmin(axis=1).astype(np.int64)))
 
         return emb_ds.map_batches(cell, batch_format="pyarrow")
@@ -199,7 +208,7 @@ def ann_topk_ivf(
 
     qvec = np.asarray(query_vecs, dtype=np.float64)
     qids = np.asarray(query_ids, dtype=np.int64)
-    qd = ((qvec[:, None, :] - idx.centroids[None, :, :]) ** 2).sum(axis=2)
+    qd = _sq_dists(qvec, idx.centroids)
     probes = np.argsort(qd, axis=1)[:, :nprobe]  # Q x nprobe
     qref = ray.put((qids, _unit(qvec), probes))
 
