@@ -87,12 +87,14 @@ def _collect(ds) -> list[pa.Table]:
 @functools.lru_cache(maxsize=4)
 def sequence_edges(sf_dir: str) -> pa.Table:
     """Directed part sequence graph: consecutive line numbers in an
-    order, distinct, self-loops dropped. (l_orderkey, l_linenumber) is
-    unique, so after ONE sort by (order, line) every consecutive-line
-    pair is a pair of ADJACENT ROWS — a shift-compare per block replaces
-    the equi-join on (order, linenumber+1); a second sort dedups the
-    pairs (fogray.derive.key_grouped_block_map on both)."""
+    order, distinct, self-loops dropped. ONE sort by order key brings
+    every order's rows into one group-complete block, where the
+    (order, line) x (order, line+1) equi-join is a composite-key
+    searchsorted + range expansion — exact join semantics incl.
+    duplicate (order, line) rows (the synthetic lineitem HAS them); a
+    second sort dedups the pairs."""
     from .derive import key_grouped_block_map
+    from .engine import expand_ranges
 
     li = rd.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey"]
@@ -102,13 +104,22 @@ def sequence_edges(sf_dir: str) -> pa.Table:
         empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         ln = t.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
         p = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ln, o))
-        o, ln, p = o[order], ln[order], p[order]
-        m = (o[1:] == o[:-1]) & (ln[1:] == ln[:-1] + 1) & (p[1:] != p[:-1])
-        return pa.table({"src": p[:-1][m], "dst": p[1:][m]})
+        # composite key (order, line) as one int64; line numbers are
+        # small so the order key is scaled by the next power of two
+        M = np.int64(1) << max(int(ln.max()) + 2, 8).bit_length()
+        k = o * M + ln
+        order = np.argsort(k, kind="stable")
+        k, p = k[order], p[order]
+        starts = np.searchsorted(k, k + 1, side="left")
+        ends = np.searchsorted(k, k + 1, side="right")
+        idx = expand_ranges(starts, ends)
+        src = np.repeat(p, ends - starts)
+        dst = p[idx]
+        m = src != dst
+        return pa.table({"src": src[m], "dst": dst[m]})
 
     def dedup(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
