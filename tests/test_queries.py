@@ -49,3 +49,31 @@ def _compare(name, con):
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)
+
+
+# sf0.01 spot-checks: data properties that sf0.001 lacks (duplicate
+# (order, line) rows appear only at the larger scale and broke the
+# sequence-edge derivation once) — run the two most structure-sensitive
+# queries against the oracle at the driver's own conformance scale.
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con01():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF01, f"{t}.parquet")
+        if os.path.exists(path):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+@pytest.mark.parametrize("name", ["scc", "derive_edges"])
+def test_query_matches_oracle_sf001(ray_session, con01, name):
+    from fogray import queries as q
+
+    got = q.QUERIES[name](SF01)
+    got_df = normalize(got.to_pandas())
+    want_df = normalize(con01.execute(q.ORACLE_SQL[name]).df())
+    assert len(got_df) == len(want_df), f"{name}: {len(got_df)} vs {len(want_df)} rows"
+    pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False, atol=0, rtol=0)
