@@ -138,6 +138,8 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_langid",
         "txt_fingerprint",
         "mm_features",
+        "evt_window",
+        "evt_sessions",
     ]
     names = names or [k for k in default if k in qs]
     timings: dict[str, float] = {}

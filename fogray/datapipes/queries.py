@@ -131,6 +131,31 @@ def q_mm_features(sf_dir: str) -> pa.Table:
     return _collect(multimodal.media_features(_docs(sf_dir)))
 
 
+# ---------------------------------------------------------------------------
+# windowed / sessionized stream operators (events table)
+# ---------------------------------------------------------------------------
+
+
+def _events(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_evt_window(sf_dir: str) -> pa.Table:
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.tumbling_window_stats(_events(sf_dir), width_minutes=60))
+    return sorted_table(t, ["window_start", "event_type"])
+
+
+def q_evt_sessions(sf_dir: str) -> pa.Table:
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.sessionize(_events(sf_dir), gap_minutes=30))
+    return sorted_table(t, ["user_id", "session_id"])
+
+
 QUERIES = {
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
@@ -143,6 +168,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "mm_features": q_mm_features,
+    "evt_window": q_evt_window,
+    "evt_sessions": q_evt_sessions,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -219,5 +246,33 @@ ORACLE_SQL = {
         )
         SELECT qid, nid, ROUND(sc, 6) AS score FROM r WHERE rn <= 10
         ORDER BY qid, nid
+    """,
+    "evt_window": """
+        SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_sessions": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
+        FROM sess GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }

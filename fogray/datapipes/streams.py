@@ -1,0 +1,139 @@
+"""Windowed / sessionized operators over the ``events`` stream table
+``(event_id, ts, user_id, event_type, value, props)``.
+
+The reference is strictly batch-iterative (SURVEY.md section 2.6: no
+streaming, windows, or watermarks), so these are rebuild-defined
+operators for the corpus-pipeline role, built on the same two
+primitives as everything else here:
+
+- **tumbling window**: assign ``window_start = ts - (ts % width)``
+  inside ``map_batches`` (vectorized timestamp arithmetic), then ONE
+  aggregation per (window, event_type) — expressed as sort +
+  group-complete per-block reduce (fogray.derive.key_grouped_block_map),
+  the same dataflow a keyed-window stream shuffle performs per
+  watermark flush.
+- **sessionization**: sort by (user, ts); within a group-complete user
+  block, a session starts wherever the gap to the previous event
+  exceeds ``gap`` — one vectorized diff/cumsum per block (the classic
+  gap-based session assignment; at corpus scale the sort is the only
+  shuffle).
+
+Both are SQL-expressible and carry exact DuckDB oracle entries in
+fogray.datapipes.queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..derive import key_grouped_block_map
+from ..util import sql_round
+
+
+def tumbling_window_stats(ds, *, width_minutes: int = 60) -> rd.Dataset:
+    """-> (window_start: timestamp[us], event_type, n_events, sum_value,
+    max_value) per tumbling window of ``width_minutes``."""
+    width_us = np.int64(width_minutes) * 60 * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = ts - (ts % width_us)
+        return pa.table(
+            {
+                "w": win,
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow")
+
+    def reduce_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_start": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "max_value": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, w))
+        w, et, v = w[order], et[order], v[order]
+        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
+        sizes = np.diff(np.r_[starts, len(w)])
+        return pa.table(
+            {
+                "window_start": pa.array(w[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(et[starts]),
+                "n_events": sizes.astype(np.int64),
+                "sum_value": sql_round(np.add.reduceat(v, starts)),
+                "max_value": np.maximum.reduceat(v, starts),
+            }
+        )
+
+    return key_grouped_block_map(keyed.sort(["w", "event_type"]), ["w", "event_type"], reduce_block)
+
+
+def sessionize(ds, *, gap_minutes: int = 30) -> rd.Dataset:
+    """-> (user_id, session_id, session_start: timestamp[us], n_events,
+    duration_s). A session breaks where the gap between a user's
+    consecutive events exceeds ``gap_minutes``; session_id numbers a
+    user's sessions from 0 in time order."""
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def sessions_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "duration_s": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap_break = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        new_session = new_user | gap_break
+        starts = np.flatnonzero(new_session)
+        sizes = np.diff(np.r_[starts, len(u)])
+        ends = starts + sizes - 1
+        # session_id = per-user running index
+        sess_user = u[starts]
+        first_of_user = np.r_[True, sess_user[1:] != sess_user[:-1]]
+        grp = np.cumsum(first_of_user) - 1
+        idx = np.arange(len(starts))
+        sid = idx - np.maximum.accumulate(np.where(first_of_user, idx, 0))
+        return pa.table(
+            {
+                "user_id": sess_user.astype(np.int64),
+                "session_id": sid.astype(np.int64),
+                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": sizes.astype(np.int64),
+                "duration_s": sql_round((ts[ends] - ts[starts]) / 1e6),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["user_id", "ts"]).sort(["user_id", "ts"]),
+        ["user_id"],
+        sessions_block,
+    )

@@ -14,7 +14,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     return c
 
@@ -27,7 +27,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["txt_stats", "txt_fingerprint", "dd_exact", "dd_ngram_jaccard",
-     "dd_embed_cosine", "ann_topk"],
+     "dd_embed_cosine", "ann_topk", "evt_window", "evt_sessions"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
