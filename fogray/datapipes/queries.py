@@ -148,6 +148,16 @@ def q_evt_window(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["window_start", "event_type"])
 
 
+def q_evt_sliding(sf_dir: str) -> pa.Table:
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(
+        streams.sliding_window_stats(_events(sf_dir), width_minutes=60, slide_minutes=15)
+    )
+    return sorted_table(t, ["window_start", "event_type"])
+
+
 def q_evt_sessions(sf_dir: str) -> pa.Table:
     from . import streams
     from ..util import sorted_table
@@ -169,6 +179,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "mm_features": q_mm_features,
     "evt_window": q_evt_window,
+    "evt_sliding": q_evt_sliding,
     "evt_sessions": q_evt_sessions,
 }
 
@@ -254,6 +265,19 @@ ORACLE_SQL = {
                ROUND(SUM(value), 6) AS sum_value,
                MAX(value) AS max_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_sliding": """
+        WITH hops AS (SELECT unnest(range(4)) AS k),
+        x AS (
+            SELECT (epoch_us(ts) - epoch_us(ts) % 900000000) - k * 900000000 AS w,
+                   event_type, value
+            FROM events CROSS JOIN hops
+        )
+        SELECT make_timestamp(w) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value,
+               MAX(value) AS max_value
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "evt_sessions": """
         WITH marked AS (

@@ -12,6 +12,11 @@ primitives as everything else here:
   group-complete per-block reduce (fogray.derive.key_grouped_block_map),
   the same dataflow a keyed-window stream shuffle performs per
   watermark flush.
+- **sliding (hopping) window**: two-level — tumbling pre-aggregate at
+  *slide* granularity (the only pass over raw events), then expand the
+  already-small partials ``width/slide``× and combine. The ×hops blowup
+  never touches the event stream, so a 1h/15m window over 100 TB of
+  events shuffles slide-level partials, not 4× the input.
 - **sessionization**: sort by (user, ts); within a group-complete user
   block, a session starts wherever the gap to the previous event
   exceeds ``gap`` — one vectorized diff/cumsum per block (the classic
@@ -83,6 +88,122 @@ def tumbling_window_stats(ds, *, width_minutes: int = 60) -> rd.Dataset:
         )
 
     return key_grouped_block_map(keyed.sort(["w", "event_type"]), ["w", "event_type"], reduce_block)
+
+
+def sliding_window_stats(
+    ds, *, width_minutes: int = 60, slide_minutes: int = 15
+) -> rd.Dataset:
+    """-> (window_start: timestamp[us], event_type, n_events, sum_value,
+    max_value) per hopping window of ``width_minutes`` advancing every
+    ``slide_minutes``; an event at t lands in the ``width/slide``
+    windows whose start w satisfies w <= t < w + width.
+
+    Two-level dataflow (see module docstring): slide-granularity
+    tumbling partials first, then each partial is replicated into the
+    ``hops`` windows covering its slide and combined (count/sum/max are
+    all decomposable)."""
+    if width_minutes % slide_minutes:
+        raise ValueError("width_minutes must be a multiple of slide_minutes")
+    slide_us = np.int64(slide_minutes) * 60 * 1_000_000
+    hops = width_minutes // slide_minutes
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "w": ts - (ts % slide_us),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+
+    keyed = ds.map_batches(assign, batch_format="pyarrow")
+
+    partial_schema = pa.schema(
+        [
+            ("w", pa.int64()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("s", pa.float64()),
+            ("m", pa.float64()),
+        ]
+    )
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        # raw (unrounded) per-(slide, type) partials
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, w))
+        w, et, v = w[order], et[order], v[order]
+        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
+        sizes = np.diff(np.r_[starts, len(w)])
+        return pa.table(
+            {
+                "w": w[starts],
+                "event_type": pa.array(et[starts]),
+                "n": sizes.astype(np.int64),
+                "s": np.add.reduceat(v, starts),
+                "m": np.maximum.reduceat(v, starts),
+            }
+        )
+
+    parts = key_grouped_block_map(
+        keyed.sort(["w", "event_type"]), ["w", "event_type"], partial_block
+    )
+
+    offsets = np.arange(hops, dtype=np.int64) * slide_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        out = t.take(pa.array(np.repeat(np.arange(t.num_rows), hops)))
+        w = out.column("w").to_numpy(zero_copy_only=False) - np.tile(
+            offsets, t.num_rows
+        )
+        return out.set_column(
+            out.schema.get_field_index("w"), "w", pa.array(w, pa.int64())
+        )
+
+    expanded = parts.map_batches(expand, batch_format="pyarrow")
+
+    def final_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_start": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "max_value": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, w))
+        w, et, n, s, m = w[order], et[order], n[order], s[order], m[order]
+        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
+        return pa.table(
+            {
+                "window_start": pa.array(w[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(et[starts]),
+                "n_events": np.add.reduceat(n, starts).astype(np.int64),
+                "sum_value": sql_round(np.add.reduceat(s, starts)),
+                "max_value": np.maximum.reduceat(m, starts),
+            }
+        )
+
+    return key_grouped_block_map(
+        expanded.sort(["w", "event_type"]), ["w", "event_type"], final_block
+    )
 
 
 def sessionize(ds, *, gap_minutes: int = 30) -> rd.Dataset:
