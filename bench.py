@@ -139,6 +139,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_fingerprint",
         "mm_features",
         "evt_window",
+        "evt_sliding",
         "evt_sessions",
     ]
     names = names or [k for k in default if k in qs]
