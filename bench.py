@@ -138,6 +138,8 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_langid",
         "txt_fingerprint",
         "mm_features",
+        "rel_topk",
+        "rel_sample",
         "evt_window",
         "evt_sliding",
         "evt_sessions",

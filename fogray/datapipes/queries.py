@@ -5,7 +5,8 @@ SQL-oracled entries (exact DuckDB parity — integer-derived doubles or
 values rounded to 6 decimals with sub-ulp engine agreement, verified in
 tests/test_datapipes.py):
   txt_stats, txt_fingerprint, dd_exact, dd_ngram_jaccard (word-set
-  Jaccard blocked by ``source``), dd_embed_cosine, ann_topk.
+  Jaccard blocked by ``source``), dd_embed_cosine, ann_topk, rel_topk,
+  rel_sample, evt_window, evt_sliding, evt_sessions.
 
 Rows-only entries (deterministic but not SQL-expressible; verified
 against pure-Python oracles / recall bounds in pytest):
@@ -132,6 +133,37 @@ def q_mm_features(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# generic relational ops (grouped top-k, deterministic sampling)
+# ---------------------------------------------------------------------------
+
+
+def q_rel_topk(sf_dir: str) -> pa.Table:
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.topk_per_group(
+            _docs(sf_dir), group_col="source", id_col="doc_id", order_col="n_chars", k=5
+        )
+    )
+    return sorted_table(t, ["source", "rk"])
+
+
+def q_rel_sample(sf_dir: str) -> pa.Table:
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.hash_sample(
+            _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]),
+            key_col="doc_id",
+            max_prefix="28",
+        )
+    )
+    return sorted_table(t, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
 # windowed / sessionized stream operators (events table)
 # ---------------------------------------------------------------------------
 
@@ -178,6 +210,8 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "mm_features": q_mm_features,
+    "rel_topk": q_rel_topk,
+    "rel_sample": q_rel_sample,
     "evt_window": q_evt_window,
     "evt_sliding": q_evt_sliding,
     "evt_sessions": q_evt_sessions,
@@ -257,6 +291,17 @@ ORACLE_SQL = {
         )
         SELECT qid, nid, ROUND(sc, 6) AS score FROM r WHERE rn <= 10
         ORDER BY qid, nid
+    """,
+    "rel_topk": """
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        FROM documents QUALIFY rk <= 5 ORDER BY source, rk
+    """,
+    "rel_sample": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
+        ORDER BY doc_id
     """,
     "evt_window": """
         SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start,

@@ -27,7 +27,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["txt_stats", "txt_fingerprint", "dd_exact", "dd_ngram_jaccard",
-     "dd_embed_cosine", "ann_topk", "evt_window", "evt_sliding", "evt_sessions"],
+     "dd_embed_cosine", "ann_topk", "rel_topk", "rel_sample",
+     "evt_window", "evt_sliding", "evt_sessions"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
