@@ -13,7 +13,11 @@ engine — the data-pipeline side a 100 TB corpus needs):
 - :mod:`fogray.datapipes.multimodal` — binary-payload columns with
   typed metadata and an actor-pool decode/featurize stage (decode is a
   deterministic stub per the environment's no-codec constraint; the Ray
-  plumbing — schema, actor signature, batching — is real and tested).
+  plumbing — schema, actor signature, batching — is real and tested);
+- :mod:`fogray.datapipes.streams` — tumbling and sliding (hopping)
+  window aggregates and gap-based sessionization over the events table;
+- :mod:`fogray.datapipes.relational` — grouped top-k and deterministic
+  md5-prefix hash sampling.
 
 Everything is expressed as ``map_batches`` over Arrow/NumPy batches plus
 hash ``groupby``/``join`` shuffles; no per-row Python in hot paths.
