@@ -128,28 +128,56 @@ def _apply_to_group(fn, *tables: pa.Table) -> pa.Table:
     return fn(t)
 
 
+def plan_key_groups(bounds: list) -> list[list[int]]:
+    """Pure planning step for :func:`key_grouped_block_map`: given each
+    block's (first_key, last_key) boundary tuples (None for empty
+    blocks), return index groups such that every key group's rows land
+    in exactly one group of blocks.
+
+    ``ds.sort`` range-partitions by key, but the executor does NOT
+    guarantee that ``to_arrow_refs()`` yields the reduce outputs in
+    global order, nor that one reduce output stays one block. Relying
+    on yielded order made the round-1 ``evt_sessions`` hash flaky (a
+    key group split across two un-coalesced groups restarts its
+    session numbering — row count preserved, values wrong). So:
+
+    1. order blocks by their own boundary keys (first, then last);
+    2. coalesce a block into the current group when its first key is
+       <= the group's max last key (shared boundary OR range overlap —
+       overlap covers split/out-of-order reduce outputs).
+
+    Blocks whose key ranges are disjoint stay independent, so data
+    still never moves unless ranges actually touch."""
+    items = sorted(
+        ((b[0], b[1], i) for i, b in enumerate(bounds) if b is not None),
+        key=lambda x: (x[0], x[1]),
+    )
+    groups: list[list[int]] = []
+    group_last = None
+    for first, last, i in items:
+        if groups and first <= group_last:
+            groups[-1].append(i)
+            group_last = max(group_last, last)
+        else:
+            groups.append([i])
+            group_last = last
+    return groups
+
+
 def key_grouped_block_map(sorted_ds: rd.Dataset, key_cols: list[str], fn) -> rd.Dataset:
     """Apply ``fn`` (pa.Table -> pa.Table) to blocks of a key-sorted
     Dataset such that every key group is entirely inside one call.
-    ``sorted_ds`` MUST be sorted by ``key_cols``; the boundary check
-    costs one metadata-sized task per block and data never moves unless
-    two adjacent blocks actually share a key."""
+    ``sorted_ds`` MUST be sorted by ``key_cols`` (each block internally
+    sorted; blocks covering key ranges). The boundary check costs one
+    metadata-sized task per block; block layout/order is NOT trusted —
+    see :func:`plan_key_groups`. ``fn`` must not assume row order
+    within its input (every caller in this repo re-lexsorts)."""
     refs = sorted_ds.materialize().to_arrow_refs()
     bounds = ray.get([_first_last_keys.remote(r, key_cols) for r in refs])
-    groups: list[list] = []
-    prev_last = None
-    for r, b in zip(refs, bounds):
-        if b is None:
-            continue
-        first, last = b
-        if groups and prev_last == first:
-            groups[-1].append(r)
-        else:
-            groups.append([r])
-        prev_last = last
+    groups = plan_key_groups(bounds)
     if not groups:
         return sorted_ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
-    out = [_apply_to_group.remote(fn, *g) for g in groups]
+    out = [_apply_to_group.remote(fn, *[refs[i] for i in g]) for g in groups]
     return rd.from_arrow_refs(out)
 
 

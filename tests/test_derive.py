@@ -94,3 +94,86 @@ def test_boilerplate_cap(ray_session):
     # only a<->b via shared content remains
     vids = out["repos"].to_pandas().set_index("repo")["vid"]
     assert set(zip(e["src"], e["dst"])) == {(vids["a"], vids["b"]), (vids["b"], vids["a"])}
+
+
+# ---------------------------------------------------------------------------
+# plan_key_groups hardening (round-2 fix for the flaky evt_sessions hash:
+# the executor may yield sorted blocks out of order or split one reduce
+# output — the planner must coalesce by key range, not yielded adjacency)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_key_groups_disjoint_stays_independent():
+    bounds = [((0,), (4,)), ((5,), (9,)), ((10,), (12,))]
+    assert derive.plan_key_groups(bounds) == [[0], [1], [2]]
+
+
+def test_plan_key_groups_shared_boundary():
+    bounds = [((0,), (5,)), ((5,), (9,)), ((10,), (11,))]
+    assert derive.plan_key_groups(bounds) == [[0, 1], [2]]
+
+
+def test_plan_key_groups_out_of_order_blocks():
+    # executor yields the second range first; boundary key 5 is shared
+    bounds = [((5,), (9,)), ((0,), (5,)), ((10,), (11,))]
+    assert derive.plan_key_groups(bounds) == [[1, 0], [2]]
+
+
+def test_plan_key_groups_split_reduce_output():
+    # one reduce output split mid-key-range: ranges overlap, must merge
+    bounds = [((0,), (7,)), ((3,), (9,)), ((10,), (11,))]
+    assert derive.plan_key_groups(bounds) == [[0, 1], [2]]
+
+
+def test_plan_key_groups_empty_and_none_blocks():
+    bounds = [None, ((2,), (2,)), None, ((2,), (3,))]
+    assert derive.plan_key_groups(bounds) == [[1, 3]]
+
+
+def test_plan_key_groups_transitive_chain():
+    # a long block spanning several later blocks' ranges
+    bounds = [((0,), (9,)), ((1,), (2,)), ((3,), (9,)), ((9,), (9,)), ((10,), (10,))]
+    assert derive.plan_key_groups(bounds) == [[0, 1, 2, 3], [4]]
+
+
+def test_key_grouped_block_map_hostile_layout(ray_session):
+    """Integration: blocks sorted within but yielded out of order AND one
+    key split across two blocks — the sessionize-style numbering that
+    went flaky in round 1 must still come out exact."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    # key 10 spans blocks, and blocks are supplied out of global order
+    blocks = [
+        pa.table({"k": [10, 10, 11], "v": [3, 4, 5]}),   # second half
+        pa.table({"k": [1, 2, 10], "v": [0, 1, 2]}),     # first half
+        pa.table({"k": [20], "v": [9]}),
+    ]
+    ds = rd.from_arrow_refs([ray.put(b) for b in blocks])
+
+    def per_key_stats(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sizes = np.diff(np.r_[starts, len(k)])
+        return pa.table(
+            {
+                "k": k[starts],
+                "n": sizes.astype(np.int64),
+                "sum_v": np.add.reduceat(v, starts).astype(np.int64),
+            }
+        )
+
+    out = (
+        derive.key_grouped_block_map(ds, ["k"], per_key_stats)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expected = pd.DataFrame(
+        {"k": [1, 2, 10, 11, 20], "n": [1, 1, 3, 1, 1], "sum_v": [0, 1, 9, 5, 9]}
+    )
+    pd.testing.assert_frame_equal(out, expected, check_dtype=False)
