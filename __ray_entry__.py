@@ -24,17 +24,126 @@ def entry() -> Any:
     return q.q_pagerank("/root/testdata/sf0.001").to_pandas()
 
 
+# the input_hint-shaped synthetic repo table used by every repo_* query
+# AND re-materialized to parquet for the DuckDB oracle (one deterministic
+# table, two independent readers).
+_REPO_SHAPE = (400, 16, 42)  # (n_rows, n_repos, seed)
+_REPO_ORACLE_PARQUET = "/tmp/fogray_repo_oracle_{}_{}_{}.parquet".format(*_REPO_SHAPE)
+
+
+def _repo_oracle_parquet() -> str:
+    """Write the deterministic repo table where the oracle SQL can read
+    it (idempotent; atomic rename so a concurrent writer can't expose a
+    torn file)."""
+    import os
+
+    if not os.path.exists(_REPO_ORACLE_PARQUET):
+        import pyarrow.parquet as pq
+
+        from fogray import tables
+
+        n_rows, n_repos, seed = _REPO_SHAPE
+        t = tables.make_repo_table(n_rows, n_repos, seed=seed)
+        tmp = f"{_REPO_ORACLE_PARQUET}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _REPO_ORACLE_PARQUET)
+    return _REPO_ORACLE_PARQUET
+
+
+def _repo_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the repo_* pipelines, over the same
+    deterministic table (read from parquet). Notes on equivalences:
+
+    - co-occurrence on ``sha256(content)`` == co-occurrence on
+      ``content`` (the hash only renames the grouping key), so the SQL
+      groups by raw content;
+    - dense vid = rank of repo in sorted distinct repo names; DuckDB's
+      default binary collation matches numpy's codepoint sort on these
+      ASCII names;
+    - the PageRank recursion mirrors the FOG semantics oracle used for
+      the co-occurrence graph (fogray/queries.py): per-edge teleport,
+      accumulate-no-reset via a unit self-loop row, 10 fixed
+      iterations; verts spans ALL repos (isolated vertices hold their
+      initial rank 1.0).
+    """
+    path = _repo_oracle_parquet()
+    cap = 256  # derive_edges default max_repos_per_key
+    vids_sql = f"""
+        SELECT repo, CAST(ROW_NUMBER() OVER (ORDER BY repo) - 1 AS BIGINT) AS vid
+        FROM (SELECT DISTINCT repo FROM read_parquet('{path}'))
+    """
+    edges_sql = f"""
+        WITH files AS (
+            SELECT repo, path, lang, content FROM read_parquet('{path}')
+        ),
+        vids AS ({vids_sql}),
+        fv AS (
+            SELECT f.path, f.lang, f.content, v.vid
+            FROM files f JOIN vids v ON v.repo = f.repo
+        ),
+        chan AS (
+            SELECT 'c' AS ch, content AS k1, '' AS k2, vid
+            FROM (SELECT DISTINCT content, vid FROM fv)
+            UNION ALL
+            SELECT 'p', path, lang, vid
+            FROM (SELECT DISTINCT path, lang, vid FROM fv)
+        ),
+        keyed AS (
+            SELECT ch, k1, k2, vid,
+                   COUNT(*) OVER (PARTITION BY ch, k1, k2) AS grp_n
+            FROM chan
+        ),
+        ok AS (SELECT * FROM keyed WHERE grp_n BETWEEN 2 AND {cap}),
+        pairs AS (
+            SELECT a.vid AS src, b.vid AS dst
+            FROM ok a JOIN ok b
+              ON a.ch = b.ch AND a.k1 = b.k1 AND a.k2 = b.k2
+             AND a.vid <> b.vid
+        )
+        SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+        FROM pairs GROUP BY 1, 2
+    """
+    pagerank_sql = f"""
+        WITH RECURSIVE
+        edges AS ({edges_sql}),
+        verts AS (SELECT vid AS v FROM ({vids_sql})),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        mat AS (
+            SELECT e.src AS src, e.dst AS dst,
+                   0.85 / d.outdeg AS coef, 0.15 AS konst
+            FROM edges e JOIN deg d ON d.src = e.src
+            UNION ALL
+            SELECT v, v, 1.0, 0.0 FROM verts
+        ),
+        pr(iter, v, r) AS (
+            SELECT 0, v, CAST(1.0 AS DOUBLE) FROM verts
+            UNION ALL
+            SELECT pr.iter + 1, mat.dst, SUM(mat.coef * pr.r + mat.konst)
+            FROM pr JOIN mat ON mat.src = pr.v
+            WHERE pr.iter < 10
+            GROUP BY pr.iter + 1, mat.dst
+        )
+        SELECT v AS vid, ROUND(r, 6) AS rank FROM pr WHERE iter = 10 ORDER BY vid
+    """
+    return {
+        "repo_derive_edges": f"SELECT src, dst, weight FROM ({edges_sql}) ORDER BY src, dst",
+        "repo_pagerank": pagerank_sql,
+        "repo_pagerank_dist": pagerank_sql,
+    }
+
+
 def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
-    """Rows-only pipelines over the deterministic synthetic repo table
-    (the input_hint-shaped table; no SQL oracle — the FOG-semantics
-    correctness gate for these lives in tests/ vs fogray.oracle)."""
+    """Pipelines over the deterministic synthetic repo table (the
+    input_hint-shaped table); DuckDB oracles in :func:`_repo_oracle_sql`
+    read the same table re-materialized to parquet."""
 
     def _derived(sf_dir: str):
         import ray.data as rd
 
         from fogray import derive, tables
 
-        t = tables.make_repo_table(400, 16, seed=42)
+        n_rows, n_repos, seed = _REPO_SHAPE
+        t = tables.make_repo_table(n_rows, n_repos, seed=seed)
         return derive.derive_edges(rd.from_arrow(t))
 
     def repo_edges(sf_dir: str):
@@ -60,8 +169,10 @@ def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
             eng.shutdown()
         import pandas as pd
 
+        from fogray.util import sql_round
+
         return pd.DataFrame(
-            {"vid": np.arange(out["num_vertices"]), "rank": np.round(res.state["rank"], 6)}
+            {"vid": np.arange(out["num_vertices"]), "rank": sql_round(res.state["rank"])}
         )
 
     def repo_pagerank_dist(sf_dir: str):
@@ -87,8 +198,10 @@ def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
             res = alg.pagerank(eng, niters=10)
         finally:
             eng.shutdown()
+        from fogray.util import sql_round
+
         return pd.DataFrame(
-            {"vid": np.arange(out["num_vertices"]), "rank": np.round(res.state["rank"], 6)}
+            {"vid": np.arange(out["num_vertices"]), "rank": sql_round(res.state["rank"])}
         )
 
     return {
@@ -116,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
     from fogray import queries as q
 
     out = dict(q.ORACLE_SQL)
+    out.update(_repo_oracle_sql())
     try:
         from fogray.datapipes import queries as dq
 

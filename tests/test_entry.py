@@ -21,8 +21,9 @@ def test_queries_registry(ray_session):
                  "sssp_tree", "spmv", "triangle_count", "scc", "label_propagation",
                  "out_degrees"]:
         assert name in qs and name in sqls
-    # rows-only flagship pipelines exist
-    assert "repo_pagerank" in qs and "repo_pagerank" not in sqls
+    # the flagship repo_* pipelines are oracle-gated since round 2
+    for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist"):
+        assert name in qs and name in sqls
 
 
 def test_rows_only_queries_run(ray_session):
@@ -36,3 +37,22 @@ def test_rows_only_queries_run(ray_session):
         out = fn("/root/testdata/sf0.001")
         n = len(out)
         assert n >= 0
+
+
+def test_repo_oracles_match(ray_session):
+    """The repo_* flagship pipelines vs their DuckDB oracles (round-2
+    addition: the deterministic repo table is re-materialized to parquet
+    for SQL; co-occurrence groups by raw content, vids by name rank)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist"):
+        df = qs[name]("/root/testdata/sf0.001")
+        odf = duckdb.connect().execute(sqls[name]).fetchdf()
+        a = df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+        b = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+        assert len(a) == len(b), name
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=0, rtol=0)
