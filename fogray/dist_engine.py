@@ -98,13 +98,63 @@ class _SpanState:
         return field in self._arrays
 
 
+class _ShardedField:
+    """Read-only per-vertex field assembled from the state partitions'
+    exported slices WITHOUT concatenating them: absolute-vid fancy
+    indexing routes each index to its owning slice (one searchsorted +
+    one pass per touched partition). The slices stay zero-copy plasma
+    views, so a pull-mode edge actor reads O(V) shared bytes but
+    allocates only O(indices-it-reads) heap."""
+
+    __slots__ = ("slices", "bounds")
+
+    def __init__(self, slices: list[np.ndarray], bounds: np.ndarray):
+        self.slices = slices
+        self.bounds = bounds
+
+    def __getitem__(self, idx):
+        idx = np.asarray(idx, dtype=np.int64)
+        out = np.empty(idx.shape, dtype=self.slices[0].dtype)
+        part = np.searchsorted(self.bounds, idx, side="right") - 1
+        for j in np.unique(part):
+            m = part == j
+            out[m] = self.slices[j][idx[m] - self.bounds[j]]
+        return out
+
+
+class _ShardedState:
+    """dict-of-_ShardedField over all state partitions (pull-mode
+    scatter: read state at ANY vid, no dense copy)."""
+
+    def __init__(self, slices: list[dict], bounds: np.ndarray):
+        self._slices = slices
+        self._bounds = bounds
+
+    def __getitem__(self, field: str) -> _ShardedField:
+        return _ShardedField([sl[field] for sl in self._slices], self._bounds)
+
+    def __contains__(self, field) -> bool:
+        return bool(self._slices) and field in self._slices[0]
+
+
 def _combine_for_range(kind: str, lo: int, hi: int, dest, vals, preds=None):
     """Pre-combine updates destined for vid range [lo, hi); dest is
     absolute. Returns a partial tuple (see apply_updates)."""
     if kind == "sum":
+        span = hi - lo
         if len(dest) == 0:
-            return ("dense", np.zeros(hi - lo, dtype=np.float64))
-        return ("dense", np.bincount(dest - lo, weights=vals, minlength=hi - lo))
+            return ("sparse_sum", np.empty(0, np.int64), np.empty(0, np.float64))
+        if len(dest) < span // 4:
+            # sparse partial: far fewer updates than the span is wide —
+            # shipping a dense span-sized array would be mostly zeros
+            # (the round-1 O(P_e x V) exchange pathology)
+            uids, inv = np.unique(dest, return_inverse=True)
+            return (
+                "sparse_sum",
+                uids.astype(np.int64),
+                np.bincount(inv, weights=vals, minlength=len(uids)),
+            )
+        return ("dense", np.bincount(dest - lo, weights=vals, minlength=span))
     if len(dest) == 0:
         e = np.empty(0, dtype=np.int64)
         f = np.empty(0, dtype=np.float64)
@@ -201,10 +251,13 @@ class DistEdgeActor:
         return us.astype(np.int64), cs, ud.astype(np.int64), cd
 
     def scatter(self, program: VertexProgram, direction: str, *slices):
-        """Run the program's vectorized kernel over this span, filtered
-        by the span's frontier slice, and return one pre-combined
-        partial PER STATE PARTITION (invoked with num_returns=P; Ray
-        ships each straight to its consumer)."""
+        """PUSH-mode scatter: run the program's vectorized kernel over
+        the READ-side-sorted span (fwd view for FWD), filtered by the
+        span's frontier slice, and return one pre-combined partial PER
+        STATE PARTITION (invoked with num_returns=P; Ray ships each
+        straight to its consumer). Right for sparse-frontier programs:
+        few updates => sparse partials. For all-active sum programs use
+        :meth:`scatter_pull` (one range-local partial, O(V) exchange)."""
         if direction == FWD:
             s, d, w, key = self.fs, self.fd, self.fw, self.fs
             span = self.fwd_span
@@ -292,6 +345,81 @@ class DistEdgeActor:
             )
         return tuple(outs)
 
+    def scatter_pull(self, program: VertexProgram, direction: str, *slices):
+        """PULL-mode scatter for sum-combine programs (emission-target
+        partitioning — the round-2 fix for the O(P_e x V) exchange):
+        scatter over the view sorted by the EMISSION key (FWD emits at
+        dst => the dst-sorted span; BWD emits at src => the src-sorted
+        span), so this actor only ever produces updates for its own
+        contiguous key range — ONE range-local dense partial split at
+        the state-partition boundaries it overlaps (usually 1-2), O(V)
+        exchange total across all edge actors, independent of P_e.
+
+        The read side (state at arbitrary src for FWD) comes from ALL
+        state partitions' exported slices: the object store dedupes the
+        fetch per node (zero-copy plasma mappings) and
+        :class:`_ShardedField` indexes them without a dense concatenate,
+        so per-actor heap is O(edges-in-span), not O(V). Invoked with
+        ``num_returns = span[1]-span[0]`` (from :meth:`meta`)."""
+        combine = getattr(program, "dist_combine", program.combine)
+        if combine != "sum":
+            raise ValueError("pull scatter requires sum combine")
+        if direction == FWD:
+            s, d, w = self.bs, self.bd, self.bw  # dst-sorted: emission-sorted
+            emit_arr, read_key = d, s
+            span = self.bwd_span
+        else:
+            s, d, w = self.fs, self.fd, self.fw  # src-sorted
+            emit_arr, read_key = s, d
+            span = self.fwd_span
+        nparts = span[1] - span[0]
+        emit_lo = int(emit_arr[0]) if len(emit_arr) else 0
+        emit_hi = int(emit_arr[-1]) + 1 if len(emit_arr) else 0
+        state = _ShardedState(list(slices), self.bounds)
+
+        if "__frontier" in state and len(read_key):
+            m = state["__frontier"][read_key]
+            s, d, w = s[m], d[m], w[m]
+        if program.skip_self_loops and len(s):
+            m = s != d
+            s, d, w = s[m], d[m], w[m]
+
+        def _cut(j):
+            lo = max(int(self.bounds[j]), emit_lo)
+            hi = min(int(self.bounds[j + 1]), emit_hi)
+            return lo, hi
+
+        if len(s) == 0:
+            outs = []
+            for j in range(span[0], span[1]):
+                lo, hi = _cut(j)
+                outs.append(
+                    (("dense_at", lo, np.zeros(max(hi - lo, 0), dtype=np.float64)), 0)
+                )
+            return tuple(outs) if nparts != 1 else outs[0]
+
+        scatter = getattr(program, "scatter_dist", program.scatter)
+        out = scatter(state, s.astype(np.int64), d.astype(np.int64), w, direction)
+        dest = np.asarray(out[0], dtype=np.int64)  # sorted: emission-key order
+        vals = np.asarray(out[1], dtype=np.float64)
+        outs = []
+        for j in range(span[0], span[1]):
+            lo, hi = _cut(j)
+            a, b = np.searchsorted(dest, (lo, hi))
+            outs.append(
+                (
+                    (
+                        "dense_at",
+                        lo,
+                        np.bincount(
+                            dest[a:b] - lo, weights=vals[a:b], minlength=max(hi - lo, 0)
+                        ),
+                    ),
+                    int(b - a),
+                )
+            )
+        return tuple(outs) if nparts != 1 else outs[0]
+
 
 @ray.remote
 class StatePartitionActor:
@@ -357,12 +485,22 @@ class StatePartitionActor:
         combine = getattr(program, "dist_combine", program.combine)
         parts = [p for (p, _emitted) in partials]
         emitted = sum(e for (_p, e) in partials)
-        if parts and parts[0][0] == "dense":
-            acc = parts[0][1]
-            for p in parts[1:]:
-                acc = acc + p[1]
-            ids = np.flatnonzero(acc) + self.lo
-            vals, preds = acc[ids - self.lo], None
+        if combine == "sum":
+            # partials may mix dense (whole range), dense_at (pull-mode
+            # sub-range) and sparse_sum (few updates) — accumulate all
+            # into one range-sized buffer
+            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for p in parts:
+                if p[0] == "dense":
+                    acc += p[1]
+                elif p[0] == "dense_at":
+                    off = p[1] - self.lo
+                    acc[off : off + len(p[2])] += p[2]
+                else:  # sparse_sum: absolute ids, pre-combined vals
+                    np.add.at(acc, p[1] - self.lo, p[2])
+            idx = np.flatnonzero(acc)
+            ids = idx + self.lo
+            vals, preds = acc[idx], None
         else:
             ids = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
             vals = np.concatenate([p[2] for p in parts]) if parts else np.empty(0)
@@ -585,25 +723,63 @@ class DistGraphEngine:
 
     def _superstep(self, program: VertexProgram, direction: str):
         t0 = time.perf_counter()
+        combine = getattr(program, "dist_combine", program.combine)
         slices = [a.export.remote() for a in self.state_actors]
-        per_edge: list = []
-        for i, ea in enumerate(self.edge_actors):
-            span = self.edge_meta[i]["fwd_span" if direction == FWD else "bwd_span"]
-            need = slices[span[0] : span[1]]
-            refs = ea.scatter.options(num_returns=self.P).remote(
-                program, direction, *need
-            )
-            if self.P == 1:
-                refs = [refs]
-            per_edge.append(refs)
-        stats = ray.get(
-            [
-                self.state_actors[j].apply_updates.remote(
-                    program, *[per_edge[i][j] for i in range(len(per_edge))]
+        if combine == "sum":
+            # PULL mode (sum/global programs): each edge actor scatters
+            # its emission-target-sorted span and returns partials only
+            # for the 1-2 state partitions that span overlaps — O(V)
+            # exchange total. Read-side state: all slice refs (plasma
+            # dedupes per node; _ShardedField reads them zero-copy).
+            spans: list[tuple[int, int]] = []
+            per_edge: list[list] = []
+            for i, ea in enumerate(self.edge_actors):
+                span = self.edge_meta[i]["bwd_span" if direction == FWD else "fwd_span"]
+                spans.append(span)
+                nret = span[1] - span[0]
+                if nret <= 0:
+                    per_edge.append([])
+                    continue
+                refs = ea.scatter_pull.options(num_returns=nret).remote(
+                    program, direction, *slices
                 )
-                for j in range(self.P)
-            ]
-        )
+                per_edge.append([refs] if nret == 1 else list(refs))
+            stats = ray.get(
+                [
+                    self.state_actors[j].apply_updates.remote(
+                        program,
+                        *[
+                            per_edge[i][j - spans[i][0]]
+                            for i in range(len(self.edge_actors))
+                            if per_edge[i] and spans[i][0] <= j < spans[i][1]
+                        ],
+                    )
+                    for j in range(self.P)
+                ]
+            )
+        else:
+            # PUSH mode (sparse-frontier min/pair programs): scatter the
+            # read-side-sorted span (needs only its overlapping state
+            # slices), route sparse pre-combined partials to every
+            # destination partition.
+            per_edge = []
+            for i, ea in enumerate(self.edge_actors):
+                span = self.edge_meta[i]["fwd_span" if direction == FWD else "bwd_span"]
+                need = slices[span[0] : span[1]]
+                refs = ea.scatter.options(num_returns=self.P).remote(
+                    program, direction, *need
+                )
+                if self.P == 1:
+                    refs = [refs]
+                per_edge.append(refs)
+            stats = ray.get(
+                [
+                    self.state_actors[j].apply_updates.remote(
+                        program, *[per_edge[i][j] for i in range(len(per_edge))]
+                    )
+                    for j in range(self.P)
+                ]
+            )
         return {
             "direction": direction,
             "updates_emitted": sum(s["emitted"] for s in stats),

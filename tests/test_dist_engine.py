@@ -265,3 +265,49 @@ def test_write_state_parquet(ray_session, tmp_path):
         np.testing.assert_array_equal(got.astype(np.int64), orc.wcc_fog(src, dst, n))
     finally:
         eng.shutdown()
+
+
+def test_pull_mode_asymmetric_partitions(ray_session):
+    """Round-2 pull-mode exchange (sum programs scatter their
+    emission-target-sorted span): edge-partition count != state
+    partition count exercises the span-overlap routing, where each
+    edge actor returns partials only for the 1-2 state partitions its
+    emission range covers."""
+    src, dst, w, n = fx.random_graph(200, 0.05, seed=5)
+    eng = DistGraphEngine(
+        n,
+        arrays=(src, dst, w),
+        cfg=EngineConfig(num_partitions=7),
+        num_state_partitions=3,
+    )
+    try:
+        res = alg.pagerank(eng, niters=10)
+        np.testing.assert_allclose(
+            res.state["rank"], orc.pagerank_fog(src, dst, n, niters=10),
+            rtol=1e-6, atol=1e-6,
+        )
+        _, y = orc.spmv_fog(src, dst, w, n)
+        res2 = alg.spmv(eng)
+        np.testing.assert_allclose(res2.state["spmv_value"], y, rtol=1e-6, atol=1e-6)
+    finally:
+        eng.shutdown()
+
+
+def test_pull_mode_single_state_partition(ray_session):
+    """P_state=1: scatter_pull's num_returns==1 path (bare tuple, not a
+    tuple of tuples)."""
+    src, dst, w, n = fx.random_graph(60, 0.1, seed=9)
+    eng = DistGraphEngine(
+        n,
+        arrays=(src, dst, w),
+        cfg=EngineConfig(num_partitions=4),
+        num_state_partitions=1,
+    )
+    try:
+        res = alg.pagerank(eng, niters=5)
+        np.testing.assert_allclose(
+            res.state["rank"], orc.pagerank_fog(src, dst, n, niters=5),
+            rtol=1e-6, atol=1e-6,
+        )
+    finally:
+        eng.shutdown()
