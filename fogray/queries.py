@@ -61,18 +61,56 @@ def _join_parts(cap: int = 32) -> int:
     return max(2, min(cap, cpus))
 
 
+def _ray_session_key() -> str:
+    """Cache key component tied to the live Ray session: lru-cached
+    Datasets / actor handles from a previous ``ray.init`` are dead
+    objects — keying every cache on the job id makes a re-initialized
+    session rebuild instead of failing on stale handles."""
+    import ray
+
+    if not ray.is_initialized():
+        return "uninit"
+    try:
+        return str(ray.get_runtime_context().get_job_id())
+    except Exception:  # pragma: no cover - defensive
+        return "unknown"
+
+
 @functools.lru_cache(maxsize=4)
-def cooccurrence_edges(sf_dir: str) -> pa.Table:
-    """Symmetric part co-occurrence edges (src, dst, weight): ONE sort
-    by order key, per-block group-complete pair expansion (distinct
-    parts per order, vectorized, pre-aggregated), then one sort of the
-    pair partials for exact totals — see
+def _cooc_edges_ds(sf_dir: str, _session: str):
+    """Materialized co-occurrence edge Dataset + num_vertices. Blocks
+    stay IN THE OBJECT STORE (the driver holds only refs): this is the
+    input the engines' ``dataset=`` constructors consume, so no query
+    path funnels the full edge table through the driver. Derivation:
+    ONE sort by order key, per-block group-complete pair expansion
+    (distinct parts per order, vectorized, pre-aggregated), then one
+    sort of the pair partials for exact totals — see
     fogray.derive.cooccurrence_pair_counts (replaces the prior
     distinct-groupby + hash self-join + count-groupby, ~2.6x faster at
     sf0.1 and two fewer all-to-all exchanges)."""
     li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
     edges = cooccurrence_pair_counts(li, ["l_orderkey"], "l_partkey", cap=None)
-    return pa.concat_tables(_collect(edges))
+    edges = edges.repartition(_join_parts(cap=8)).materialize()
+    if edges.count() == 0:
+        return edges, 1
+    mx = edges.max(["src", "dst"])
+    return edges, int(max(mx["max(src)"], mx["max(dst)"])) + 1
+
+
+def cooccurrence_edges_ds(sf_dir: str):
+    """(materialized edge Dataset, num_vertices) for the current Ray
+    session — see :func:`_cooc_edges_ds`."""
+    return _cooc_edges_ds(sf_dir, _ray_session_key())
+
+
+@functools.lru_cache(maxsize=4)
+def cooccurrence_edges(sf_dir: str) -> pa.Table:
+    """Driver-side co-occurrence edge TABLE — only for queries whose
+    RESULT is the edge table itself (derive_edges / src_edgelist /
+    degree and triangle reports); engine construction goes through
+    :func:`cooccurrence_edges_ds` and never collects the edges."""
+    ds, _ = cooccurrence_edges_ds(sf_dir)
+    return pa.concat_tables(_collect(ds))
 
 
 def _collect(ds) -> list[pa.Table]:
@@ -173,14 +211,21 @@ def _engine_for(table: pa.Table, weights: bool = True) -> tuple[GraphEngine, int
 
 
 @functools.lru_cache(maxsize=2)
+def _cooc_engine_impl(sf_dir: str, _session: str) -> tuple[GraphEngine, int]:
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return GraphEngine(n, dataset=ds, cfg=EngineConfig()), n
+
+
 def _cooc_engine(sf_dir: str) -> tuple[GraphEngine, int]:
-    """ONE pinned-actor engine per sf_dir serves every co-occurrence
-    graph query (pagerank/cc/lp/bfs/spmv all run over the same edges;
-    programs that ignore weights just don't read them). Engines hold no
-    cross-run state — each run() re-inits its vertex state — so reuse is
-    safe, and re-building identical CSR actors per query was pure
-    overhead."""
-    return _engine_for(cooccurrence_edges(sf_dir))
+    """ONE pinned-actor engine per (sf_dir, Ray session) serves every
+    co-occurrence graph query (pagerank/cc/lp/bfs/spmv all run over the
+    same edges; programs that ignore weights just don't read them).
+    Engines hold no cross-run state — each run() re-inits its vertex
+    state — so reuse is safe, and re-building identical CSR actors per
+    query was pure overhead. Built via the ``dataset=`` streaming path:
+    the sorted edge blocks go object-store -> actor without ever being
+    concatenated on the driver."""
+    return _cooc_engine_impl(sf_dir, _ray_session_key())
 
 
 def _touched(eng: GraphEngine) -> np.ndarray:
@@ -197,11 +242,14 @@ def q_derive_edges(sf_dir: str) -> pa.Table:
 
 
 def q_out_degrees(sf_dir: str) -> pa.Table:
-    t = cooccurrence_edges(sf_dir)
-    df = t.to_pandas().groupby("src", as_index=False).size()
-    df.columns = ["vid", "out_degree"]
-    return pa.Table.from_pandas(df.astype({"vid": "int64", "out_degree": "int64"}),
-                                preserve_index=False)
+    """Out-degrees straight off the engine's setup-time degree arrays
+    (computed distributed, per-block, at engine construction) — no
+    driver-side edge table or pandas groupby."""
+    eng, n = _cooc_engine(sf_dir)
+    ids = np.flatnonzero(eng.outdeg > 0)
+    return pa.table(
+        {"vid": ids.astype(np.int64), "out_degree": eng.outdeg[ids].astype(np.int64)}
+    )
 
 
 def q_pagerank(sf_dir: str) -> pa.Table:
@@ -235,9 +283,9 @@ def q_label_propagation(sf_dir: str) -> pa.Table:
 
 
 def q_bfs(sf_dir: str) -> pa.Table:
-    t = cooccurrence_edges(sf_dir)
     eng, n = _cooc_engine(sf_dir)
-    root = int(t.column("src").to_numpy(zero_copy_only=False).min())
+    # min src == first vid with out-edges (no edge-table collection)
+    root = int(np.flatnonzero(eng.outdeg > 0)[0])
     res = alg.bfs(eng, root=root)
     lv = res.state["bfs_level"]
     reached = np.flatnonzero(lv < np.float64(2**32 - 1))

@@ -56,21 +56,14 @@ def _build_engine(args):
                 )
             )
         out = derive.derive_edges(src)
-        edges = pa.concat_tables(
-            __import__("ray").get(out["edges"].materialize().to_arrow_refs()),
-            promote_options="default",
-        )
+        edges_ds = out["edges"].materialize()
         n = out["num_vertices"]
-        src_a = edges.column("src").to_numpy(zero_copy_only=False)
-        dst_a = edges.column("dst").to_numpy(zero_copy_only=False)
-        w_a = edges.column("weight").to_numpy(zero_copy_only=False)
     else:
-        t = q.cooccurrence_edges(args.sf_dir)
-        src_a = t.column("src").to_numpy(zero_copy_only=False)
-        dst_a = t.column("dst").to_numpy(zero_copy_only=False)
-        w_a = t.column("weight").to_numpy(zero_copy_only=False)
-        n = int(max(src_a.max(), dst_a.max())) + 1 if len(src_a) else 1
-    return engine_cls(n, arrays=(src_a, dst_a, w_a), cfg=cfg), n
+        edges_ds, n = q.cooccurrence_edges_ds(args.sf_dir)
+    # the dataset= constructor path: sorted edge BLOCKS go object-store
+    # -> pinned actor; the driver never concatenates the edge table
+    # (the streaming-converter analog, convert/process_in_edge.cpp:142-209)
+    return engine_cls(n, dataset=edges_ds, cfg=cfg), n
 
 
 def _write_result(state: dict, n: int, out_dir: str, shards: int) -> None:
