@@ -270,11 +270,10 @@ def minhash_lsh_pairs(
     with jaccard >= threshold, da < db.
 
     Scale notes: the only all-to-alls are the (band, band_hash) groupby
-    join (bucket sizes bounded by banding) and the verify join of
-    candidate doc_ids back to shingle sets. Verification here broadcasts
-    the doc->shingle arrays (O(corpus shingles)) because test corpora
-    are small; at 100 TB the verify becomes a semi-join of candidates
-    against the shingle table on doc_id — same dataflow shape."""
+    join (bucket sizes bounded by banding) and the verify joins of the
+    candidate pairs back to the doc -> shingle Dataset on doc_id — the
+    shingle table is shuffled by the join, never collected or broadcast,
+    so verification is bounded by the candidate count, not the corpus."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
@@ -315,50 +314,78 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
     )
 
-    # exact verification against true shingle sets (broadcast at test
-    # scale; semi-join at corpus scale — see docstring)
+    # exact verification as a DISTRIBUTED join: the doc -> distinct
+    # shingle table stays a Dataset (never collected on the driver) and
+    # the candidate pairs are joined to it on da then db — a semi-join
+    # of the (small) candidate side against the corpus shingles. Each
+    # verify block then computes every pair's exact Jaccard in ONE
+    # lexsort over the flattened (pair, shingle) rows: shingles are
+    # unique within a side, so adjacent duplicates after a (pair, value)
+    # sort are exactly the intersection elements.
     def _shingle_rows(t: pa.Table) -> pa.Table:
+        """doc_id -> its sorted distinct shingle hashes, packed as one
+        BINARY value of little-endian int64s (Acero hash joins carry
+        binary payloads but not list columns)."""
         flat, offs = _batch_shingle_hashes(t.column("text").to_pylist(), shingle_words)
-        sh = [
-            np.unique(flat[offs[i] : offs[i + 1]]).astype(np.int64).tolist()
-            for i in range(len(t))
-        ]
-        return pa.table(
-            {"doc_id": t.column("doc_id"), "sh": pa.array(sh, type=pa.list_(pa.int64()))}
+        n = len(t)
+        row = np.repeat(np.arange(n), np.diff(offs))
+        order = np.lexsort((flat, row))
+        r, v = row[order], flat[order]
+        keep = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])] if len(r) else np.zeros(0, bool)
+        r, v = r[keep], v[keep]
+        byte_offs = (np.r_[0, np.cumsum(np.bincount(r, minlength=n))] * 8).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(byte_offs.tobytes()),
+             pa.py_buffer(v.astype("<i8").tobytes())],
         )
+        return pa.table({"doc_id": t.column("doc_id"), "sh": arr})
 
-    shingle_map = {}
-    for t in ray.get(
-        ds.map_batches(_shingle_rows, batch_format="pyarrow").to_arrow_refs()
-    ):
-        for did, sh in zip(t.column("doc_id").to_pylist(), t.column("sh").to_pylist()):
-            shingle_map[did] = np.asarray(sh, dtype=np.int64)
-    sh_ref = ray.put(shingle_map)
+    sh_ds = ds.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    sh_a = sh_ds.map_batches(
+        lambda t: t.rename_columns(["da", "sh_a"]), batch_format="pyarrow"
+    )
+    sh_b = sh_ds.map_batches(
+        lambda t: t.rename_columns(["db", "sh_b"]), batch_format="pyarrow"
+    )
+    with_a = safe_inner_join(cand, sh_a, on=("da",))
+    both = safe_inner_join(with_a, sh_b, on=("db",))
+
+    def _unpack(col) -> tuple[np.ndarray, np.ndarray]:
+        """Binary column of packed int64s -> (flat values, lengths)."""
+        arr = col.combine_chunks()
+        lens = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64) // 8
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        offs = offs[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        flat = np.frombuffer(data[offs[0] : offs[-1]].tobytes(), dtype=np.int64)
+        return flat, lens
 
     def verify(t: pa.Table) -> pa.Table:
-        smap = ray.get(sh_ref)
         da = t.column("da").to_numpy(zero_copy_only=False)
         db = t.column("db").to_numpy(zero_copy_only=False)
-        out_a, out_b, out_j = [], [], []
-        for x, y in zip(da, db):
-            sx, sy = smap[x], smap[y]
-            if len(sx) == 0 or len(sy) == 0:
-                continue
-            ni = len(np.intersect1d(sx, sy, assume_unique=True))
-            j = ni / (len(sx) + len(sy) - ni)
-            if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(float(sql_round(j)))
+        va, la = _unpack(t.column("sh_a"))
+        vb, lb = _unpack(t.column("sh_b"))
+        n = len(da)
+        row = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
+        val = np.concatenate([va, vb])
+        order = np.lexsort((val, row))
+        rs, vs = row[order], val[order]
+        dup = (rs[1:] == rs[:-1]) & (vs[1:] == vs[:-1]) if len(rs) else np.zeros(0, bool)
+        ni = np.bincount(rs[:-1][dup], minlength=n)
+        union = np.maximum(la + lb - ni, 1)
+        j = ni / union
+        keep = (la > 0) & (lb > 0) & (j >= threshold)
         return pa.table(
             {
-                "da": pa.array(out_a, type=pa.int64()),
-                "db": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
+                "da": pa.array(da[keep], type=pa.int64()),
+                "db": pa.array(db[keep], type=pa.int64()),
+                "jaccard": pa.array(sql_round(j[keep]), type=pa.float64()),
             }
         )
 
-    return cand.map_batches(
+    return both.map_batches(
         empty_guard(
             verify,
             pa.schema([("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]),

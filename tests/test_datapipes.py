@@ -309,3 +309,55 @@ def test_text_stats_kernel_edge_cases():
     assert out.loc[1, "n_tokens"] == 4
     assert out.loc[1, "n_alpha"] == 3
     assert out.loc[1, "n_digit"] == 2
+
+
+def test_minhash_lsh_exact_oracle_sf01(ray_session):
+    """Exact end-to-end oracle at sf0.1 (5000 docs — the only SF whose
+    documents table is larger than sf0.001's): candidates recomputed by
+    a pure-Python LSH over per-doc signatures, jaccard recomputed
+    per-pair from true shingle sets. Pins both the banding and the
+    distributed-join verify stage (VERDICT r1 item 5)."""
+    import zlib
+
+    import ray.data as rd
+
+    from fogray.datapipes import queries as dq
+    from fogray.datapipes.dedup import MinHasher, _crc_shingles
+
+    sf = "/root/testdata/sf0.1"
+    docs = rd.read_parquet(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    mh = MinHasher(num_perm=32, shingle_words=3)
+    buckets: dict = {}
+    shingles: dict = {}
+    for did, txt in zip(docs.doc_id, docs.text):
+        sig = mh.signature(txt)
+        shingles[did] = _crc_shingles(txt, 3).astype(np.int64)
+        for b in range(8):
+            key = (b, zlib.crc32(sig[b * 4 : (b + 1) * 4].astype(np.int64).tobytes()))
+            buckets.setdefault(key, []).append(did)
+    want_rows = []
+    seen = set()
+    for v in buckets.values():
+        v = sorted(set(v))
+        for i in range(len(v)):
+            for j in range(i + 1, len(v)):
+                seen.add((v[i], v[j]))
+    for a, b in seen:
+        sa, sb = shingles[a], shingles[b]
+        if len(sa) == 0 or len(sb) == 0:
+            continue
+        ni = len(np.intersect1d(sa, sb, assume_unique=True))
+        jac = ni / (len(sa) + len(sb) - ni)
+        if jac >= 0.5:
+            want_rows.append((a, b, round(jac, 6)))
+    want = pd.DataFrame(sorted(want_rows), columns=["da", "db", "jaccard"])
+    got = (
+        dq.q_dd_minhash_lsh(sf)
+        .to_pandas()
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
