@@ -534,22 +534,42 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_cutoff: int = 100_000,
+    num_planes: int = 10,
+    num_tables: int = 4,
+    seed: int = 11,
 ) -> rd.Dataset:
     """(va, vb, cos) pairs with cosine >= threshold, va < vb.
 
-    N <= broadcast_cutoff: the full normalized matrix is broadcast once
-    (ray.put) and every block computes block x corpus cosines as ONE
-    float64 matmul. Beyond the cutoff, callers should bucket by
-    random-hyperplane LSH first (see :func:`hyperplane_buckets`) and run
-    the same kernel per bucket."""
+    N <= broadcast_cutoff: EXACT — the full normalized matrix is
+    broadcast once (ray.put) and every block computes block x corpus
+    cosines as one float64 matmul.
+
+    N > broadcast_cutoff: the LSH scale path — ``num_tables``
+    independent random-hyperplane bucketings; vectors sharing a bucket
+    in ANY table are candidates, verified with the same exact matmul
+    kernel per bucket, deduped across tables. Reported cosines are
+    exact (precision 1.0); recall is the LSH collision probability
+    (1 - (1 - (1 - theta/pi)^planes)^tables per pair — near-identical
+    vectors collide with prob -> 1). Dataflow: ONE map_batches expands
+    each vector into num_tables (table|bucket key, unit vector) rows,
+    ONE sort co-locates buckets into group-complete blocks, pair
+    emission is a per-bucket chunked matmul, and a final sort dedups
+    pairs found by several tables — no joins, no driver collection."""
     mat_tbl = emb_ds.select_columns([id_col, vec_col]).materialize()
+    n_total = mat_tbl.count()
+    if n_total > broadcast_cutoff:
+        return _lsh_cosine_pairs(
+            mat_tbl,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_planes=num_planes,
+            num_tables=num_tables,
+            seed=seed,
+        )
     rows = pa.concat_tables(ray.get(mat_tbl.to_arrow_refs()), promote_options="default")
     ids = rows.column(id_col).to_numpy(zero_copy_only=False)
     vecs = list_col_matrix(rows.column(vec_col))
-    if len(ids) > broadcast_cutoff:
-        raise ValueError(
-            f"N={len(ids)} exceeds broadcast_cutoff; bucket with hyperplane_buckets first"
-        )
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
     unit = vecs / norms[:, None]
@@ -573,6 +593,121 @@ def embedding_cosine_pairs(
         )
 
     return mat_tbl.map_batches(block_pairs, batch_format="pyarrow")
+
+
+def _lsh_cosine_pairs(
+    mat_tbl,
+    *,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+) -> rd.Dataset:
+    """The bucketed scale path of :func:`embedding_cosine_pairs` — see
+    its docstring for the dataflow and recall contract."""
+
+    class Expander:
+        """Stateful stage: the num_tables plane matrices are drawn once
+        per actor from the fixed seed; __call__ emits each vector's
+        (key, unit vector) row per table in one vectorized pass."""
+
+        def __init__(self, dim_hint=None):
+            self.planes = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            vecs = list_col_matrix(t.column(vec_col))
+            if self.planes is None:
+                rng = np.random.RandomState(seed)
+                self.planes = [
+                    rng.standard_normal((vecs.shape[1], num_planes))
+                    for _ in range(num_tables)
+                ]
+            n = np.linalg.norm(vecs, axis=1)
+            n[n == 0] = 1.0
+            unit = vecs / n[:, None]
+            keys, out_ids = [], []
+            pw = 1 << np.arange(num_planes, dtype=np.int64)
+            for ti, pl in enumerate(self.planes):
+                bucket = (((unit @ pl) > 0) * pw).sum(axis=1).astype(np.int64)
+                keys.append(bucket + np.int64(ti << num_planes))
+                out_ids.append(ids)
+            reps = num_tables
+            flat_unit = np.tile(unit, (reps, 1))
+            return pa.table(
+                {
+                    "key": np.concatenate(keys),
+                    "vid": np.concatenate(out_ids),
+                    "unit": pa.array(
+                        flat_unit.tolist(), type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+    expanded = mat_tbl.map_batches(
+        Expander, concurrency=(1, _join_parts()), batch_format="pyarrow"
+    )
+
+    empty_pairs = pa.schema(
+        [("va", pa.int64()), ("vb", pa.int64()), ("cos", pa.float64())]
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs.empty_table()
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        vid = t.column("vid").to_numpy(zero_copy_only=False)
+        unit = list_col_matrix(t.column("unit"))
+        order = np.argsort(key, kind="stable")
+        key, vid, unit = key[order], vid[order], unit[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            gu, gv = unit[s:e], vid[s:e]
+            # chunk rows so the cos temp stays ~256 MB even in hot buckets
+            chunk = max(1, int((1 << 25) // max(m, 1)))
+            for c0 in range(0, m, chunk):
+                c1 = min(c0 + chunk, m)
+                cos = gu[c0:c1] @ gu.T
+                ai, bj = np.nonzero(
+                    (cos >= threshold) & (gv[c0:c1, None] < gv[None, :])
+                )
+                out_a.append(gv[c0:c1][ai])
+                out_b.append(gv[bj])
+                out_c.append(cos[ai, bj])
+        if not out_a:
+            return empty_pairs.empty_table()
+        return pa.table(
+            {
+                "va": np.concatenate(out_a),
+                "vb": np.concatenate(out_b),
+                "cos": sql_round(np.concatenate(out_c)),
+            }
+        )
+
+    pairs = key_grouped_block_map(expanded.sort("key"), ["key"], bucket_pairs)
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(empty_pairs.empty_table())
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs.empty_table()
+        a = t.column("va").to_numpy(zero_copy_only=False)
+        b = t.column("vb").to_numpy(zero_copy_only=False)
+        c = t.column("cos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"va": a[first], "vb": b[first], "cos": c[first]})
+
+    return key_grouped_block_map(pairs.sort(["va", "vb"]), ["va", "vb"], dedup_pairs)
 
 
 def hyperplane_buckets(emb_ds, *, num_planes: int = 12, seed: int = 11,

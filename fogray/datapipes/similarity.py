@@ -190,6 +190,56 @@ class IVFIndex:
         return emb_ds.map_batches(cell, batch_format="pyarrow")
 
 
+@ray.remote
+def _cell_bounds(t: pa.Table):
+    """(min_cell, max_cell, nrows) of a cell-sorted block — the block
+    metadata the probe stage prunes on."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return (0, -1, 0)
+    c = t.column("cell").to_numpy(zero_copy_only=False)
+    return (int(c[0]), int(c[-1]), len(c))
+
+
+@ray.remote
+def _probe_block(
+    t: pa.Table,
+    q_ids: np.ndarray,
+    q_unit: np.ndarray,
+    q_probes: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k: int,
+):
+    """Per-block probe over a CELL-SORTED block: searchsorted slices out
+    exactly the probed cells' rows (no full-block scan), queries probing
+    the same cell share one matmul."""
+    cells = t.column("cell").to_numpy(zero_copy_only=False)
+    ids, vecs = _to_matrix(t, id_col, vec_col)
+    out_q, out_n, out_s = [], [], []
+    for c in np.unique(q_probes):
+        s, e = np.searchsorted(cells, [c, c + 1])
+        if s == e:
+            continue
+        qm = np.flatnonzero((q_probes == c).any(axis=1))
+        sub_ids = ids[s:e]
+        cos = q_unit[qm] @ _unit(vecs[s:e]).T  # |qm| x cell_rows
+        for row, qi in zip(cos, qm):
+            cand = np.flatnonzero(sub_ids != q_ids[qi])
+            if len(cand) == 0:
+                continue
+            order = cand[np.lexsort((sub_ids[cand], -row[cand]))][: min(k, len(cand))]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(sub_ids[order].tolist())
+            out_s.extend(row[order].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, type=pa.int64()),
+            "nid": pa.array(out_n, type=pa.int64()),
+            "score_raw": pa.array(out_s, type=pa.float64()),
+        }
+    )
+
+
 def ann_topk_ivf(
     emb_ds,
     query_ids: np.ndarray,
@@ -202,48 +252,46 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
 ) -> pa.Table:
     """Approximate top-k: probe only the nprobe nearest cells per query.
-    Same output schema/tie-break as the brute-force baseline."""
+    Same output schema/tie-break as the brute-force baseline.
+
+    The assigned corpus is SORTED BY CELL (one shuffle, done once per
+    index build): blocks are contiguous cell ranges, so the probe stage
+    reads each block's (min_cell, max_cell) metadata and submits probe
+    tasks ONLY for blocks intersecting some query's probed cells —
+    nprobe prunes IO/scan, not just flops. Inside a block, searchsorted
+    slices out exactly the probed cells' rows."""
     idx = IVFIndex(nlist=nlist).fit(emb_ds, id_col=id_col, vec_col=vec_col)
-    assigned = idx.assign(emb_ds, id_col=id_col, vec_col=vec_col).materialize()
+    assigned = (
+        idx.assign(emb_ds, id_col=id_col, vec_col=vec_col).sort("cell").materialize()
+    )
+    refs = assigned.to_arrow_refs()
+    metas = ray.get([_cell_bounds.remote(r) for r in refs])
 
     qvec = np.asarray(query_vecs, dtype=np.float64)
     qids = np.asarray(query_ids, dtype=np.int64)
+    qunit = _unit(qvec)
     qd = _sq_dists(qvec, idx.centroids)
     probes = np.argsort(qd, axis=1)[:, :nprobe]  # Q x nprobe
-    qref = ray.put((qids, _unit(qvec), probes))
 
-    def block_topk(t: pa.Table) -> pa.Table:
-        q_ids, q_unit, q_probes = ray.get(qref)
-        ids, vecs = _to_matrix(t, id_col, vec_col)
-        cells = t.column("cell").to_numpy(zero_copy_only=False)
-        cunit = _unit(vecs)
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(q_ids)):
-            m = np.isin(cells, q_probes[qi]) & (ids != q_ids[qi])
-            if not m.any():
-                continue
-            row = cunit[m] @ q_unit[qi]
-            cand_ids = ids[m]
-            order = np.lexsort((cand_ids, -row))[: min(k, len(row))]
-            out_q.extend([q_ids[qi]] * len(order))
-            out_n.extend(cand_ids[order].tolist())
-            out_s.extend(row[order].tolist())
-        return pa.table(
-            {
-                "qid": pa.array(out_q, type=pa.int64()),
-                "nid": pa.array(out_n, type=pa.int64()),
-                "score_raw": pa.array(out_s, type=pa.float64()),
-            }
+    futs = []
+    for r, (lo, hi, nr) in zip(refs, metas):
+        if nr == 0:
+            continue
+        qsel = np.flatnonzero(((probes >= lo) & (probes <= hi)).any(axis=1))
+        if len(qsel) == 0:
+            continue  # pruned: no query probes any cell in this block
+        futs.append(
+            _probe_block.remote(
+                r, qids[qsel], qunit[qsel], probes[qsel], id_col, vec_col, k
+            )
         )
-
-    partials = pa.concat_tables(
-        ray.get(
-            assigned.map_batches(block_topk, batch_format="pyarrow")
-            .materialize()
-            .to_arrow_refs()
-        ),
-        promote_options="default",
-    )
+    if futs:
+        partials = pa.concat_tables(ray.get(futs), promote_options="default")
+    else:
+        partials = pa.table(
+            {"qid": pa.array([], pa.int64()), "nid": pa.array([], pa.int64()),
+             "score_raw": pa.array([], pa.float64())}
+        )
     qid = partials.column("qid").to_numpy(zero_copy_only=False)
     nid = partials.column("nid").to_numpy(zero_copy_only=False)
     sc = partials.column("score_raw").to_numpy(zero_copy_only=False)

@@ -361,3 +361,34 @@ def test_minhash_lsh_exact_oracle_sf01(ray_session):
     )
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_embedding_cosine_lsh_scale_path(ray_session):
+    """>100k vectors trips the LSH bucketed path (VERDICT r1 item 6):
+    planted near-identical pairs must be recovered (collision prob -> 1
+    for tiny angles across 4 tables) and every reported cosine is exact."""
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    rng = np.random.RandomState(3)
+    n, d, p = 110_000, 16, 300
+    base = rng.standard_normal((n, d))
+    clones = base[:p] + 0.02 * rng.standard_normal((p, d))
+    vecs = np.vstack([base, clones])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table(
+        {"vec_id": ids,
+         "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64()))}
+    )
+    out = dedup.embedding_cosine_pairs(
+        rd.from_arrow(t).repartition(16), threshold=0.98
+    ).to_pandas()
+    got = set(zip(out.va, out.vb))
+    recall = sum((i, n + i) in got for i in range(p)) / p
+    assert recall >= 0.95
+    assert out.duplicated(["va", "vb"]).sum() == 0
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sample = out.sample(min(200, len(out)), random_state=0)
+    for a, b, c in zip(sample.va, sample.vb, sample.cos):
+        assert abs(round(float(unit[a] @ unit[b]), 6) - c) < 1e-9
