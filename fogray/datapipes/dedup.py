@@ -86,21 +86,27 @@ def exact_dedup(ds, text_col: str = "text") -> rd.Dataset:
 
 
 def _doc_tokens_batch(t: pa.Table, text_col: str, block_col: str | None) -> pa.Table:
-    """One row per distinct (doc_id[, block], token)."""
-    toks = pc.split_pattern_regex(t.column(text_col), r"\s+")
-    doc_ids = t.column("doc_id").to_pylist()
-    blocks = t.column(block_col).to_pylist() if block_col else None
-    out_doc, out_blk, out_tok = [], [], []
-    for i, lst in enumerate(toks.to_pylist()):
-        uniq = sorted(set(lst))
-        out_doc.extend([doc_ids[i]] * len(uniq))
-        out_tok.extend(uniq)
-        if blocks is not None:
-            out_blk.extend([blocks[i]] * len(uniq))
-    cols = {"doc_id": pa.array(out_doc, type=pa.int64())}
-    if blocks is not None:
-        cols["block"] = pa.array(out_blk)
-    cols["tok"] = pa.array(out_tok)
+    """One row per distinct (doc_id[, block], token) — whole-batch
+    vectorized: flatten every doc's tokens, one lexsort by (doc,
+    token), adjacent-duplicate mask for per-doc distinctness (same
+    per-doc sorted order as the sorted(set(...)) loop it replaces)."""
+    toks = pc.split_pattern_regex(t.column(text_col), r"\s+").to_pylist()
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat = np.asarray([w for lst in toks for w in lst], dtype=object)
+    row = np.repeat(np.arange(len(toks)), lens)
+    if len(flat):
+        order = np.lexsort((flat, row))
+        r, v = row[order], flat[order]
+        keep = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])]
+        r, v = r[keep], v[keep]
+    else:
+        r, v = np.empty(0, dtype=np.int64), flat
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    cols = {"doc_id": pa.array(doc_ids[r], type=pa.int64())}
+    if block_col:
+        blocks = np.asarray(t.column(block_col).to_pylist(), dtype=object)
+        cols["block"] = pa.array(blocks[r].tolist())
+    cols["tok"] = pa.array(v.tolist(), type=pa.string())
     return pa.table(cols)
 
 
@@ -428,22 +434,30 @@ def dedup_clusters(pairs: pa.Table, doc_ids: np.ndarray) -> pa.Table:
 
 
 def _simhash_batch(t: pa.Table, text_col: str) -> pa.Table:
-    out = np.zeros(len(t), dtype=np.uint64)
-    for i, s in enumerate(t.column(text_col).to_pylist()):
-        toks = s.split()
-        if not toks:
-            continue
-        th = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.uint32)
-        # widen to 64 bits deterministically: h64 = h32 * PRIME ^ (h32<<32)
-        h64 = th.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
+    """Whole-batch SimHash: tokenize once, crc32 each DISTINCT token
+    once (vocab dedup, the _batch_shingle_hashes pattern), widen to 64
+    bits (h64 = h32 * PRIME), then one segmented reduceat accumulates
+    every doc's 64 signed bit-sums — no per-doc or per-bit Python."""
+    texts = t.column(text_col).to_pylist()
+    token_lists = [s.split() for s in texts]
+    lens = np.fromiter((len(x) for x in token_lists), dtype=np.int64, count=len(texts))
+    flat = [w for lst in token_lists for w in lst]
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if flat:
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        uh = np.fromiter(
+            (zlib.crc32(w.encode()) for w in uniq), dtype=np.uint64, count=len(uniq)
         )
-        acc = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for bit in np.nonzero(acc > 0)[0]:
-            sh |= np.uint64(1) << np.uint64(bit)
-        out[i] = sh
+        h64 = uh[inv] * np.uint64(0x9E3779B97F4A7C15)
+        signs = (
+            2 * ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            - 1
+        )
+        offs = np.r_[0, np.cumsum(lens)]
+        nonempty = np.flatnonzero(lens > 0)
+        acc = np.add.reduceat(signs, offs[nonempty], axis=0)
+        pw = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out[nonempty] = ((acc > 0) * pw).sum(axis=1, dtype=np.uint64)
     return pa.table(
         {"doc_id": t.column("doc_id"), "simhash": pa.array(out.astype(np.int64))}
     )

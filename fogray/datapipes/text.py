@@ -95,17 +95,45 @@ def winnow_fingerprint_batch(
 ) -> pa.Table:
     """Per doc: the ``keep`` smallest distinct k-byte rolling hashes
     (a winnowing sketch — two docs sharing long substrings share sketch
-    entries). Output one row per (doc_id, fp)."""
-    doc_ids, fps = [], []
-    ids = t.column("doc_id").to_pylist()
-    for did, s in zip(ids, t.column(text_col).to_pylist()):
-        h = np.unique(rolling_fingerprints(s, k))[:keep]
-        doc_ids.extend([did] * len(h))
-        fps.extend(h.tolist())
+    entries). Output one row per (doc_id, fp).
+
+    Whole-batch vectorized: all docs' bytes are concatenated once, every
+    within-doc window's Karp-Rabin hash comes from k shifted-slice
+    multiply-adds over the flat byte array, and the per-doc
+    distinct+smallest-``keep`` selection is one lexsort by (doc, hash)
+    with an adjacent-duplicate mask and an in-doc rank cut."""
+    encs = [s.encode() for s in t.column(text_col).to_pylist()]
+    byte_lens = np.fromiter((len(b) for b in encs), dtype=np.int64, count=len(encs))
+    flat = np.frombuffer(b"".join(encs), dtype=np.uint8).astype(np.uint64)
+    doc_offs = np.r_[0, np.cumsum(byte_lens)]
+    win_counts = np.maximum(byte_lens - k + 1, 0)
+    total = int(win_counts.sum())
+    if total == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "fp": pa.array([], type=pa.int64())}
+        )
+    win_offs = np.r_[0, np.cumsum(win_counts)]
+    # window start byte positions, never crossing a doc boundary
+    base = np.repeat(doc_offs[:-1], win_counts) + (
+        np.arange(total) - np.repeat(win_offs[:-1], win_counts)
+    )
+    powers = _RH_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    h = np.zeros(total, dtype=np.uint64)
+    for j in range(k):  # k is tiny (8); the total-length ops are vectorized
+        h += flat[base + j] * powers[j]
+    row = np.repeat(np.arange(len(encs)), win_counts)
+    order = np.lexsort((h, row))
+    r, v = row[order], h[order]
+    first = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])]
+    r, v = r[first], v[first]
+    starts = np.r_[True, r[1:] != r[:-1]]
+    rank = np.arange(len(r)) - np.repeat(np.flatnonzero(starts), np.diff(np.r_[np.flatnonzero(starts), len(r)]))
+    m = rank < keep
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "fp": pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)),
+            "doc_id": pa.array(ids[r[m]], type=pa.int64()),
+            "fp": pa.array(v[m].astype(np.int64)),
         }
     )
 
