@@ -356,6 +356,13 @@ def q_src_edgelist(sf_dir: str) -> pa.Table:
 
     from . import sources
 
+    parsed = pa.concat_tables(_collect(sources.read_edgelist(_edgelist_fixture(sf_dir))))
+    return sorted_table(parsed.select(["src", "dst"]), ["src", "dst"])
+
+
+def _edgelist_fixture(sf_dir: str) -> str:
+    """Serialize the co-occurrence graph as an edge-list text fixture
+    (scratch under /tmp, atomic) — shared by the reader round-trips."""
     t = sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"])
     path = f"/tmp/fogray_edgelist_{os.path.basename(sf_dir.rstrip('/'))}.txt"
     with open(path + ".tmp", "w") as f:
@@ -364,8 +371,69 @@ def q_src_edgelist(sf_dir: str) -> pa.Table:
             f, sep="\t", header=False, index=False
         )
     os.replace(path + ".tmp", path)
-    parsed = pa.concat_tables(_collect(sources.read_edgelist(path)))
+    return path
+
+
+def q_src_adjlist(sf_dir: str) -> pa.Table:
+    """Round-trip conformance for the adjacency-list reader
+    (fogray.sources.read_adjlist, convert/process_adjlist.cpp:32-271):
+    serialize the co-occurrence graph as ``src n d1 d2 ...`` lines,
+    parse back distributed, return the (src, dst) pairs."""
+    from . import sources
+
+    t = sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"])
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) if len(s) else np.empty(0, np.int64)
+    ends = np.r_[starts[1:], len(s)]
+    path = f"/tmp/fogray_adjlist_{os.path.basename(sf_dir.rstrip('/'))}.txt"
+    with open(path + ".tmp", "w") as f:
+        f.write("# fogray adjacency-list round-trip fixture\n")
+        for a, b in zip(starts, ends):
+            f.write(f"{s[a]} {b - a} " + " ".join(map(str, d[a:b])) + "\n")
+    os.replace(path + ".tmp", path)
+    parsed = pa.concat_tables(_collect(sources.read_adjlist(path)))
     return sorted_table(parsed.select(["src", "dst"]), ["src", "dst"])
+
+
+def q_det_weights(sf_dir: str) -> pa.Table:
+    """S6 conformance: the deterministic splitmix edge weights
+    (fogray.sources.det_weight — the reproducible replacement for
+    convert's rand(), process_adjlist.cpp:25-30), generated INSIDE the
+    distributed weighted-edgelist reader and checked against a DuckDB
+    oracle that reproduces the hash exactly with HUGEINT mod-2^64
+    arithmetic."""
+    from . import sources
+
+    parsed = pa.concat_tables(
+        _collect(sources.read_edgelist(_edgelist_fixture(sf_dir), weighted=True))
+    )
+    t = sorted_table(parsed, ["src", "dst"])
+    return pa.table(
+        {
+            "src": t.column("src"),
+            "dst": t.column("dst"),
+            "w": sql_round(t.column("weight").to_numpy(zero_copy_only=False)),
+        }
+    )
+
+
+def q_graph_meta(sf_dir: str) -> pa.Table:
+    """S7 conformance: the ``.desc`` metadata facts
+    (fogray.sources.graph_meta, convert/convert.cpp:144-153) computed
+    by distributed aggregates over the co-occurrence edge Dataset."""
+    from . import sources
+
+    ds, _n = cooccurrence_edges_ds(sf_dir)
+    meta = sources.graph_meta(ds)
+    return pa.table(
+        {
+            "min_vertex_id": pa.array([meta["min_vertex_id"]], pa.int64()),
+            "max_vertex_id": pa.array([meta["max_vertex_id"]], pa.int64()),
+            "num_edges": pa.array([meta["num_edges"]], pa.int64()),
+            "max_out_edges": pa.array([meta["max_out_edges"]], pa.int64()),
+        }
+    )
 
 
 def q_scc(sf_dir: str) -> pa.Table:
@@ -383,9 +451,60 @@ def q_scc(sf_dir: str) -> pa.Table:
     )
 
 
+# Exact SQL mirror of fogray.sources.det_weight (splitmix-style hash):
+# every mod-2^64 multiply is HUGEINT arithmetic split into 32-bit halves
+# (a*C mod 2^64 = a*C_lo + ((a mod 2^32)*C_hi mod 2^32)<<32, mod 2^64);
+# xor/shift are native UBIGINT ops. Matches numpy bit-for-bit for
+# vertex ids < 2^32 (the reader's id range).
+_DET_W_SQL = """
+    WITH m AS (
+      SELECT src, dst,
+        xor(CAST(src AS UBIGINT) * CAST(4294967296 AS UBIGINT),
+            CAST(dst AS UBIGINT)) AS x0
+      FROM __EDGES__
+    ), s1 AS (
+      SELECT src, dst, xor(x0, x0 >> 30) AS a FROM m
+    ), s1m AS (
+      SELECT src, dst, CAST((
+          (CAST(a AS HUGEINT) * 484763065 +
+           ((CAST(a AS HUGEINT) % 4294967296) * 3210233709 % 4294967296)
+           * 4294967296)
+          % 18446744073709551616
+        ) AS UBIGINT) AS x1 FROM s1
+    ), s2 AS (
+      SELECT src, dst, xor(x1, x1 >> 27) AS b FROM s1m
+    ), s2m AS (
+      SELECT src, dst, CAST((
+          (CAST(b AS HUGEINT) * 321982955 +
+           ((CAST(b AS HUGEINT) % 4294967296) * 2496678331 % 4294967296)
+           * 4294967296)
+          % 18446744073709551616
+        ) AS UBIGINT) AS x2 FROM s2
+    ), s3 AS (
+      SELECT src, dst, xor(x2, x2 >> 31) AS f FROM s2m
+    )
+    SELECT src, dst,
+           ROUND(CAST(f >> 11 AS DOUBLE) / 9007199254740992.0 * 10.0, 6) AS w
+    FROM s3
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "derive_edges": f"SELECT src, dst, weight FROM ({_COOC_SQL}) ORDER BY src, dst",
     "src_edgelist": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
+    "src_adjlist": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
+    "det_weights": _DET_W_SQL.replace(
+        "__EDGES__", f"(SELECT src, dst FROM ({_COOC_SQL}))"
+    )
+    + " ORDER BY src, dst",
+    "graph_meta": f"""
+        WITH e AS ({_COOC_SQL}),
+        deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
+        SELECT (SELECT LEAST(MIN(src), MIN(dst)) FROM e) AS min_vertex_id,
+               (SELECT GREATEST(MAX(src), MAX(dst)) FROM e) AS max_vertex_id,
+               (SELECT COUNT(*) FROM e) AS num_edges,
+               (SELECT MAX(d) FROM deg) AS max_out_edges
+    """,
     "out_degrees": f"""
         SELECT src AS vid, COUNT(*) AS out_degree
         FROM ({_COOC_SQL}) GROUP BY src ORDER BY vid
@@ -491,6 +610,9 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "derive_edges": q_derive_edges,
     "src_edgelist": q_src_edgelist,
+    "src_adjlist": q_src_adjlist,
+    "det_weights": q_det_weights,
+    "graph_meta": q_graph_meta,
     "out_degrees": q_out_degrees,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
