@@ -7,16 +7,19 @@ operators for the corpus-pipeline role, built on the same two
 primitives as everything else here:
 
 - **tumbling window**: assign ``window_start = ts - (ts % width)``
-  inside ``map_batches`` (vectorized timestamp arithmetic), then ONE
-  aggregation per (window, event_type) — expressed as sort +
-  group-complete per-block reduce (fogray.derive.key_grouped_block_map),
-  the same dataflow a keyed-window stream shuffle performs per
-  watermark flush.
-- **sliding (hopping) window**: two-level — tumbling pre-aggregate at
-  *slide* granularity (the only pass over raw events), then expand the
-  already-small partials ``width/slide``× and combine. The ×hops blowup
-  never touches the event stream, so a 1h/15m window over 100 TB of
-  events shuffles slide-level partials, not 4× the input.
+  inside ``map_batches`` (vectorized timestamp arithmetic), PRE-COMBINE
+  each input batch into per-(window, type) partials (count/sum/max are
+  decomposable), then sort only the partials and merge per
+  group-complete block (fogray.derive.key_grouped_block_map). The
+  shuffle ships partials, never raw events, so a hot window/key cannot
+  concentrate the event stream into one task (skew guard) and shuffle
+  volume is O(#distinct keys per block), not O(events).
+- **sliding (hopping) window**: per-batch pre-aggregate at *slide*
+  granularity (the only pass over raw events), expand the already-small
+  partials ``width/slide``× and combine with ONE sort — the single
+  all-to-all of the whole pipeline. The ×hops blowup never touches the
+  event stream, so a 1h/15m window over 100 TB of events shuffles
+  slide-level partials, not 4× the input.
 - **sessionization**: sort by (user, ts); within a group-complete user
   block, a session starts wherever the gap to the previous event
   exceeds ``gap`` — one vectorized diff/cumsum per block (the classic
@@ -38,9 +41,78 @@ from ..derive import key_grouped_block_map
 from ..util import sql_round
 
 
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("w", pa.int64()),
+        ("event_type", pa.string()),
+        ("n", pa.int64()),
+        ("s", pa.float64()),
+        ("m", pa.float64()),
+    ]
+)
+
+
+def _window_partials(t: pa.Table) -> pa.Table:
+    """Per-batch (w, event_type) -> (count, sum, max) partials — the
+    pre-combine that keeps raw events out of the shuffle."""
+    if t.num_rows == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    v = t.column("value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((et, w))
+    w, et, v = w[order], et[order], v[order]
+    starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
+    sizes = np.diff(np.r_[starts, len(w)])
+    return pa.table(
+        {
+            "w": w[starts],
+            "event_type": pa.array(et[starts]),
+            "n": sizes.astype(np.int64),
+            "s": np.add.reduceat(v, starts),
+            "m": np.maximum.reduceat(v, starts),
+        }
+    )
+
+
+def _merge_partials_block(t: pa.Table) -> pa.Table:
+    """Group-complete merge of (w, event_type) partials -> final stats."""
+    empty = pa.table(
+        {
+            "window_start": pa.array([], pa.timestamp("us")),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+            "max_value": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    s = t.column("s").to_numpy(zero_copy_only=False)
+    m = t.column("m").to_numpy(zero_copy_only=False)
+    order = np.lexsort((et, w))
+    w, et, n, s, m = w[order], et[order], n[order], s[order], m[order]
+    starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
+    return pa.table(
+        {
+            "window_start": pa.array(w[starts], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_type": pa.array(et[starts]),
+            "n_events": np.add.reduceat(n, starts).astype(np.int64),
+            "sum_value": sql_round(np.add.reduceat(s, starts)),
+            "max_value": np.maximum.reduceat(m, starts),
+        }
+    )
+
+
 def tumbling_window_stats(ds, *, width_minutes: int = 60) -> rd.Dataset:
     """-> (window_start: timestamp[us], event_type, n_events, sum_value,
-    max_value) per tumbling window of ``width_minutes``."""
+    max_value) per tumbling window of ``width_minutes``. Two-level:
+    per-batch partials, then one sort of the partials only."""
     width_us = np.int64(width_minutes) * 60 * 1_000_000
 
     def assign(t: pa.Table) -> pa.Table:
@@ -54,40 +126,12 @@ def tumbling_window_stats(ds, *, width_minutes: int = 60) -> rd.Dataset:
             }
         )
 
-    keyed = ds.map_batches(assign, batch_format="pyarrow")
-
-    def reduce_block(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "window_start": pa.array([], pa.timestamp("us")),
-                "event_type": pa.array([], pa.string()),
-                "n_events": pa.array([], pa.int64()),
-                "sum_value": pa.array([], pa.float64()),
-                "max_value": pa.array([], pa.float64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        w = t.column("w").to_numpy(zero_copy_only=False)
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        v = t.column("value").to_numpy(zero_copy_only=False)
-        order = np.lexsort((et, w))
-        w, et, v = w[order], et[order], v[order]
-        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
-        sizes = np.diff(np.r_[starts, len(w)])
-        return pa.table(
-            {
-                "window_start": pa.array(w[starts], type=pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "event_type": pa.array(et[starts]),
-                "n_events": sizes.astype(np.int64),
-                "sum_value": sql_round(np.add.reduceat(v, starts)),
-                "max_value": np.maximum.reduceat(v, starts),
-            }
-        )
-
-    return key_grouped_block_map(keyed.sort(["w", "event_type"]), ["w", "event_type"], reduce_block)
+    pre = ds.map_batches(assign, batch_format="pyarrow").map_batches(
+        _window_partials, batch_format="pyarrow"
+    )
+    return key_grouped_block_map(
+        pre.sort(["w", "event_type"]), ["w", "event_type"], _merge_partials_block
+    )
 
 
 def sliding_window_stats(
@@ -117,48 +161,15 @@ def sliding_window_stats(
             }
         )
 
-    keyed = ds.map_batches(assign, batch_format="pyarrow")
-
-    partial_schema = pa.schema(
-        [
-            ("w", pa.int64()),
-            ("event_type", pa.string()),
-            ("n", pa.int64()),
-            ("s", pa.float64()),
-            ("m", pa.float64()),
-        ]
-    )
-
-    def partial_block(t: pa.Table) -> pa.Table:
-        # raw (unrounded) per-(slide, type) partials
-        if t.num_rows == 0:
-            return partial_schema.empty_table()
-        w = t.column("w").to_numpy(zero_copy_only=False)
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        v = t.column("value").to_numpy(zero_copy_only=False)
-        order = np.lexsort((et, w))
-        w, et, v = w[order], et[order], v[order]
-        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
-        sizes = np.diff(np.r_[starts, len(w)])
-        return pa.table(
-            {
-                "w": w[starts],
-                "event_type": pa.array(et[starts]),
-                "n": sizes.astype(np.int64),
-                "s": np.add.reduceat(v, starts),
-                "m": np.maximum.reduceat(v, starts),
-            }
-        )
-
-    parts = key_grouped_block_map(
-        keyed.sort(["w", "event_type"]), ["w", "event_type"], partial_block
+    pre = ds.map_batches(assign, batch_format="pyarrow").map_batches(
+        _window_partials, batch_format="pyarrow"
     )
 
     offsets = np.arange(hops, dtype=np.int64) * slide_us
 
     def expand(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return partial_schema.empty_table()
+            return _PARTIAL_SCHEMA.empty_table()
         out = t.take(pa.array(np.repeat(np.arange(t.num_rows), hops)))
         w = out.column("w").to_numpy(zero_copy_only=False) - np.tile(
             offsets, t.num_rows
@@ -167,42 +178,12 @@ def sliding_window_stats(
             out.schema.get_field_index("w"), "w", pa.array(w, pa.int64())
         )
 
-    expanded = parts.map_batches(expand, batch_format="pyarrow")
-
-    def final_block(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "window_start": pa.array([], pa.timestamp("us")),
-                "event_type": pa.array([], pa.string()),
-                "n_events": pa.array([], pa.int64()),
-                "sum_value": pa.array([], pa.float64()),
-                "max_value": pa.array([], pa.float64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        w = t.column("w").to_numpy(zero_copy_only=False)
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        s = t.column("s").to_numpy(zero_copy_only=False)
-        m = t.column("m").to_numpy(zero_copy_only=False)
-        order = np.lexsort((et, w))
-        w, et, n, s, m = w[order], et[order], n[order], s[order], m[order]
-        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (et[1:] != et[:-1])])
-        return pa.table(
-            {
-                "window_start": pa.array(w[starts], type=pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "event_type": pa.array(et[starts]),
-                "n_events": np.add.reduceat(n, starts).astype(np.int64),
-                "sum_value": sql_round(np.add.reduceat(s, starts)),
-                "max_value": np.maximum.reduceat(m, starts),
-            }
-        )
-
+    # unmerged per-batch partials are expanded directly (duplicates for
+    # one (w, type) merge in the final combine), so the WHOLE pipeline
+    # has exactly ONE all-to-all — the sort of the expanded partials.
+    expanded = pre.map_batches(expand, batch_format="pyarrow")
     return key_grouped_block_map(
-        expanded.sort(["w", "event_type"]), ["w", "event_type"], final_block
+        expanded.sort(["w", "event_type"]), ["w", "event_type"], _merge_partials_block
     )
 
 
@@ -210,7 +191,15 @@ def sessionize(ds, *, gap_minutes: int = 30) -> rd.Dataset:
     """-> (user_id, session_id, session_start: timestamp[us], n_events,
     duration_s). A session breaks where the gap between a user's
     consecutive events exceeds ``gap_minutes``; session_id numbers a
-    user's sessions from 0 in time order."""
+    user's sessions from 0 in time order.
+
+    Skew contract: session assignment is NOT decomposable (a session
+    can span any two adjacent events), so ONE task must see a user's
+    whole (user_id, ts)-sorted history — the same per-key contract
+    every keyed stream sessionizer has. Only the two projected columns
+    ship, and the per-block kernel is a vectorized diff/cumsum, so a
+    pathological single user costs one task O(rows) numpy, not a
+    Python loop (tests pin 10^6 events on one user)."""
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
     def sessions_block(t: pa.Table) -> pa.Table:

@@ -392,3 +392,36 @@ def test_embedding_cosine_lsh_scale_path(ray_session):
     sample = out.sample(min(200, len(out)), random_state=0)
     for a, b, c in zip(sample.va, sample.vb, sample.cos):
         assert abs(round(float(unit[a] @ unit[b]), 6) - c) < 1e-9
+
+
+def test_hot_key_skew_guard(ray_session):
+    """A single pathological key — one user / one (window, type) —
+    owning 10^6 events must still complete: windows pre-combine per
+    batch (raw events never shuffle), sessionize handles the whole
+    user in one vectorized block (VERDICT r1 item 9)."""
+    import ray.data as rd
+
+    from fogray.datapipes import streams
+
+    n = 1_000_000
+    ts = pa.array(np.arange(n, dtype=np.int64) * 1_000_000).cast(pa.timestamp("us"))
+    t = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": pa.array(["click"] * n),
+            "value": np.ones(n, dtype=np.float64),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(16)
+    # 1s spacing, 30min gap => one session of n events
+    sess = streams.sessionize(ds, gap_minutes=30).to_pandas()
+    assert len(sess) == 1
+    assert sess.loc[0, "n_events"] == n
+    assert sess.loc[0, "duration_s"] == float(n - 1)
+    # all events in ceil(n s / 1h) windows of one hot type
+    win = streams.tumbling_window_stats(ds, width_minutes=60).to_pandas()
+    assert win.n_events.sum() == n
+    assert len(win) == -(-n // 3600)
+    assert win.sum_value.sum() == float(n)
