@@ -59,8 +59,13 @@ def topk_per_group(
         g = t.column(group_col).to_numpy(zero_copy_only=False)
         i = t.column(id_col).to_numpy(zero_copy_only=False)
         o = t.column(order_col).to_numpy(zero_copy_only=False)
-        # lexsort: group ASC, order DESC, id ASC
-        order = np.lexsort((i, -o, g))
+        # lexsort: group ASC, order DESC, id ASC. DESC goes through a
+        # dense ascending rank (np.unique inverse) so it never negates
+        # the raw column — negation silently mis-sorts unsigned ints
+        # (wraparound) and overflows on INT64_MIN; ranks are < block
+        # rows, always safely negatable (and any orderable dtype works).
+        _, o_rank = np.unique(o, return_inverse=True)
+        order = np.lexsort((i, -o_rank.astype(np.int64), g))
         g, i, o = g[order], i[order], o[order]
         starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         rank = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))

@@ -28,6 +28,12 @@ primitives as everything else here:
 
 Both are SQL-expressible and carry exact DuckDB oracle entries in
 fogray.datapipes.queries.
+
+Timestamp domain: window assignment ``ts - (ts % width)`` uses numpy's
+floor-mod, which for PRE-EPOCH (negative) timestamps floors toward
+-inf while the DuckDB oracle's ``%`` is sign-preserving — the
+operators therefore assume non-negative (post-1970) timestamps, which
+every driver events table satisfies.
 """
 
 from __future__ import annotations

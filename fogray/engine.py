@@ -186,6 +186,13 @@ class EdgeViewActor:
         vals = np.asarray(out[1], dtype=np.float64)
         preds = np.asarray(out[2], dtype=np.float64) if len(out) > 2 else None
         emitted = len(dest)
+        if emitted and (dest.min() < self.lo or dest.max() >= self.hi):
+            # loud failure beats a negative-bincount error / silently
+            # corrupted span partial (VertexProgram.scatter contract)
+            raise ValueError(
+                f"{program.name}: scatter emitted outside its "
+                f"emission-target range [{self.lo}, {self.hi})"
+            )
         if program.combine == "sum" and dense:
             return (
                 ("dense", np.bincount(dest - self.lo, weights=vals, minlength=span)),

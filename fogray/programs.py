@@ -61,6 +61,14 @@ class VertexProgram:
         return state, frontier
 
     def scatter(self, state, s, d, w, direction):
+        """Vectorized edge kernel -> (dest_vids, values[, preds]).
+
+        EMISSION-TARGET CONTRACT: updates MUST be emitted at ``d`` for
+        the forward direction and at ``s`` for the backward direction.
+        The engines partition edges by that target vid range and each
+        range actor pre-combines into its own span — an emission
+        outside [lo, hi) would corrupt/abort the span partial. The
+        engine asserts this per scatter (cheap bounds check)."""
         raise NotImplementedError
 
     def apply(self, state, ids, vals, preds=None):
