@@ -40,6 +40,7 @@ from ..derive import (
     cooccurrence_pair_counts,
     empty_guard,
     key_grouped_block_map,
+    make_pair_expander,
     safe_inner_join,
 )
 from ..util import list_col_matrix, sql_round
@@ -283,7 +284,7 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    sigs = minhash_signatures(ds, num_perm, shingle_words, concurrency).materialize()
+    sigs = minhash_signatures(ds, num_perm, shingle_words, concurrency)
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -307,10 +308,16 @@ def minhash_lsh_pairs(
 
     # candidate pairs = docs sharing an LSH (band, band-hash) bucket:
     # the same sort + group-complete pair-expansion dataflow as the
-    # derive stage (fogray.derive.cooccurrence_pair_counts — two sorts,
-    # no hash join, pairs deduped across bands by the final sum stage)
-    buckets = sigs.map_batches(band_rows, batch_format="pyarrow").materialize()
-    cand = cooccurrence_pair_counts(buckets, ["band", "bh"], "doc_id", cap=None).map_batches(
+    # derive stage, but WITHOUT the (src, dst) dedup-sum sort — the
+    # pair weight is unused and duplicate cross-band candidates (at
+    # most `bands` copies of a pair) are collapsed inside the attach
+    # stage's doc groups instead, saving one full all-to-all.
+    buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
+    cand = key_grouped_block_map(
+        buckets.sort(["band", "bh"]),
+        ["band", "bh"],
+        make_pair_expander(["band", "bh"], "doc_id", cap=None),
+    ).map_batches(
         empty_guard(
             lambda t: t.filter(pc.less(t.column("src"), t.column("dst")))
             .select(["src", "dst"])
@@ -320,14 +327,20 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
     )
 
-    # exact verification as a DISTRIBUTED join: the doc -> distinct
+    # exact verification as a DISTRIBUTED sort-join: the doc -> distinct
     # shingle table stays a Dataset (never collected on the driver) and
-    # the candidate pairs are joined to it on da then db — a semi-join
-    # of the (small) candidate side against the corpus shingles. Each
-    # verify block then computes every pair's exact Jaccard in ONE
-    # lexsort over the flattened (pair, shingle) rows: shingles are
-    # unique within a side, so adjacent duplicates after a (pair, value)
-    # sort are exactly the intersection elements.
+    # the candidate pairs are attached to it with the repo's sort +
+    # group-complete pattern instead of hash joins (a Ray 2.49 hash
+    # join costs ~15s of aggregator fixed overhead per all-to-all at
+    # this scale; the sort-based exchange is ~5x cheaper). Stage 1:
+    # candidate sides exploded to (doc_id, da, db, side) rows, unioned
+    # with the shingle rows, ONE sort by doc_id, per-doc block attach
+    # of the packed shingle payload. Stage 2: ONE sort by (da, db)
+    # brings each pair's two sides together; the block kernel computes
+    # every pair's exact Jaccard in one lexsort over the flattened
+    # (pair, shingle) rows — shingles are unique within a side, so
+    # adjacent duplicates after a (pair, value) sort are exactly the
+    # intersection elements.
     def _shingle_rows(t: pa.Table) -> pa.Table:
         """doc_id -> its sorted distinct shingle hashes, packed as one
         BINARY value of little-endian int64s (Acero hash joins carry
@@ -348,16 +361,86 @@ def minhash_lsh_pairs(
         )
         return pa.table({"doc_id": t.column("doc_id"), "sh": arr})
 
-    sh_ds = ds.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
-    sh_a = sh_ds.map_batches(
-        lambda t: t.rename_columns(["da", "sh_a"]), batch_format="pyarrow"
+    mixed_schema = pa.schema(
+        [("doc_id", pa.int64()), ("da", pa.int64()), ("db", pa.int64()),
+         ("side", pa.int64()), ("sh", pa.binary())]
     )
-    sh_b = sh_ds.map_batches(
-        lambda t: t.rename_columns(["db", "sh_b"]), batch_format="pyarrow"
-    )
-    with_a = safe_inner_join(cand, sh_a, on=("da",))
-    both = safe_inner_join(with_a, sh_b, on=("db",))
 
+    def _sh_mixed(t: pa.Table) -> pa.Table:
+        s = _shingle_rows(t)
+        n = s.num_rows
+        neg = np.full(n, -1, dtype=np.int64)
+        return pa.table(
+            {"doc_id": s.column("doc_id"), "da": neg, "db": neg,
+             "side": neg, "sh": s.column("sh")},
+            schema=mixed_schema,
+        )
+
+    def _cand_mixed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return mixed_schema.empty_table()
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        n = len(da)
+        return pa.table(
+            {
+                "doc_id": np.concatenate([da, db]),
+                "da": np.concatenate([da, da]),
+                "db": np.concatenate([db, db]),
+                "side": np.repeat(np.array([0, 1], dtype=np.int64), n),
+                "sh": pa.array([b""] * (2 * n), type=pa.binary()),
+            },
+            schema=mixed_schema,
+        )
+
+    def _attach(t: pa.Table) -> pa.Table:
+        """Group-complete per doc_id: copy the doc's shingle payload
+        (its side==-1 row) onto its candidate-side rows, dropping
+        duplicate cross-band candidate rows."""
+        if t.num_rows == 0:
+            return mixed_schema.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        da_c = t.column("da").to_numpy(zero_copy_only=False)
+        db_c = t.column("db").to_numpy(zero_copy_only=False)
+        # per doc: shingle row (-1) first, then candidate rows grouped
+        # so duplicate (doc, side, da, db) rows land adjacent
+        order = np.lexsort((db_c, da_c, side, doc))
+        doc_s, side_s = doc[order], side[order]
+        da_s, db_s = da_c[order], db_c[order]
+        uniq = np.r_[
+            True,
+            (doc_s[1:] != doc_s[:-1]) | (side_s[1:] != side_s[:-1])
+            | (da_s[1:] != da_s[:-1]) | (db_s[1:] != db_s[:-1]),
+        ]
+        order, doc_s, side_s = order[uniq], doc_s[uniq], side_s[uniq]
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(doc_s)])
+        # a doc with no shingle row (candidate id outside the corpus)
+        # would mis-attach; every corpus doc emits one, so assert
+        if not (side_s[starts] == -1).all():
+            raise ValueError("candidate doc_id missing from shingle table")
+        sh_idx = np.repeat(starts, sizes)
+        out = t.take(pa.array(order))
+        out = out.set_column(
+            out.schema.get_field_index("sh"), "sh",
+            out.column("sh").take(pa.array(sh_idx)),
+        )
+        return out.filter(pa.array(side_s >= 0))
+
+    sh_mixed = ds.map_batches(_sh_mixed, batch_format="pyarrow")
+    cand_mixed = cand.map_batches(
+        empty_guard(_cand_mixed, mixed_schema), batch_format="pyarrow"
+    )
+    attached = key_grouped_block_map(
+        sh_mixed.union(cand_mixed).sort("doc_id"), ["doc_id"], _attach
+    ).materialize()
+    if attached.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
+        )
     def _unpack(col) -> tuple[np.ndarray, np.ndarray]:
         """Binary column of packed int64s -> (flat values, lengths)."""
         arr = col.combine_chunks()
@@ -368,16 +451,29 @@ def minhash_lsh_pairs(
         flat = np.frombuffer(data[offs[0] : offs[-1]].tobytes(), dtype=np.int64)
         return flat, lens
 
+    verify_schema = pa.schema(
+        [("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]
+    )
+
     def verify(t: pa.Table) -> pa.Table:
+        """Group-complete per (da, db): two rows per pair (side 0 = da's
+        packed shingles, side 1 = db's)."""
+        if t.num_rows == 0:
+            return verify_schema.empty_table()
         da = t.column("da").to_numpy(zero_copy_only=False)
         db = t.column("db").to_numpy(zero_copy_only=False)
-        va, la = _unpack(t.column("sh_a"))
-        vb, lb = _unpack(t.column("sh_b"))
-        n = len(da)
-        row = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
-        val = np.concatenate([va, vb])
-        order = np.lexsort((val, row))
-        rs, vs = row[order], val[order]
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, db, da))
+        t = t.take(pa.array(order))
+        da, db = da[order], db[order]
+        if len(da) % 2:
+            raise ValueError("candidate pair without both sides")
+        flat, lens = _unpack(t.column("sh"))
+        n = len(da) // 2
+        la, lb = lens[0::2], lens[1::2]
+        row = np.repeat(np.repeat(np.arange(n), 2), lens)
+        order2 = np.lexsort((flat, row))
+        rs, vs = row[order2], flat[order2]
         dup = (rs[1:] == rs[:-1]) & (vs[1:] == vs[:-1]) if len(rs) else np.zeros(0, bool)
         ni = np.bincount(rs[:-1][dup], minlength=n)
         union = np.maximum(la + lb - ni, 1)
@@ -385,18 +481,14 @@ def minhash_lsh_pairs(
         keep = (la > 0) & (lb > 0) & (j >= threshold)
         return pa.table(
             {
-                "da": pa.array(da[keep], type=pa.int64()),
-                "db": pa.array(db[keep], type=pa.int64()),
+                "da": pa.array(da[0::2][keep], type=pa.int64()),
+                "db": pa.array(db[0::2][keep], type=pa.int64()),
                 "jaccard": pa.array(sql_round(j[keep]), type=pa.float64()),
             }
         )
 
-    return both.map_batches(
-        empty_guard(
-            verify,
-            pa.schema([("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]),
-        ),
-        batch_format="pyarrow",
+    return key_grouped_block_map(
+        attached.sort(["da", "db", "side"]), ["da", "db"], verify
     )
 
 
