@@ -107,6 +107,11 @@ def _doc_tokens_batch(t: pa.Table, text_col: str, block_col: str | None) -> pa.T
     if block_col:
         blocks = np.asarray(t.column(block_col).to_pylist(), dtype=object)
         cols["block"] = pa.array(blocks[r].tolist())
+    else:
+        # unblocked corpus = one global group; a constant key lets the
+        # no-block path reuse the same groupby/map_groups dataflow (the
+        # single group runs in ONE WORKER task, never on the driver)
+        cols["block"] = pa.array(np.zeros(len(r), dtype=np.int64))
     cols["tok"] = pa.array(v.tolist(), type=pa.string())
     return pa.table(cols)
 
@@ -128,9 +133,13 @@ def jaccard_pairs(
     doc x token incidence matrix, intersections = one matmul. A
     token-level self-join emits |docs-sharing-token|^2 rows per token
     (measured ~50M rows at sf0.1) where the matmul form ships nothing.
-    Blocks must fit a worker (the blocking key is chosen for that, the
-    same contract LSH banding has); per-group overhead is #blocks, not
-    #tokens."""
+    The incidence matrix is accumulated in TOKEN CHUNKS (inter +=
+    m_c @ m_c.T), so a hot block's working set is O(docs^2 +
+    docs*chunk), never O(docs * vocab); the docs^2 intersection matrix
+    is the operator's inherent all-pairs cost and bounds block sizing
+    (~25k docs/block in 8 GiB — the same per-block contract LSH
+    banding has). ``block_col=None`` routes the whole corpus through
+    one group (one worker task, not the driver) — small-corpus only."""
     words = ds.map_batches(
         lambda t: _doc_tokens_batch(t, text_col, block_col), batch_format="pyarrow"
     )
@@ -141,10 +150,23 @@ def jaccard_pairs(
             z = np.empty(0, dtype=np.int64)
             return pd.DataFrame({"da": z, "db": z, "jaccard": z.astype(np.float64)})
         toks, tok_inv = np.unique(g["tok"].to_numpy(), return_inverse=True)
-        m = np.zeros((len(docs), len(toks)), dtype=np.float64)
-        m[doc_inv, tok_inv] = 1.0
-        inter = m @ m.T
-        sizes = m.sum(axis=1)
+        # float32 chunks: counts are exact integers < 2^24, matmul is
+        # 2x cheaper; accumulate + divide in float64 so the rounded
+        # jaccard is bit-identical to the all-at-once form.
+        # cap 2^22 keeps every float32 partial count < 2^24 (exact)
+        chunk = max(1, min(1 << 22, (32 << 20) // max(len(docs), 1)))
+        inter = np.zeros((len(docs), len(docs)), dtype=np.float64)
+        order = np.argsort(tok_inv, kind="stable")
+        d_sorted, t_sorted = doc_inv[order], tok_inv[order]
+        for lo in range(0, len(toks), chunk):
+            hi = min(lo + chunk, len(toks))
+            sel = slice(
+                np.searchsorted(t_sorted, lo), np.searchsorted(t_sorted, hi)
+            )
+            m = np.zeros((len(docs), hi - lo), dtype=np.float32)
+            m[d_sorted[sel], t_sorted[sel] - lo] = 1.0
+            inter += (m @ m.T).astype(np.float64)
+        sizes = np.bincount(doc_inv, minlength=len(docs)).astype(np.float64)
         union = sizes[:, None] + sizes[None, :] - inter
         j = inter / np.maximum(union, 1.0)
         ai, bi = np.nonzero(np.triu(j >= threshold, k=1))
@@ -155,13 +177,6 @@ def jaccard_pairs(
                 "jaccard": sql_round(j[ai, bi]),
             }
         )
-
-    if block_col is None:
-        # no blocking: one global group (small-corpus / test path)
-        g = pa.concat_tables(
-            ray.get(words.materialize().to_arrow_refs()), promote_options="default"
-        ).to_pandas()
-        return rd.from_pandas(block_pairs(g))
 
     return words.groupby("block").map_groups(block_pairs, batch_format="pandas")
 

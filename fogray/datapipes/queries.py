@@ -23,14 +23,15 @@ import ray
 import ray.data as rd
 
 from . import dedup, multimodal, similarity, text
+from ..util import read_parquet_clean
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _embs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _collect(ds) -> pa.Table:
@@ -169,7 +170,7 @@ def q_rel_sample(sf_dir: str) -> pa.Table:
 
 
 def _events(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
 
 
 def q_evt_window(sf_dir: str) -> pa.Table:

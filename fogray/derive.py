@@ -38,6 +38,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count
 
+from .util import read_parquet_clean
+
 
 def add_content_sha(batch: pa.Table) -> pa.Table:
     """(repo,path,commit,lang,content) -> (repo,path,commit,lang,content_sha).
@@ -312,7 +314,7 @@ def derive_edges(
     group-complete block pair expansion (distinct repos per key, cap
     guard, per-block pre-agg) -> union channels -> sort by (src, dst)
     -> per-block exact weight totals."""
-    ds = source if isinstance(source, rd.Dataset) else rd.read_parquet(source)
+    ds = source if isinstance(source, rd.Dataset) else read_parquet_clean(source)
     files = ds.map_batches(add_content_sha, batch_format="pyarrow")
 
     # dense vid assignment: sorted distinct repo names. The distinct set

@@ -38,7 +38,7 @@ from . import algorithms as alg
 from .config import EngineConfig
 from .engine import GraphEngine
 from .derive import cooccurrence_pair_counts, empty_guard, safe_inner_join
-from .util import sorted_table, sql_round
+from .util import read_parquet_clean, sorted_table, sql_round
 from .triangles import triangle_count
 
 # ---------------------------------------------------------------------------
@@ -88,7 +88,7 @@ def _cooc_edges_ds(sf_dir: str, _session: str):
     fogray.derive.cooccurrence_pair_counts (replaces the prior
     distinct-groupby + hash self-join + count-groupby, ~2.6x faster at
     sf0.1 and two fewer all-to-all exchanges)."""
-    li = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    li = read_parquet_clean(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
     edges = cooccurrence_pair_counts(li, ["l_orderkey"], "l_partkey", cap=None)
     edges = edges.repartition(_join_parts(cap=8)).materialize()
     if edges.count() == 0:
@@ -134,7 +134,7 @@ def sequence_edges(sf_dir: str) -> pa.Table:
     from .derive import key_grouped_block_map
     from .engine import expand_ranges
 
-    li = rd.read_parquet(
+    li = read_parquet_clean(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_partkey"]
     )
 

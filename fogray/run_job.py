@@ -36,6 +36,7 @@ def _build_engine(args):
     import ray.data as rd
 
     from fogray import derive, tables
+    from fogray.util import read_parquet_clean
     from fogray.config import EngineConfig
     from fogray.engine import GraphEngine
     from fogray import queries as q
@@ -46,7 +47,7 @@ def _build_engine(args):
     engine_cls = DistGraphEngine if args.engine == "dist" else GraphEngine
     if args.repo_table or args.synthetic_repos:
         if args.repo_table:
-            src = rd.read_parquet(args.repo_table)
+            src = read_parquet_clean(args.repo_table)
         else:
             src = rd.from_arrow(
                 tables.make_repo_table(

@@ -14,6 +14,20 @@ def sql_round(x, decimals: int = 6) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def read_parquet_clean(path, **kw):
+    """``ray.data.read_parquet`` with file-level schema metadata
+    stripped (zero-copy, fused into the read task). The driver's
+    parquet carries a ``pandas`` metadata blob, and a pa.schema with
+    metadata is UNHASHABLE — every downstream sort/groupby reduce then
+    logs ``Failed to hash the schemas (for deduplication)`` and skips
+    Ray Data's cheap same-schema fast path. Strip once at the source."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, **kw).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def sorted_table(t, cols: list[str]):
     """Arrow table sorted by ``cols`` via numpy lexsort (pandas
     ``sort_values`` measured ~10x slower on multi-million-row frames)."""
