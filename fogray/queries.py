@@ -298,8 +298,8 @@ def q_sssp_tree(sf_dir: str) -> pa.Table:
     """SSSP over the geo tree (region 0 as source). vid encoding:
     region=r_regionkey, nation=100+n_nationkey, customer=1000+c_custkey;
     weights are small integers derived from keys => exact doubles."""
-    nation = rd.read_parquet(_pq(sf_dir, "nation")).to_pandas()
-    customer = rd.read_parquet(
+    nation = read_parquet_clean(_pq(sf_dir, "nation")).to_pandas()
+    customer = read_parquet_clean(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
     e1 = pd.DataFrame(

@@ -14,18 +14,40 @@ def sql_round(x, decimals: int = 6) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
-def read_parquet_clean(path, **kw):
-    """``ray.data.read_parquet`` with file-level schema metadata
-    stripped (zero-copy, fused into the read task). The driver's
-    parquet carries a ``pandas`` metadata blob, and a pa.schema with
-    metadata is UNHASHABLE — every downstream sort/groupby reduce then
-    logs ``Failed to hash the schemas (for deduplication)`` and skips
-    Ray Data's cheap same-schema fast path. Strip once at the source."""
+def read_parquet_clean(path, *, columns=None, **kw):
+    """``ray.data.read_parquet`` with schema metadata stripped at the
+    source. The driver's parquet carries a ``pandas`` metadata blob,
+    and a pa.schema with metadata is UNHASHABLE — the read operator and
+    every downstream sort/groupby reduce then log ``Failed to hash the
+    schemas (for deduplication)`` and skip Ray Data's cheap same-schema
+    fast path. An explicit metadata-free ``schema=`` (projected to
+    ``columns`` when given — read_parquet rejects a full schema with a
+    projection) cleans the blocks inside the read task itself; the
+    map_batches strip is only the fallback when the driver-side schema
+    probe fails (e.g. an empty directory)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(path, **kw).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    try:
+        f = path
+        if os.path.isdir(path):
+            import glob
+
+            hits = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            f = hits[0]
+        full = pq.read_schema(f)
+        names = columns if columns is not None else full.names
+        schema = pa.schema([full.field(c).remove_metadata() for c in names])
+        return rd.read_parquet(path, schema=schema, columns=columns, **kw)
+    except Exception:
+        return rd.read_parquet(path, columns=columns, **kw).map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        )
 
 
 def sorted_table(t, cols: list[str]):
