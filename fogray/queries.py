@@ -360,17 +360,26 @@ def q_src_edgelist(sf_dir: str) -> pa.Table:
     return sorted_table(parsed.select(["src", "dst"]), ["src", "dst"])
 
 
+@functools.lru_cache(maxsize=4)
 def _edgelist_fixture(sf_dir: str) -> str:
     """Serialize the co-occurrence graph as an edge-list text fixture
-    (scratch under /tmp, atomic) — shared by the reader round-trips."""
+    (scratch under /tmp, atomic) — shared by the reader round-trips
+    (src_edgelist / det_weights). Cached per sf_dir: the graph is
+    deterministic, so the three fixture consumers pay the sort+write
+    once per process; written via pyarrow.csv (~10x pandas to_csv)."""
+    import pyarrow.csv as pacsv
+
     t = sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"])
     path = f"/tmp/fogray_edgelist_{os.path.basename(sf_dir.rstrip('/'))}.txt"
-    with open(path + ".tmp", "w") as f:
-        f.write("# fogray edge-list round-trip fixture\n")
-        t.select(["src", "dst"]).to_pandas().to_csv(
-            f, sep="\t", header=False, index=False
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with pa.OSFile(tmp, "wb") as f:
+        f.write(b"# fogray edge-list round-trip fixture\n")
+        pacsv.write_csv(
+            t.select(["src", "dst"]),
+            f,
+            pacsv.WriteOptions(include_header=False, delimiter="\t"),
         )
-    os.replace(path + ".tmp", path)
+    os.replace(tmp, path)
     return path
 
 

@@ -34,6 +34,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 EDGE_SCHEMA = pa.schema(
@@ -123,20 +124,33 @@ def read_adjlist(path: str, *, weighted: bool = False) -> rd.Dataset:
     return rd.read_text(path).map_batches(parse, batch_format="pyarrow")
 
 
+@ray.remote
+def _meta_partial(t: pa.Table):
+    # empty blocks can carry a bare/upstream schema (Ray skips the map
+    # UDF for them) — they contribute nothing either way
+    if t.num_rows == 0 or "src" not in t.schema.names:
+        return None
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    u, c = np.unique(s, return_counts=True)
+    return (int(s.min()), int(s.max()), int(d.min()), int(d.max()), len(s), u, c)
+
+
 def graph_meta(edges: rd.Dataset) -> dict:
     """Compute the ``.desc`` facts (convert.cpp:144-153) from an edge
-    Dataset with one aggregate pass: min/max vid, edge count, max out
-    degree."""
-    from ray.data.aggregate import Count, Max, Min
-
-    stats = edges.aggregate(
-        Min("src", alias_name="min_src"),
-        Max("src", alias_name="max_src"),
-        Min("dst", alias_name="min_dst"),
-        Max("dst", alias_name="max_dst"),
-        Count(alias_name="num_edges"),
-    )
-    if stats["num_edges"] == 0:
+    Dataset: min/max vid, edge count, max out degree. ONE pass of
+    per-block partials (no groupby — a degree shuffle costs an
+    all-to-all where per-block (src, count) partials combine driver-side
+    into an O(V) dense array, the same broadcast-scale state the
+    engines already hold)."""
+    parts = [
+        p
+        for p in ray.get(
+            [_meta_partial.remote(r) for r in edges.materialize().to_arrow_refs()]
+        )
+        if p is not None
+    ]
+    if not parts:
         return {
             "min_vertex_id": 0,
             "max_vertex_id": 0,
@@ -144,13 +158,15 @@ def graph_meta(edges: rd.Dataset) -> dict:
             "max_out_edges": 0,
             "with_weights": True,
         }
-    deg = edges.groupby("src").aggregate(Count(alias_name="d"))
-    max_out = deg.aggregate(Max("d", alias_name="m"))["m"]
+    max_src = max(p[1] for p in parts)
+    deg = np.zeros(max_src + 1, dtype=np.int64)
+    for _, _, _, _, _, u, c in parts:
+        np.add.at(deg, u, c)
     return {
-        "min_vertex_id": int(min(stats["min_src"], stats["min_dst"])),
-        "max_vertex_id": int(max(stats["max_src"], stats["max_dst"])),
-        "num_edges": int(stats["num_edges"]),
-        "max_out_edges": int(max_out),
+        "min_vertex_id": int(min(min(p[0] for p in parts), min(p[2] for p in parts))),
+        "max_vertex_id": int(max(max_src, max(p[3] for p in parts))),
+        "num_edges": int(sum(p[4] for p in parts)),
+        "max_out_edges": int(deg.max()),
         "with_weights": True,
     }
 
