@@ -6,7 +6,8 @@ values rounded to 6 decimals with sub-ulp engine agreement, verified in
 tests/test_datapipes.py):
   txt_stats, txt_fingerprint, dd_exact, dd_ngram_jaccard (word-set
   Jaccard blocked by ``source``), dd_embed_cosine, ann_topk, rel_topk,
-  rel_sample, evt_window, evt_sliding, evt_sessions.
+  rel_sample, evt_window, evt_sliding, evt_asof (DuckDB ASOF JOIN
+  parity), evt_sessions.
 
 Rows-only entries (deterministic but not SQL-expressible; verified
 against pure-Python oracles / recall bounds in pytest):
@@ -191,6 +192,43 @@ def q_evt_sliding(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["window_start", "event_type"])
 
 
+def q_evt_asof(sf_dir: str) -> pa.Table:
+    """As-of join within the event stream: each click event picks the
+    same user's most recent view at-or-before it (inner; ties on the
+    view side resolved to MAX(value) — deterministic, mirrored by the
+    oracle's pre-aggregated right side)."""
+    import pyarrow.compute as pc
+
+    from . import relational
+    from ..util import sorted_table, sql_round
+
+    def _side(event_type: str, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), event_type)).select(cols)
+
+        return f
+
+    ev = _events(sf_dir)
+    left = ev.map_batches(
+        _side("click", ["event_id", "user_id", "ts"]), batch_format="pyarrow"
+    )
+    right = ev.map_batches(
+        _side("view", ["user_id", "ts", "value"]), batch_format="pyarrow"
+    )
+    t = _collect(
+        relational.asof_join(
+            left, right, key_col="user_id", ts_col="ts", payload_col="value",
+            suffix="_view",
+        )
+    )
+    t = t.set_column(
+        t.schema.get_field_index("value_view"),
+        "value_view",
+        pa.array(sql_round(t.column("value_view").to_numpy(zero_copy_only=False))),
+    )
+    return sorted_table(t, ["event_id"])
+
+
 def q_evt_sessions(sf_dir: str) -> pa.Table:
     from . import streams
     from ..util import sorted_table
@@ -215,6 +253,7 @@ QUERIES = {
     "rel_sample": q_rel_sample,
     "evt_window": q_evt_window,
     "evt_sliding": q_evt_sliding,
+    "evt_asof": q_evt_asof,
     "evt_sessions": q_evt_sessions,
 }
 
@@ -303,6 +342,16 @@ ORACLE_SQL = {
         SELECT doc_id, source, n_chars FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         ORDER BY doc_id
+    """,
+    "evt_asof": """
+        SELECT c.event_id, c.user_id, c.ts, v.ts AS ts_view,
+               ROUND(v.pv, 6) AS value_view
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF JOIN (SELECT user_id, ts, MAX(value) AS pv FROM events
+                   WHERE event_type = 'view' GROUP BY 1, 2) v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id
     """,
     "evt_window": """
         SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS window_start,

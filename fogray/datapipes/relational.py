@@ -82,6 +82,114 @@ def topk_per_group(
     return key_grouped_block_map(proj.sort([group_col]), [group_col], block_topk)
 
 
+def asof_join(
+    left,
+    right,
+    *,
+    key_col: str,
+    ts_col: str,
+    payload_col: str,
+    suffix: str = "_right",
+) -> rd.Dataset:
+    """Inner as-of join (DuckDB ``ASOF JOIN`` semantics): each left row
+    matches the right row with the LARGEST ts <= left ts within the
+    same key; left rows with no prior right row are dropped. The right
+    side is first deduplicated to one row per (key, ts) keeping the MAX
+    payload, so the match is deterministic even with tied timestamps.
+
+    Output: every left column, plus ``ts_col + suffix`` and
+    ``payload_col + suffix`` from the matched right row.
+
+    Dataflow (no reference counterpart — rebuild-defined like the other
+    relational ops): tag the two sides, union, ONE sort by (key, ts)
+    — the single all-to-all — then group-complete key blocks resolve
+    every match with one vectorized segmented max-accumulate (right
+    rows ordered before left rows at equal ts implements the >= rule);
+    no window shuffle, no per-row loop, and a hot key costs one task's
+    O(rows log rows) lexsort."""
+    left_cols = [c for c in left.schema().names]
+    if key_col not in left_cols or ts_col not in left_cols:
+        raise ValueError("left side must carry key_col and ts_col")
+    ts_r, pay_r = ts_col + suffix, payload_col + suffix
+
+    left_schema = left.schema().base_schema
+    mixed_fields = [left_schema.field(c) for c in left_cols]
+    mixed_fields += [("__side", pa.int8()), ("__pay", pa.float64())]
+    mixed_schema = pa.schema(mixed_fields)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.select(left_cols)
+        t = t.append_column("__side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        return t.append_column(
+            "__pay", pa.array(np.full(t.num_rows, np.nan))
+        ).cast(mixed_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            f = left_schema.field(c)
+            if c == key_col:
+                cols[c] = t.column(key_col).cast(f.type)
+            elif c == ts_col:
+                cols[c] = t.column(ts_col).cast(f.type)
+            else:
+                cols[c] = pa.nulls(t.num_rows, f.type)
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols["__pay"] = t.column(payload_col).cast(pa.float64())
+        return pa.table(cols, schema=mixed_schema)
+
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in left_cols]
+        + [(ts_r, left_schema.field(ts_col).type), (pay_r, pa.float64())]
+    )
+
+    def block_asof(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        pay = t.column("__pay").to_numpy(zero_copy_only=False)
+
+        # dedup rights to max payload per (key, ts): sort rights by
+        # (key, ts, payload), keep the last row of each (key, ts) run
+        r_idx = np.flatnonzero(side == 0)
+        if len(r_idx) == 0 or len(r_idx) == len(k):
+            return out_schema.empty_table()
+        ro = r_idx[np.lexsort((pay[r_idx], ts[r_idx], k[r_idx]))]
+        last = np.r_[
+            (k[ro][1:] != k[ro][:-1]) | (ts[ro][1:] != ts[ro][:-1]), True
+        ]
+        keep = np.zeros(len(k), dtype=bool)
+        keep[ro[last]] = True
+        keep[side == 1] = True
+        idx = np.flatnonzero(keep)
+
+        ki, tsi, si = k[idx], ts[idx], side[idx]
+        order = idx[np.lexsort((si, tsi, ki))]  # right before left on ties
+        ks, ss = k[order], side[order]
+        m = len(order)
+        grp = np.cumsum(np.r_[True, ks[1:] != ks[:-1]]).astype(np.int64) - 1
+        pos = np.arange(m, dtype=np.int64)
+        span = np.int64(m + 1)
+        val = np.where(ss == 0, grp * span + pos, np.int64(-1))
+        acc = np.maximum.accumulate(val)
+        is_left = ss == 1
+        valid = is_left & (acc >= grp * span)
+        lrows = order[valid]  # original row ids of matched left rows
+        rrows = order[(acc[valid] - grp[valid] * span)]
+        out = t.select(left_cols).take(pa.array(lrows))
+        out = out.append_column(ts_r, t.column(ts_col).take(pa.array(rrows)))
+        return out.append_column(pay_r, t.column("__pay").take(pa.array(rrows)))
+
+    mixed = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return key_grouped_block_map(
+        mixed.sort([key_col, ts_col]), [key_col], block_asof
+    )
+
+
 def md5_prefix_batch(keys: np.ndarray, nhex: int = 2) -> np.ndarray:
     """First ``nhex`` hex chars of md5(str(key)) per element — the same
     bytes DuckDB's ``substr(md5(CAST(key AS VARCHAR)), 1, nhex)``

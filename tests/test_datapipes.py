@@ -28,7 +28,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     "name",
     ["txt_stats", "txt_fingerprint", "dd_exact", "dd_ngram_jaccard",
      "dd_embed_cosine", "ann_topk", "rel_topk", "rel_sample",
-     "evt_window", "evt_sliding", "evt_sessions"],
+     "evt_window", "evt_sliding", "evt_asof", "evt_sessions"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -425,3 +425,79 @@ def test_hot_key_skew_guard(ray_session):
     assert win.n_events.sum() == n
     assert len(win) == -(-n // 3600)
     assert win.sum_value.sum() == float(n)
+
+
+def test_asof_join_semantics(ray_session):
+    """asof_join edge rules: >= includes equal timestamps (right ordered
+    before left on ties), tied right (key, ts) rows resolve to MAX
+    payload, lefts with no prior right are dropped, and a hot key whose
+    whole history lands in one group still vectorizes."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    def tt(us):
+        return pa.array(np.asarray(us, dtype=np.int64)).cast(pa.timestamp("us"))
+
+    left = pa.table(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "ts": tt([5, 10, 20, 7, 3, 9]),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 9], type=pa.int64()),
+            "ts": tt([10, 10, 15, 2, 6, 1]),
+            "value": pa.array([4.0, 7.0, 1.0, 9.0, 2.0, 0.5]),
+        }
+    )
+    out = (
+        relational.asof_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            key_col="user_id",
+            ts_col="ts",
+            payload_col="value",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 0 (u1, t5)  -> right (u1, t2, 9.0)
+    # event 1 (u1, t10) -> tied rights at t10 -> MAX value 7.0 (>= rule)
+    # event 2 (u1, t20) -> right (u1, t15, 1.0)
+    # event 3 (u2, t7)  -> right (u2, t6, 2.0)
+    # event 4 (u2, t3)  -> no prior right: dropped
+    # event 5 (u3, t9)  -> no rights for key: dropped
+    assert out.event_id.tolist() == [0, 1, 2, 3]
+    assert out.value_right.tolist() == [9.0, 7.0, 1.0, 2.0]
+    assert pa.array(out.ts_right).cast(pa.int64()).to_pylist() == [2, 10, 15, 6]
+
+    # hot key: one user owns 200k interleaved rows on both sides
+    n = 200_000
+    hl = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": tt(np.arange(n, dtype=np.int64) * 10 + 5),
+        }
+    )
+    hr = pa.table(
+        {
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": tt(np.arange(n, dtype=np.int64) * 10),
+            "value": np.arange(n, dtype=np.float64),
+        }
+    )
+    hot = relational.asof_join(
+        rd.from_arrow(hl).repartition(8),
+        rd.from_arrow(hr).repartition(8),
+        key_col="user_id",
+        ts_col="ts",
+        payload_col="value",
+    ).to_pandas()
+    assert len(hot) == n
+    hot = hot.sort_values("event_id").reset_index(drop=True)
+    assert (hot.value_right.to_numpy() == np.arange(n, dtype=np.float64)).all()
