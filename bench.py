@@ -179,6 +179,10 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
         "pagerank": pr,
+        # co-tenant context: identical suites vary >3x on this box
+        # (measured 63.7s / 242.4s / 88.8s back-to-back) — the load
+        # average anchors which regime a given run landed in
+        "load_avg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors
