@@ -140,6 +140,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "dd_exact",
         "dd_minhash_lsh",
         "dd_simhash",
+        "dd_cluster",
         "dd_ngram_jaccard",
         "dd_embed_cosine",
         "ann_topk",

@@ -17,9 +17,11 @@ Five families, per the standard web-pipeline toolbox:
   brute block-pairwise matmul against a broadcast matrix (small-N
   baseline) or random-hyperplane LSH bucketing (the scale path).
 
-All hashing is deterministic (crc32 / Karp-Rabin / seeded numpy), so
-every operator is reproducible and testable against pure-Python oracles
-(tests/test_datapipes.py).
+All hashing is deterministic (md5-prefix token hashes / Karp-Rabin /
+seeded numpy) and chosen to be SQL-replicable: DuckDB computes the same
+token hash as ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``, so the
+simhash and MinHash+LSH operators carry full DuckDB oracles in addition
+to the pure-Python oracles in tests/test_datapipes.py.
 """
 
 from __future__ import annotations
@@ -189,9 +191,22 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV = np.uint64(1099511628211)
 
 
+def _md5_u64(words) -> np.ndarray:
+    """First 8 md5 bytes per word, big-endian uint64 — the token hash
+    every dedup sketch builds on. Chosen over crc32 because DuckDB can
+    compute the identical value (``('0x' || substr(md5(w), 1,
+    16))::UBIGINT``), which is what makes the simhash / MinHash oracles
+    SQL-expressible."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+
+
 def _batch_shingle_hashes(texts: list[str], n_words: int):
     """Vectorized word-shingle hashing for a whole batch: tokenize, hash
-    each DISTINCT token once (vocab dedup — the per-shingle-string crc32
+    each DISTINCT token once (vocab dedup — the per-shingle-string hash
     loop this replaces re-hashed every occurrence), then roll a
     Karp-Rabin polynomial over the token-hash windows with numpy slices.
     Returns (flat_shingle_hashes uint64, doc_offsets len=#docs+1);
@@ -202,9 +217,7 @@ def _batch_shingle_hashes(texts: list[str], n_words: int):
     if not flat:
         return np.zeros(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
     uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-    uh = np.fromiter(
-        (zlib.crc32(w.encode()) for w in uniq), dtype=np.uint64, count=len(uniq)
-    )
+    uh = _md5_u64(uniq)
     th = uh[inv]  # per-token 32-bit hash, widened
     tok_offs = np.r_[0, np.cumsum(lens)]
     # windows of n_words consecutive token hashes, but never across docs:
@@ -225,7 +238,7 @@ def _batch_shingle_hashes(texts: list[str], n_words: int):
     return out, sh_offs
 
 
-def _crc_shingles(text: str, n_words: int) -> np.ndarray:
+def _doc_shingles(text: str, n_words: int) -> np.ndarray:
     """Distinct shingle hashes of one document (the single-doc view of
     :func:`_batch_shingle_hashes` — same values)."""
     flat, offs = _batch_shingle_hashes([text], n_words)
@@ -246,7 +259,7 @@ class MinHasher:
         self.shingle_words = shingle_words
 
     def signature(self, text: str) -> np.ndarray:
-        x = _crc_shingles(text, self.shingle_words)
+        x = _doc_shingles(text, self.shingle_words)
         if len(x) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         h = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
@@ -541,10 +554,11 @@ def dedup_clusters(pairs: pa.Table, doc_ids: np.ndarray) -> pa.Table:
 
 
 def _simhash_batch(t: pa.Table, text_col: str) -> pa.Table:
-    """Whole-batch SimHash: tokenize once, crc32 each DISTINCT token
-    once (vocab dedup, the _batch_shingle_hashes pattern), widen to 64
-    bits (h64 = h32 * PRIME), then one segmented reduceat accumulates
-    every doc's 64 signed bit-sums — no per-doc or per-bit Python."""
+    """Whole-batch SimHash: tokenize once, md5-hash each DISTINCT token
+    once (vocab dedup, the _batch_shingle_hashes pattern), then one
+    segmented reduceat accumulates every doc's 64 signed bit-sums — no
+    per-doc or per-bit Python. The md5-prefix token hash keeps the whole
+    signature DuckDB-expressible (see the module docstring)."""
     texts = t.column(text_col).to_pylist()
     token_lists = [s.split() for s in texts]
     lens = np.fromiter((len(x) for x in token_lists), dtype=np.int64, count=len(texts))
@@ -552,10 +566,7 @@ def _simhash_batch(t: pa.Table, text_col: str) -> pa.Table:
     out = np.zeros(len(texts), dtype=np.uint64)
     if flat:
         uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-        uh = np.fromiter(
-            (zlib.crc32(w.encode()) for w in uniq), dtype=np.uint64, count=len(uniq)
-        )
-        h64 = uh[inv] * np.uint64(0x9E3779B97F4A7C15)
+        h64 = _md5_u64(uniq)[inv]
         signs = (
             2 * ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
             - 1

@@ -4,14 +4,19 @@
 SQL-oracled entries (exact DuckDB parity — integer-derived doubles or
 values rounded to 6 decimals with sub-ulp engine agreement, verified in
 tests/test_datapipes.py):
-  txt_stats, txt_fingerprint, dd_exact, dd_ngram_jaccard (word-set
-  Jaccard blocked by ``source``), dd_embed_cosine, ann_topk, rel_topk,
-  rel_sample, evt_window, evt_sliding, evt_asof (DuckDB ASOF JOIN
-  parity), evt_sessions.
+  txt_stats, txt_fingerprint, txt_langid, dd_exact, dd_ngram_jaccard
+  (word-set Jaccard blocked by ``source``), dd_minhash_lsh (md5-prefix
+  token hashes + HUGEINT wraparound arithmetic make the full
+  sketch-band-verify pipeline SQL-expressible), dd_simhash, dd_cluster
+  (recursive closure over the SQL-expressible pair set),
+  dd_embed_cosine, ann_topk, mm_features, rel_topk, rel_sample,
+  evt_window, evt_sliding, evt_asof (DuckDB ASOF JOIN parity),
+  evt_sessions.
 
-Rows-only entries (deterministic but not SQL-expressible; verified
-against pure-Python oracles / recall bounds in pytest):
-  txt_langid, dd_minhash_lsh, dd_simhash, ann_ivf, mm_features.
+Rows-only entry (deterministic but not SQL-expressible — the IVF
+coarse quantizer's Lloyd iterations; verified against brute-force
+recall bounds in pytest):
+  ann_ivf.
 """
 
 from __future__ import annotations
@@ -91,6 +96,53 @@ def q_dd_minhash_lsh(sf_dir: str) -> pa.Table:
 
 def q_dd_simhash(sf_dir: str) -> pa.Table:
     return _collect(dedup.simhash(_docs(sf_dir)))
+
+
+def q_dd_cluster(sf_dir: str) -> pa.Table:
+    """Near-dup clustering = connected components over the MinHash-LSH
+    dup graph, run on the DISTRIBUTED graph engine (the documented scale
+    path of :func:`dedup.dedup_clusters` — the pair list is the small
+    post-threshold side, but the vertex state and label propagation are
+    the engine's). Output: (doc_id, cluster_root=min doc_id in the
+    component) for EVERY document; singletons root themselves."""
+    from .. import algorithms as alg
+    from ..config import EngineConfig
+    from ..engine import GraphEngine
+
+    pairs = _collect(
+        dedup.minhash_lsh_pairs(
+            _docs(sf_dir), num_perm=32, bands=8, shingle_words=3, threshold=0.5
+        )
+    )
+    ids = np.sort(
+        _collect(_docs(sf_dir).select_columns(["doc_id"]))
+        .column("doc_id")
+        .to_numpy(zero_copy_only=False)
+    )
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "cluster_root": pa.array(ids, type=pa.int64())}
+        )
+    src = pairs.column("da").to_numpy(zero_copy_only=False)
+    dst = pairs.column("db").to_numpy(zero_copy_only=False)
+    eng = GraphEngine(
+        int(ids.max()) + 1,
+        arrays=(src, dst, np.ones(len(src), dtype=np.float64)),
+        cfg=EngineConfig(num_partitions=4),
+    )
+    try:
+        res = alg.connected_components(eng)
+    finally:
+        eng.shutdown()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_root": pa.array(
+                res.state["component_root"][ids].astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
 
 
 def q_dd_embed_cosine(sf_dir: str) -> pa.Table:
@@ -245,6 +297,7 @@ QUERIES = {
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
     "dd_simhash": q_dd_simhash,
+    "dd_cluster": q_dd_cluster,
     "dd_embed_cosine": q_dd_embed_cosine,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -258,6 +311,181 @@ QUERIES = {
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _mm_features_oracle_sql() -> str:
+    """DuckDB mirror of :func:`fogray.datapipes.multimodal.media_features`
+    over the synthesized payloads. The pixel stream is
+    ``tile(tile(sha256(text))[:size])[:need]``, so each digest-byte
+    position's pixel count is closed-form arithmetic (no byte arrays in
+    SQL): position p of the payload occurs ``(need - p + size - 1) //
+    size`` times, and payload position p carries digest byte ``p % 32``
+    (read from the sha256 hex). The fixed RandomState(13) projection
+    matrix is embedded as literals (model parameters, not data)."""
+    from .multimodal import FEATURE_DIM
+
+    rng = np.random.RandomState(13)
+    proj = rng.standard_normal((256, FEATURE_DIM))
+    proj_rows = ",\n            ".join(
+        "(" + str(v) + ", " + ", ".join(repr(float(x)) for x in proj[v]) + ")"
+        for v in range(256)
+    )
+    fcols = ",\n               ".join(
+        f"ROUND(SUM((occ_v / need) * p{k}), 6) AS feat_{k}"
+        for k in range(FEATURE_DIM)
+    )
+    pnames = ", ".join(f"p{k}" for k in range(FEATURE_DIM))
+    return f"""
+        WITH proj(v, {pnames}) AS (VALUES
+            {proj_rows}),
+        par AS (
+            SELECT doc_id, sha256(text) AS sha,
+                   256 + (length(text) % 1024) AS size,
+                   (16 + length(text) % 48)
+                   * (16 + (length(text) * 7) % 48) AS need
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, need,
+                   ('0x' || substr(sha, (p % 32) * 2 + 1, 2))::INT AS v,
+                   (need - p + size - 1) // size AS o
+            FROM (SELECT doc_id, sha, need, size,
+                         unnest(range(size)) AS p FROM par)
+        ),
+        byv AS (SELECT doc_id, need, v, SUM(o) AS occ_v FROM occ GROUP BY 1, 2, 3)
+        SELECT doc_id,
+               {fcols}
+        FROM byv JOIN proj USING (v)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB mirror of :class:`fogray.datapipes.text.LangId`: per-doc
+    marker counts (non-overlapping, the same rule as Arrow
+    count_substring and SQL replace()), summed per language, divided
+    once by the char length, argmax with ties broken by language name
+    ascending (== numpy argmax over the sorted language axis)."""
+    from .text import LANG_PROFILES
+
+    markers = ",\n            ".join(
+        f"('{lang}', '{m}')"
+        for lang in sorted(LANG_PROFILES)
+        for m in LANG_PROFILES[lang]
+    )
+    return f"""
+        WITH profiles(lang, marker) AS (VALUES
+            {markers}),
+        scores AS (
+            SELECT d.doc_id,
+                   p.lang,
+                   SUM((length(d.text) - length(replace(d.text, p.marker, '')))
+                       // length(p.marker))
+                   / GREATEST(ANY_VALUE(length(d.text)), 1) AS score
+            FROM documents d CROSS JOIN profiles p
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, lang, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+            FROM scores
+        )
+        SELECT doc_id,
+               CASE WHEN score = 0 THEN 'und' ELSE lang END AS pred_lang,
+               ROUND(score, 6) AS lang_score
+        FROM best WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8, seed: int = 7) -> str:
+    """DuckDB mirror of :func:`fogray.datapipes.dedup.minhash_lsh_pairs`
+    (num_perm=32, bands=8, shingle_words=3, threshold=0.5). Exactness
+    notes:
+
+    - token hash: ``('0x' || substr(md5(tok),1,16))::UBIGINT`` ==
+      ``dedup._md5_u64``;
+    - shingle hash: the same Karp-Rabin roll, with every numpy uint64
+      wraparound replicated as an explicit ``% 2^64`` in HUGEINT;
+    - permutations: ``((a*sh) % 2^64 + b) % 2^64 % (2^61-1)`` — numpy
+      wraps a*sh+b to 64 bits BEFORE the Mersenne mod, so the SQL does
+      too; the (a, b) literals are the same RandomState(seed) draws;
+    - banding: buckets are the band's signature 4-tuple; the Ray side
+      buckets by crc32 of those bytes — identical buckets short of a
+      crc32 collision, and a collision-only candidate pair must still
+      pass the exact-Jaccard verify to be emitted.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    rows_per_band = num_perm // bands
+    perms = ",\n            ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(num_perm)
+    )
+    m64 = "18446744073709551616::HUGEINT"
+    return rf"""
+        WITH perms(i, pa, pb) AS (VALUES
+            {perms}),
+        toks AS (
+            SELECT doc_id,
+                   unnest(arr) AS tok,
+                   unnest(range(length(arr))) AS pos,
+                   length(arr) AS len
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS arr
+                  FROM documents)
+        ),
+        th AS (
+            SELECT doc_id, pos, len,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h
+            FROM toks
+        ),
+        shing AS (
+            SELECT a.doc_id,
+                   CASE WHEN c.h IS NOT NULL THEN
+                            ((((((a.h * 1099511628211) % {m64} + b.h) % {m64})
+                               * 1099511628211) % {m64}) + c.h) % {m64}
+                        WHEN b.h IS NOT NULL THEN
+                            ((a.h * 1099511628211) % {m64} + b.h) % {m64}
+                        ELSE a.h END AS sh
+            FROM th a
+            LEFT JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            LEFT JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            WHERE a.pos <= GREATEST(a.len - 3, 0)
+        ),
+        sh_d AS (SELECT DISTINCT doc_id, sh FROM shing),
+        sig AS (
+            SELECT doc_id, i,
+                   MIN((((pa * sh) % {m64} + pb) % {m64})
+                       % 2305843009213693951::HUGEINT) AS s
+            FROM sh_d CROSS JOIN perms GROUP BY doc_id, i
+        ),
+        sigb AS (
+            SELECT doc_id, i // {rows_per_band} AS band, list(s ORDER BY i) AS key
+            FROM sig GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+            FROM sigb x JOIN sigb y
+              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        ),
+        inter AS (
+            SELECT c.da, c.db, COUNT(*) AS ni
+            FROM cand c
+            JOIN sh_d a ON a.doc_id = c.da
+            JOIN sh_d b ON b.doc_id = c.db AND b.sh = a.sh
+            GROUP BY 1, 2
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh_d GROUP BY 1)
+        SELECT i.da, i.db, ROUND(i.ni / (ca.n + cb.n - i.ni), 6) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.da
+        JOIN cnt cb ON cb.doc_id = i.db
+        WHERE i.ni / (ca.n + cb.n - i.ni) >= 0.5
+        ORDER BY da, db
+    """
 
 ORACLE_SQL = {
     "txt_stats": r"""
@@ -302,6 +530,55 @@ ORACLE_SQL = {
         JOIN cnt cb ON cb.doc_id = db
         WHERE ni / (ca.nw + cb.nw - ni) >= 0.5
         ORDER BY da, db
+    """,
+    "txt_langid": _langid_oracle_sql(),
+    "mm_features": _mm_features_oracle_sql(),
+    "dd_minhash_lsh": _minhash_oracle_sql(),
+    # dup-graph connected components: MIN over the transitive closure of
+    # the (SQL-expressible) MinHash pair set, seeded with every doc so
+    # singletons root themselves — the same recursive shape as the
+    # connected_components graph oracle (fogray/queries.py).
+    "dd_cluster": f"""
+        WITH RECURSIVE
+        pairs AS ({_minhash_oracle_sql()}),
+        edges AS (SELECT da AS s, db AS d FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+        reach(v, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v
+        )
+        SELECT v AS doc_id, MIN(r) AS cluster_root
+        FROM reach GROUP BY v ORDER BY doc_id
+    """,
+    # the token hash is md5-prefix by design so this oracle exists:
+    # ('0x' || substr(md5(tok), 1, 16))::UBIGINT == Python
+    # int.from_bytes(md5(w).digest()[:8], 'big') (dedup._md5_u64)
+    "dd_simhash": r"""
+        WITH toks AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h
+            FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+            FROM toks CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sig AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << bit)
+                            ELSE 0::HUGEINT END) AS s
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN COALESCE(s, 0) >= 9223372036854775808::HUGEINT
+                         THEN COALESCE(s, 0) - 18446744073709551616::HUGEINT
+                         ELSE COALESCE(s, 0) END AS BIGINT) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sig USING (doc_id)
+        ORDER BY doc_id
     """,
     "dd_embed_cosine": f"""
         SELECT a.vec_id AS va, b.vec_id AS vb,

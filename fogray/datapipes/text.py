@@ -10,9 +10,11 @@ fogray.datapipes.queries computes the same expressions):
 - ``quality``   = ROUND(LEAST(1.0, n_tokens/100.0) * n_alpha/GREATEST(n_chars,1), 6)
 - ``md5_fp``    = md5(text)
 
-The language-ID and rolling-hash fingerprints are not SQL-expressible;
-they are deterministic and verified against pure-Python oracles in
-tests/test_datapipes.py.
+The language-ID scorer is also SQL-mirrored (per-marker non-overlapping
+substring counts via length(replace(...)) deltas, argmax with
+lang-ascending tie-break). The rolling-hash winnowing fingerprints are
+not SQL-expressible; they are deterministic and verified against
+pure-Python oracles in tests/test_datapipes.py.
 """
 
 from __future__ import annotations

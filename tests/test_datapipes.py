@@ -26,9 +26,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["txt_stats", "txt_fingerprint", "dd_exact", "dd_ngram_jaccard",
-     "dd_embed_cosine", "ann_topk", "rel_topk", "rel_sample",
-     "evt_window", "evt_sliding", "evt_asof", "evt_sessions"],
+    ["txt_stats", "txt_fingerprint", "txt_langid", "dd_exact",
+     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
+     "dd_embed_cosine", "ann_topk", "mm_features", "rel_topk",
+     "rel_sample", "evt_window", "evt_sliding", "evt_asof",
+     "evt_sessions"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -129,14 +131,14 @@ def test_minhash_lsh_finds_planted(ray_session):
 
 
 def test_minhash_signature_estimates_jaccard():
-    from fogray.datapipes.dedup import MinHasher, _crc_shingles
+    from fogray.datapipes.dedup import MinHasher, _doc_shingles
 
     mh = MinHasher(num_perm=128, shingle_words=2)
     a = "w" + " w".join(str(i) for i in range(200))
     b = "w" + " w".join(str(i) for i in range(100, 300))
     sa, sb = mh.signature(a), mh.signature(b)
     est = (sa == sb).mean()
-    xa, xb = _crc_shingles(a, 2), _crc_shingles(b, 2)
+    xa, xb = _doc_shingles(a, 2), _doc_shingles(b, 2)
     true = len(np.intersect1d(xa, xb)) / len(np.union1d(xa, xb))
     assert abs(est - true) < 0.15
 
@@ -322,7 +324,7 @@ def test_minhash_lsh_exact_oracle_sf01(ray_session):
     import ray.data as rd
 
     from fogray.datapipes import queries as dq
-    from fogray.datapipes.dedup import MinHasher, _crc_shingles
+    from fogray.datapipes.dedup import MinHasher, _doc_shingles
 
     sf = "/root/testdata/sf0.1"
     docs = rd.read_parquet(
@@ -333,7 +335,7 @@ def test_minhash_lsh_exact_oracle_sf01(ray_session):
     shingles: dict = {}
     for did, txt in zip(docs.doc_id, docs.text):
         sig = mh.signature(txt)
-        shingles[did] = _crc_shingles(txt, 3).astype(np.int64)
+        shingles[did] = _doc_shingles(txt, 3).astype(np.int64)
         for b in range(8):
             key = (b, zlib.crc32(sig[b * 4 : (b + 1) * 4].astype(np.int64).tobytes()))
             buckets.setdefault(key, []).append(did)
