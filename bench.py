@@ -123,6 +123,8 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "derive_edges",
         "src_edgelist",
         "pagerank",
+        "ppr",
+        "kcore",
         "connected_components",
         "label_propagation",
         "bfs",

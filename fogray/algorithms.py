@@ -46,6 +46,55 @@ def spmv(engine: GraphEngine, *, ckpt_dir=None, resume=False) -> RunResult:
     return engine.run(PROGRAMS["spmv"], {}, ckpt_dir=ckpt_dir, resume=resume)
 
 
+def ppr(engine: GraphEngine, source: int, niters: int = 10, *, ckpt_dir=None, resume=False) -> RunResult:
+    """Personalized PageRank seeded at ``source`` (FOG pagerank
+    mechanics; see programs.PersonalizedPageRank)."""
+    from .programs import PersonalizedPageRank
+
+    return engine.run(
+        PersonalizedPageRank(source), {"niters": niters},
+        ckpt_dir=ckpt_dir, resume=resume,
+    )
+
+
+def kcore(engine: GraphEngine, k: int, *, max_rounds: int = 10_000) -> RunResult:
+    """k-core decomposition by synchronous peeling over a symmetric
+    edge set: every round recounts alive-neighbor degrees in one GLOBAL
+    superstep (programs.KCoreRound) and kills vertices below k; stops
+    at the fixpoint (no flips). The same external-driver pattern as
+    :func:`scc` — the program holds no convergence state."""
+    from .dist_engine import DistGraphEngine
+    from .programs import KCoreRound
+
+    if isinstance(engine, DistGraphEngine):
+        raise NotImplementedError(
+            "kcore's fixpoint driver uses the broadcast superstep API; "
+            "run it on fogray.engine.GraphEngine (peeling state is one "
+            "float per vertex, so broadcast is the right engine here)"
+        )
+    t_start = time.perf_counter()
+    prog = KCoreRound(k)
+    state, _ = prog.init(engine.n, engine.outdeg, engine.indeg)
+    state["outdeg"] = engine.outdeg.astype(np.float64)
+    metrics: list[dict] = []
+    rounds = 0
+    while rounds < max_rounds:
+        changed, m = engine.superstep(prog, state, None, FWD)
+        rounds += 1
+        m["superstep"] = rounds
+        metrics.append(m)
+        if len(changed) == 0:
+            break
+    return RunResult(
+        state=state,
+        frontier=None,
+        supersteps=rounds,
+        metrics=metrics,
+        num_edges=engine.num_edges,
+        wall_seconds=time.perf_counter() - t_start,
+    )
+
+
 def _scc_build(state, lo, hi, outdeg, indeg):
     """Slice-local SCC state construction + trivial-SCC marking
     (scc.hpp:48-54): deg-0 vertices are their own components."""

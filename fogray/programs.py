@@ -107,6 +107,84 @@ class PageRank(VertexProgram):
         return completed_iters >= params.get("niters", 10)
 
 
+class PersonalizedPageRank(VertexProgram):
+    """Personalized PageRank with the same FOG mechanics as
+    :class:`PageRank` (per-edge damping, accumulate-no-reset, fixed
+    iteration count — application/pagerank.hpp:43-128), except mass
+    starts at ONE source vertex and the per-edge teleport lands only on
+    edges INTO the source: vals = 0.85*r(s)/outdeg(s) + 0.15*(d==src).
+    Mirrored exactly by the ``ppr`` recursive-SQL oracle."""
+
+    name = "ppr"
+    engine = "global"
+    combine = "sum"
+
+    def __init__(self, source: int = 0):
+        self.source = int(source)
+
+    def init(self, n, outdeg, indeg, **params):
+        rank = np.zeros(n, dtype=np.float64)
+        if 0 <= self.source < n:
+            rank[self.source] = 1.0
+        return {"rank": rank}, None
+
+    def init_span(self, lo, hi, outdeg, indeg, **params):
+        rank = np.zeros(hi - lo, dtype=np.float64)
+        if lo <= self.source < hi:
+            rank[self.source - lo] = 1.0
+        return {"rank": rank}, None
+
+    def scatter(self, state, s, d, w, direction):
+        vals = 0.85 * state["rank"][s] / state["outdeg"][s]
+        vals[d == self.source] += 0.15
+        return d, vals
+
+    def apply(self, state, ids, vals, preds=None):
+        state["rank"][ids] += vals
+        return ids
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= params.get("niters", 10)
+
+
+class KCoreRound(VertexProgram):
+    """ONE degree-recount round of k-core peeling over a SYMMETRIC edge
+    set (every edge stored in both directions, as the co-occurrence
+    graph is): every vertex emits its alive flag along out-edges, so
+    each vertex gathers its alive-neighbor count; apply() kills
+    vertices whose count dropped below k and reports the flips. Driven
+    to fixpoint by :func:`fogray.algorithms.kcore` (the same
+    external-driver pattern as SCC); k-core peeling is monotone, so
+    rounds are idempotent once converged — which is what lets the SQL
+    oracle run a FIXED iteration count."""
+
+    name = "kcore_round"
+    engine = "global"
+    combine = "sum"
+
+    def __init__(self, k: int = 2):
+        self.k = int(k)
+
+    def init(self, n, outdeg, indeg, **params):
+        return {"alive": np.ones(n, dtype=np.float64)}, None
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["alive"][s]
+
+    def apply(self, state, ids, vals, preds=None):
+        # dense combine drops zero sums, so rebuild the full count
+        # vector: a vertex with NO alive neighbors has count 0 < k.
+        deg_alive = np.zeros(len(state["alive"]), dtype=np.float64)
+        deg_alive[ids] = vals
+        new_alive = state["alive"] * (deg_alive >= self.k)
+        changed = np.flatnonzero(new_alive != state["alive"])
+        state["alive"] = new_alive
+        return changed
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= 1
+
+
 class SpMV(VertexProgram):
     """FOG SpMV — application/spmv.hpp: x=1.0, y=0.0; one GLOBAL
     iteration of y(v) += x(u)*w(u,v); self-loops included."""

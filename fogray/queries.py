@@ -261,6 +261,42 @@ def q_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ppr(sf_dir: str) -> pa.Table:
+    """Personalized PageRank seeded at the lowest-vid vertex with
+    out-edges (== MIN(src) in the oracle; the co-occurrence graph is
+    symmetric so that is also the lowest touched vid)."""
+    eng, n = _cooc_engine(sf_dir)
+    src0 = int(np.flatnonzero(eng.outdeg > 0)[0])
+    res = alg.ppr(eng, src0, niters=10)
+    ids = _touched(eng)
+    return pa.table(
+        {"vid": ids.astype(np.int64), "rank": sql_round(res.state["rank"][ids])}
+    )
+
+
+def q_kcore(sf_dir: str) -> pa.Table:
+    """k-core membership with k = max(2, floor(avg_degree * 0.7)) — the
+    data-derived threshold (computed identically by the oracle's AVG)
+    peels a mixed shell at every sf on the near-regular co-occurrence
+    graph (193/200 .. 18201/20000 in-core, 3-10 peel rounds measured).
+    The peeling runs to fixpoint on the engine; the oracle's fixed 32
+    recursion rounds rely on rounds being idempotent past convergence
+    (asserted in tests)."""
+    import math
+
+    eng, n = _cooc_engine(sf_dir)
+    pos = eng.outdeg[eng.outdeg > 0]
+    k = max(2, math.floor(float(pos.mean()) * 0.7)) if len(pos) else 2
+    res = alg.kcore(eng, k)
+    ids = _touched(eng)
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "in_core": res.state["alive"][ids].astype(np.int64),
+        }
+    )
+
+
 def q_connected_components(sf_dir: str) -> pa.Table:
     eng, n = _cooc_engine(sf_dir)
     res = alg.connected_components(eng)
@@ -518,6 +554,68 @@ ORACLE_SQL: dict[str, str] = {
         SELECT src AS vid, COUNT(*) AS out_degree
         FROM ({_COOC_SQL}) GROUP BY src ORDER BY vid
     """,
+    # personalized pagerank: the pagerank recursion with mass seeded at
+    # MIN(src) and the per-edge teleport landing only on edges INTO the
+    # source (programs.PersonalizedPageRank mirrors this exactly)
+    "ppr": f"""
+        WITH RECURSIVE
+        edges AS ({_COOC_SQL}),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        s0 AS (SELECT MIN(src) AS sv FROM edges),
+        mat AS (
+            SELECT e.src AS src, e.dst AS dst,
+                   0.85 / d.outdeg AS coef,
+                   CASE WHEN e.dst = (SELECT sv FROM s0)
+                        THEN 0.15 ELSE 0.0 END AS konst
+            FROM edges e JOIN deg d ON d.src = e.src
+            UNION ALL
+            SELECT v, v, 1.0, 0.0 FROM verts
+        ),
+        pr(iter, v, r) AS (
+            SELECT 0, v,
+                   CAST(CASE WHEN v = (SELECT sv FROM s0)
+                             THEN 1.0 ELSE 0.0 END AS DOUBLE)
+            FROM verts
+            UNION ALL
+            SELECT pr.iter + 1, mat.dst, SUM(mat.coef * pr.r + mat.konst)
+            FROM pr JOIN mat ON mat.src = pr.v
+            WHERE pr.iter < 10
+            GROUP BY pr.iter + 1, mat.dst
+        )
+        SELECT v AS vid, ROUND(r, 6) AS rank FROM pr WHERE iter = 10 ORDER BY vid
+    """,
+    # k-core peeling as a fixed-round recursion: the self row's 1e6
+    # coefficient carries the vertex's own alive flag through the same
+    # SUM that counts alive neighbors (>= 1e6 + k  <=>  alive AND
+    # deg_alive >= k); all sums are small integers, exact in DOUBLE.
+    # 32 rounds >= the engine's measured fixpoint (idempotent after).
+    "kcore": f"""
+        WITH RECURSIVE
+        edges AS ({_COOC_SQL}),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        kk AS (SELECT GREATEST(2, CAST(FLOOR(AVG(outdeg) * 0.7) AS BIGINT)) AS k
+               FROM deg),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        mat AS (
+            SELECT src, dst, CAST(1.0 AS DOUBLE) AS coef FROM edges
+            UNION ALL
+            SELECT v, v, CAST(1000000.0 AS DOUBLE) FROM verts
+        ),
+        kc(iter, v, alive) AS (
+            SELECT 0, v, CAST(1.0 AS DOUBLE) FROM verts
+            UNION ALL
+            SELECT kc.iter + 1, mat.dst,
+                   CASE WHEN SUM(mat.coef * kc.alive)
+                             >= 1000000.0 + (SELECT k FROM kk)
+                        THEN 1.0 ELSE 0.0 END
+            FROM kc JOIN mat ON mat.src = kc.v
+            WHERE kc.iter < 32
+            GROUP BY kc.iter + 1, mat.dst
+        )
+        SELECT v AS vid, CAST(alive AS BIGINT) AS in_core
+        FROM kc WHERE iter = 32 ORDER BY vid
+    """,
     "pagerank": f"""
         WITH RECURSIVE
         edges AS ({_COOC_SQL}),
@@ -624,6 +722,8 @@ QUERIES = {
     "graph_meta": q_graph_meta,
     "out_degrees": q_out_degrees,
     "pagerank": q_pagerank,
+    "ppr": q_ppr,
+    "kcore": q_kcore,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,

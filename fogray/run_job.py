@@ -83,15 +83,16 @@ def _write_result(state: dict, n: int, out_dir: str, shards: int) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="fogray graph job")
     p.add_argument("--algorithm", required=True,
-                   choices=["pagerank", "cc", "label_propagation", "bfs", "sssp",
-                            "scc", "spmv"])
+                   choices=["pagerank", "ppr", "kcore", "cc", "label_propagation",
+                            "bfs", "sssp", "scc", "spmv"])
     src_group = p.add_mutually_exclusive_group(required=True)
     src_group.add_argument("--repo-table", help="parquet path of the (repo,path,commit,lang,content) table")
     src_group.add_argument("--synthetic-repos", type=int, help="derive from a deterministic synthetic repo table with this many repos")
     src_group.add_argument("--sf-dir", help="driver testdata dir (part co-occurrence graph)")
     p.add_argument("--files-per-repo", type=int, default=16)
     p.add_argument("--niters", type=int, default=10)
-    p.add_argument("--source", type=int, default=0, help="bfs/sssp source vid")
+    p.add_argument("--source", type=int, default=0, help="bfs/sssp/ppr source vid")
+    p.add_argument("--k", type=int, default=2, help="kcore threshold")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument(
         "--engine",
@@ -123,6 +124,9 @@ def main(argv=None) -> int:
         run = {
             "pagerank": lambda: alg.pagerank(eng, niters=args.niters,
                                              ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "ppr": lambda: alg.ppr(eng, source=args.source, niters=args.niters,
+                                   ckpt_dir=args.ckpt_dir, resume=args.resume),
+            "kcore": lambda: alg.kcore(eng, k=args.k),
             "cc": lambda: alg.connected_components(eng, ckpt_dir=args.ckpt_dir, resume=args.resume),
             "label_propagation": lambda: alg.label_propagation(eng, ckpt_dir=args.ckpt_dir, resume=args.resume),
             "bfs": lambda: alg.bfs(eng, root=args.source, ckpt_dir=args.ckpt_dir, resume=args.resume),

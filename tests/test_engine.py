@@ -207,3 +207,61 @@ def test_single_vertex_no_edges(ray_session):
         )
     finally:
         eng.shutdown()
+
+
+def _symmetric_random(n=96, p=0.08, seed=31):
+    src, dst, w, nn = fx.random_graph(n, p, seed=seed)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    keep = s2 != d2
+    s2, d2 = s2[keep], d2[keep]
+    order = np.lexsort((d2, s2))
+    s2, d2 = s2[order], d2[order]
+    first = np.r_[True, (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])]
+    return s2[first], d2[first], np.ones(first.sum()), nn
+
+
+def test_ppr_matches_numpy_oracle(ray_session):
+    src, dst, w, n = fx.random_graph(128, 0.06, seed=7)
+    source = int(src[0])
+
+    def ppr_ref(iters=10):
+        r = np.zeros(n)
+        r[source] = 1.0
+        outdeg = np.bincount(src, minlength=n).astype(np.float64)
+        for _ in range(iters):
+            vals = 0.85 * r[src] / outdeg[src] + 0.15 * (dst == source)
+            r = r + np.bincount(dst, weights=vals, minlength=n)
+        return r
+
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=3))
+    try:
+        res = alg.ppr(eng, source, niters=10)
+        np.testing.assert_allclose(res.state["rank"], ppr_ref(), rtol=1e-9)
+    finally:
+        eng.shutdown()
+
+
+def test_kcore_matches_peeling_oracle(ray_session):
+    src, dst, w, n = _symmetric_random()
+
+    def peel(k):
+        alive = np.ones(n, dtype=bool)
+        while True:
+            cnt = np.bincount(dst[alive[src]], minlength=n)
+            new = alive & (cnt >= k)
+            if (new == alive).all():
+                return alive
+            alive = new
+
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=3))
+    try:
+        for k in (2, 4, 8):
+            res = alg.kcore(eng, k)
+            got = res.state["alive"].astype(bool)
+            np.testing.assert_array_equal(got, peel(k))
+            # the driver-query oracle runs a FIXED 32 recursion rounds;
+            # the engine must converge within that bound
+            assert res.supersteps <= 32
+    finally:
+        eng.shutdown()

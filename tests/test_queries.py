@@ -44,8 +44,9 @@ def _compare(name, con):
 
 
 @pytest.mark.parametrize("name", [
-    "derive_edges", "out_degrees", "pagerank", "connected_components",
-    "label_propagation", "bfs", "sssp_tree", "spmv", "triangle_count", "scc",
+    "derive_edges", "out_degrees", "pagerank", "ppr", "kcore",
+    "connected_components", "label_propagation", "bfs", "sssp_tree",
+    "spmv", "triangle_count", "scc",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)
