@@ -191,20 +191,32 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV = np.uint64(1099511628211)
 
 
-def _md5_u64(words) -> np.ndarray:
+def _md5_u64(words, cache: dict | None = None) -> np.ndarray:
     """First 8 md5 bytes per word, big-endian uint64 — the token hash
     every dedup sketch builds on. Chosen over crc32 because DuckDB can
     compute the identical value (``('0x' || substr(md5(w), 1,
     16))::UBIGINT``), which is what makes the simhash / MinHash oracles
-    SQL-expressible."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in words),
-        dtype=np.uint64,
-        count=len(words),
-    )
+    SQL-expressible. One frombuffer over the joined digests beats a
+    per-word int.from_bytes; an optional ``cache`` dict (token -> 8
+    digest bytes) amortizes re-hashes across an actor's batches —
+    corpus vocabulary overlaps heavily batch to batch."""
+    md5 = hashlib.md5
+    if cache is None:
+        buf = b"".join(md5(w.encode()).digest()[:8] for w in words)
+    else:
+        get = cache.get
+        parts = []
+        for w in words:
+            h = get(w)
+            if h is None:
+                h = md5(w.encode()).digest()[:8]
+                cache[w] = h
+            parts.append(h)
+        buf = b"".join(parts)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
 
 
-def _batch_shingle_hashes(texts: list[str], n_words: int):
+def _batch_shingle_hashes(texts: list[str], n_words: int, cache: dict | None = None):
     """Vectorized word-shingle hashing for a whole batch: tokenize, hash
     each DISTINCT token once (vocab dedup — the per-shingle-string hash
     loop this replaces re-hashed every occurrence), then roll a
@@ -217,8 +229,8 @@ def _batch_shingle_hashes(texts: list[str], n_words: int):
     if not flat:
         return np.zeros(0, dtype=np.uint64), np.zeros(len(texts) + 1, dtype=np.int64)
     uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-    uh = _md5_u64(uniq)
-    th = uh[inv]  # per-token 32-bit hash, widened
+    uh = _md5_u64(uniq, cache)
+    th = uh[inv]  # per-token 64-bit hash
     tok_offs = np.r_[0, np.cumsum(lens)]
     # windows of n_words consecutive token hashes, but never across docs:
     # shingle count per doc = max(len-n+1, 1 if len>0 else 0)
@@ -257,6 +269,7 @@ class MinHasher:
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
         self.shingle_words = shingle_words
+        self._hash_cache: dict = {}  # token -> digest bytes, per actor
 
     def signature(self, text: str) -> np.ndarray:
         x = _doc_shingles(text, self.shingle_words)
@@ -268,7 +281,7 @@ class MinHasher:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         flat, offs = _batch_shingle_hashes(t.column("text").to_pylist(),
-                                           self.shingle_words)
+                                           self.shingle_words, self._hash_cache)
         sigs = np.zeros((len(ids), self.num_perm), dtype=np.uint64)
         if len(flat):
             h = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
