@@ -313,6 +313,94 @@ QUERIES = {
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 
+def _ann_ivf_oracle_sql(
+    nlist: int = 16, iters: int = 3, nprobe: int = 4, k: int = 10,
+    seed_n: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`fogray.datapipes.similarity.ann_topk_ivf`:
+    deterministic strided seed over the ``seed_n`` lowest vec_ids, the
+    Lloyd iterations unrolled as CTE chains (assignment = ROW_NUMBER over
+    squared distance with cid tie-break; new centroid = element-wise AVG
+    rounded to 6 decimals, matching the engine's per-iteration
+    ``sql_round``; empty cells keep the previous centroid via COALESCE),
+    then cell assignment, nprobe-cell probing, and per-query top-k."""
+
+    def sqd(v: str, c: str) -> str:
+        return (
+            f"list_dot_product({v}, {v}) + list_dot_product({c}, {c})"
+            f" - 2 * list_dot_product({v}, {c})"
+        )
+
+    parts = [
+        f"""e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+        seed AS (
+            SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+            FROM e QUALIFY rn < {seed_n}
+        ),
+        par AS (SELECT GREATEST(COUNT(*) // {nlist}, 1) AS stride FROM seed),
+        c0 AS (
+            SELECT CAST(rn // stride AS BIGINT) AS cid, v AS c
+            FROM seed, par WHERE rn % stride = 0 AND rn // stride < {nlist}
+        )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {sqd('e.v', 'c.c')}, c.cid) AS rk
+                FROM e CROSS JOIN c{i} c) WHERE rk = 1
+        ),
+        n{i} AS (
+            SELECT cid, list(mv ORDER BY pos) AS c FROM (
+                SELECT cid, pos, ROUND(AVG(val), 6) AS mv
+                FROM (SELECT cid, unnest(v) AS val,
+                             generate_subscripts(v, 1) AS pos FROM a{i})
+                GROUP BY cid, pos)
+            GROUP BY cid
+        ),
+        c{i + 1} AS (
+            SELECT p.cid, COALESCE(n.c, p.c) AS c
+            FROM c{i} p LEFT JOIN n{i} n USING (cid)
+        )"""
+        )
+    fin = f"c{iters}"
+    parts.append(
+        f"""cells AS (
+            SELECT vec_id, v, cid AS cell FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {sqd('e.v', 'c.c')}, c.cid) AS rk
+                FROM e CROSS JOIN {fin} c) WHERE rk = 1
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        pr AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY {sqd('q.qv', 'c.c')}, c.cid) AS rk
+                FROM q CROSS JOIN {fin} c) WHERE rk <= {nprobe}
+        ),
+        cand AS (
+            SELECT q.qid, a.vec_id AS nid,
+                   list_cosine_similarity(q.qv, a.v) AS sc
+            FROM q JOIN pr ON pr.qid = q.qid
+                 JOIN cells a ON a.cell = pr.cid AND a.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, nid, sc,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sc DESC, nid) AS rn
+            FROM cand
+        )"""
+    )
+    body = ",\n        ".join(parts)
+    return f"""WITH {body}
+        SELECT qid, nid, ROUND(sc, 6) AS score FROM r WHERE rn <= {k}
+        ORDER BY qid, nid"""
+
+
 def _mm_features_oracle_sql() -> str:
     """DuckDB mirror of :func:`fogray.datapipes.multimodal.media_features`
     over the synthesized payloads. The pixel stream is
@@ -532,6 +620,7 @@ ORACLE_SQL = {
         ORDER BY da, db
     """,
     "txt_langid": _langid_oracle_sql(),
+    "ann_ivf": _ann_ivf_oracle_sql(),
     "mm_features": _mm_features_oracle_sql(),
     "dd_minhash_lsh": _minhash_oracle_sql(),
     # dup-graph connected components: MIN over the transitive closure of

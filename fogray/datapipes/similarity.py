@@ -22,6 +22,10 @@ import ray.data as rd
 
 from ..util import list_col_matrix, sql_round
 
+#: rows sampled for the deterministic seed (bottom-N by id) — see IVFIndex.fit
+SEED_FACTOR = 8
+SEED_MIN = 256
+
 
 def _to_matrix(t: pa.Table, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -129,12 +133,29 @@ class IVFIndex:
 
     def fit(self, emb_ds, *, id_col: str = "vec_id", vec_col: str = "embedding"):
         emb_ds = emb_ds.materialize()
-        # deterministic init: evenly-strided corpus rows (by block order)
+        # deterministic init: evenly-strided rows of the SEED_N lowest-id
+        # vectors. Distributed bottom-N: each block emits its own N
+        # lowest-id rows (tiny), the driver merges — no sort, no reliance
+        # on block order, and exactly mirrored by the SQL oracle's
+        # ROW_NUMBER() OVER (ORDER BY id) seed CTE.
+        seed_n = max(self.nlist * SEED_FACTOR, SEED_MIN)
+
+        def block_bottom(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            keep = np.argsort(ids, kind="stable")[:seed_n]
+            return t.select([id_col, vec_col]).take(pa.array(np.sort(keep)))
+
         first = pa.concat_tables(
-            ray.get(emb_ds.limit(max(self.nlist * 8, 256)).to_arrow_refs()),
+            ray.get(
+                emb_ds.map_batches(block_bottom, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            ),
             promote_options="default",
         )
-        _, vecs = _to_matrix(first, id_col, vec_col)
+        sids, vecs = _to_matrix(first, id_col, vec_col)
+        order = np.argsort(sids, kind="stable")[:seed_n]
+        vecs = vecs[order]
         stride = max(1, len(vecs) // self.nlist)
         cents = vecs[:: stride][: self.nlist].copy()
         while len(cents) < self.nlist:  # tiny corpora
@@ -174,7 +195,12 @@ class IVFIndex:
             np.add.at(sums, cid, s)
             np.add.at(cnts, cid, n)
             nz = cnts > 0
-            cents[nz] = sums[nz] / cnts[nz, None]
+            # round each updated centroid to 6 decimals (SQL ROUND rule):
+            # the oracle computes the same means with a different summation
+            # order; rounding collapses the last-ulp drift so assignments
+            # stay bit-identical across iterations. Empty cells keep their
+            # previous (seed-exact or already-rounded) centroid.
+            cents[nz] = sql_round(sums[nz] / cnts[nz, None])
         self.centroids = cents
         return self
 
@@ -271,7 +297,9 @@ def ann_topk_ivf(
     qids = np.asarray(query_ids, dtype=np.int64)
     qunit = _unit(qvec)
     qd = _sq_dists(qvec, idx.centroids)
-    probes = np.argsort(qd, axis=1)[:, :nprobe]  # Q x nprobe
+    # stable sort: distance ties break toward the lower cell id, the same
+    # rule as the oracle's ROW_NUMBER() ... ORDER BY dist, cid
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]  # Q x nprobe
 
     futs = []
     for r, (lo, hi, nr) in zip(refs, metas):

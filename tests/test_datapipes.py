@@ -28,7 +28,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     "name",
     ["txt_stats", "txt_fingerprint", "txt_langid", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
-     "dd_embed_cosine", "ann_topk", "mm_features", "rel_topk",
+     "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
      "rel_sample", "evt_window", "evt_sliding", "evt_asof",
      "evt_sessions"],
 )
