@@ -124,6 +124,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "src_edgelist",
         "pagerank",
         "ppr",
+        "hits",
         "kcore",
         "connected_components",
         "label_propagation",

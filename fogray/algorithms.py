@@ -57,6 +57,55 @@ def ppr(engine: GraphEngine, source: int, niters: int = 10, *, ckpt_dir=None, re
     )
 
 
+def hits(engine: GraphEngine, niters: int = 5) -> RunResult:
+    """HITS hubs-and-authorities over the directed edge set: per
+    iteration, an authority half-step on the FORWARD edge views
+    (auth_raw(v) = sum of hub over in-edges) then a hub half-step on
+    the BACKWARD views (hub_raw(u) = sum of auth over out-edges), each
+    followed by a driver-side max-normalize (exactly mirrorable in SQL,
+    unlike an L2 norm's sqrt-of-ulp-drifting-sum). No intermediate
+    rounding: like the pagerank oracle, drift vs DuckDB's summation
+    order stays orders of magnitude under the final 6-decimal round.
+    Same external-driver pattern as :func:`kcore`."""
+    from .dist_engine import DistGraphEngine
+    from .programs import PROGRAMS as _P
+
+    if isinstance(engine, DistGraphEngine):
+        raise NotImplementedError(
+            "hits' max-normalize needs a global reduce between half-steps; "
+            "run it on fogray.engine.GraphEngine (HITS state is two floats "
+            "per vertex, so broadcast is the right engine here)"
+        )
+    t_start = time.perf_counter()
+    n = engine.n
+    state = {
+        "hub": np.ones(n, dtype=np.float64),
+        "auth": np.zeros(n, dtype=np.float64),
+    }
+    metrics: list[dict] = []
+    steps = 0
+    for _ in range(niters):
+        for prog_name, field_, direction in (
+            ("hits_auth", "auth", FWD),
+            ("hits_hub", "hub", BWD),
+        ):
+            _, m = engine.superstep(_P[prog_name], state, None, direction)
+            mx = state[field_].max() if n else 0.0
+            if mx > 0:
+                state[field_] = state[field_] / mx
+            steps += 1
+            m["superstep"] = steps
+            metrics.append(m)
+    return RunResult(
+        state=state,
+        frontier=None,
+        supersteps=steps,
+        metrics=metrics,
+        num_edges=engine.num_edges,
+        wall_seconds=time.perf_counter() - t_start,
+    )
+
+
 def kcore(engine: GraphEngine, k: int, *, max_rounds: int = 10_000) -> RunResult:
     """k-core decomposition by synchronous peeling over a symmetric
     edge set: every round recounts alive-neighbor degrees in one GLOBAL

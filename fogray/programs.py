@@ -185,6 +185,60 @@ class KCoreRound(VertexProgram):
         return completed_iters >= 1
 
 
+class HitsAuthority(VertexProgram):
+    """One authority half-step of HITS (Kleinberg 1999, public
+    algorithm; no FOG counterpart — SURVEY.md 2.4 extension): every
+    vertex sends its hub score along out-edges, so each vertex gathers
+    auth_raw(v) = sum of hub(u) over in-edges. The external driver
+    (:func:`fogray.algorithms.hits`) max-normalizes between half-steps;
+    GLOBAL engine => self-loops included, matching the SQL oracle."""
+
+    name = "hits_auth"
+    engine = "global"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("HITS state is managed by fogray.algorithms.hits")
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["hub"][s]
+
+    def apply(self, state, ids, vals, preds=None):
+        # dense rebuild: vertices receiving no update have auth_raw 0
+        a = np.zeros(len(state["auth"]), dtype=np.float64)
+        a[ids] = vals
+        state["auth"] = a
+        return ids
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= 1
+
+
+class HitsHub(VertexProgram):
+    """The hub half-step: runs on the BACKWARD (dst-sorted / CSC) edge
+    views — each vertex gathers hub_raw(u) = sum of auth(v) over its
+    OUT-edges by emitting at ``s`` per the emission-target contract."""
+
+    name = "hits_hub"
+    engine = "global"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("HITS state is managed by fogray.algorithms.hits")
+
+    def scatter(self, state, s, d, w, direction):
+        return s, state["auth"][d]
+
+    def apply(self, state, ids, vals, preds=None):
+        h = np.zeros(len(state["hub"]), dtype=np.float64)
+        h[ids] = vals
+        state["hub"] = h
+        return ids
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= 1
+
+
 class SpMV(VertexProgram):
     """FOG SpMV — application/spmv.hpp: x=1.0, y=0.0; one GLOBAL
     iteration of y(v) += x(u)*w(u,v); self-loops included."""
@@ -401,6 +455,8 @@ PROGRAMS = {
     p.name: p
     for p in (
         PageRank(),
+        HitsAuthority(),
+        HitsHub(),
         SpMV(),
         ConnectedComponents(),
         LabelPropagation(),

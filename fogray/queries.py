@@ -274,6 +274,22 @@ def q_ppr(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hits(sf_dir: str) -> pa.Table:
+    """HITS hub/authority scores after 5 max-normalized iterations
+    (fogray.algorithms.hits; authority half-step on the forward views,
+    hub half-step on the backward/CSC views)."""
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.hits(eng, niters=5)
+    ids = _touched(eng)
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "hub": sql_round(res.state["hub"][ids]),
+            "auth": sql_round(res.state["auth"][ids]),
+        }
+    )
+
+
 def q_kcore(sf_dir: str) -> pa.Table:
     """k-core membership with k = max(2, floor(avg_degree * 0.7)) — the
     data-derived threshold (computed identically by the oracle's AVG)
@@ -534,7 +550,54 @@ _DET_W_SQL = """
 """
 
 
+def _hits_oracle_sql(niters: int = 5) -> str:
+    """DuckDB mirror of :func:`fogray.algorithms.hits`: the iterations
+    unrolled as CTE pairs (authority sum over in-edges then hub sum over
+    out-edges, each max-normalized; the NULLIF guard matches the
+    engine's 'divide only when max > 0'). Final scores ROUND 6.
+    Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    half-step references its predecessor twice (the join and the MAX
+    subquery), so inlining would re-expand the base scan 2^(2*niters)
+    times — enough file re-opens to exhaust the fd limit."""
+    parts = [
+        f"""edges AS MATERIALIZED ({_COOC_SQL}),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+        h0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) AS h FROM verts)"""
+    ]
+    for i in range(1, niters + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+            SELECT e.dst AS v, SUM(h.h) AS x
+            FROM edges e JOIN h{i - 1} h ON h.v = e.src GROUP BY e.dst
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT verts.v,
+                   COALESCE(ar.x, 0.0)
+                   / COALESCE(NULLIF((SELECT MAX(x) FROM ar{i}), 0.0), 1.0) AS a
+            FROM verts LEFT JOIN ar{i} ar ON ar.v = verts.v
+        ),
+        hr{i} AS MATERIALIZED (
+            SELECT e.src AS v, SUM(a.a) AS x
+            FROM edges e JOIN a{i} a ON a.v = e.dst GROUP BY e.src
+        ),
+        h{i} AS MATERIALIZED (
+            SELECT verts.v,
+                   COALESCE(hr.x, 0.0)
+                   / COALESCE(NULLIF((SELECT MAX(x) FROM hr{i}), 0.0), 1.0) AS h
+            FROM verts LEFT JOIN hr{i} hr ON hr.v = verts.v
+        )"""
+        )
+    body = ",\n        ".join(parts)
+    return f"""WITH {body}
+        SELECT verts.v AS vid, ROUND(h{niters}.h, 6) AS hub,
+               ROUND(a{niters}.a, 6) AS auth
+        FROM verts JOIN h{niters} ON h{niters}.v = verts.v
+                   JOIN a{niters} ON a{niters}.v = verts.v
+        ORDER BY vid"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "hits": _hits_oracle_sql(),
     "derive_edges": f"SELECT src, dst, weight FROM ({_COOC_SQL}) ORDER BY src, dst",
     "src_edgelist": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
     "src_adjlist": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
@@ -723,6 +786,7 @@ QUERIES = {
     "out_degrees": q_out_degrees,
     "pagerank": q_pagerank,
     "ppr": q_ppr,
+    "hits": q_hits,
     "kcore": q_kcore,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,

@@ -44,7 +44,7 @@ def _compare(name, con):
 
 
 @pytest.mark.parametrize("name", [
-    "derive_edges", "out_degrees", "pagerank", "ppr", "kcore",
+    "derive_edges", "out_degrees", "pagerank", "ppr", "hits", "kcore",
     "connected_components", "label_propagation", "bfs", "sssp_tree",
     "spmv", "triangle_count", "scc",
 ])
