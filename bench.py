@@ -151,6 +151,9 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_stats",
         "txt_langid",
         "txt_fingerprint",
+        "txt_quality",
+        "txt_top_tokens",
+        "agg_hll_users",
         "mm_features",
         "rel_topk",
         "rel_sample",

@@ -67,6 +67,20 @@ def q_txt_langid(sf_dir: str) -> pa.Table:
     return _collect(text.lang_id(_docs(sf_dir)))
 
 
+def q_txt_quality(sf_dir: str) -> pa.Table:
+    return _collect(text.quality_scores(_docs(sf_dir)))
+
+
+def q_txt_top_tokens(sf_dir: str) -> pa.Table:
+    return text.top_tokens(_docs(sf_dir), k=20)
+
+
+def q_agg_hll_users(sf_dir: str) -> pa.Table:
+    from . import sketches
+
+    return sketches.hll_distinct(_events(sf_dir), "user_id")
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -293,6 +307,9 @@ QUERIES = {
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
     "txt_langid": q_txt_langid,
+    "txt_quality": q_txt_quality,
+    "txt_top_tokens": q_txt_top_tokens,
+    "agg_hll_users": q_agg_hll_users,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -311,6 +328,52 @@ QUERIES = {
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _hll_oracle_sql(table: str, col: str) -> str:
+    """DuckDB mirror of :func:`fogray.datapipes.sketches.hll_distinct`:
+    md5 hex prefix -> bucket, leading-zero run of the 30-hex-char tail
+    (integer-exact string ops, no float log2) -> rho, per-bucket MAX,
+    then the identical bias-corrected estimate with the linear-counting
+    small-range branch."""
+    return f"""
+        WITH h AS MATERIALIZED (
+            SELECT md5(CAST({col} AS VARCHAR)) AS hx FROM {table}
+        ),
+        d AS MATERIALIZED (
+            SELECT CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT) AS bucket,
+                   length(regexp_extract(substr(hx, 3), '^0*')) AS zhex,
+                   substr(substr(hx, 3),
+                          length(regexp_extract(substr(hx, 3), '^0*')) + 1,
+                          1) AS c
+            FROM h
+        ),
+        r AS MATERIALIZED (
+            SELECT bucket,
+                   MAX(CASE WHEN c = '' THEN 121
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 8 THEN 4*zhex + 1
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 4 THEN 4*zhex + 2
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 2 THEN 4*zhex + 3
+                        ELSE 4*zhex + 4 END) AS rho
+            FROM d GROUP BY bucket
+        ),
+        regs AS MATERIALIZED (
+            SELECT COALESCE(r.rho, 0) AS m
+            FROM (SELECT unnest(range(256)) AS b) g LEFT JOIN r ON r.bucket = g.b
+        ),
+        s AS (
+            SELECT SUM(POWER(2.0, -m)) AS ssum,
+                   SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM regs
+        )
+        SELECT ROUND(CASE WHEN (0.7213/(1.0+1.079/256.0))*256.0*256.0/ssum
+                               <= 2.5*256.0 AND zeros > 0
+                          THEN 256.0 * LN(256.0 / zeros)
+                          ELSE (0.7213/(1.0+1.079/256.0))*256.0*256.0/ssum
+                     END, 6) AS est_distinct,
+               CAST((SELECT COUNT(*) FROM {table}) AS BIGINT) AS n_rows
+        FROM s
+    """
 
 
 def _ann_ivf_oracle_sql(
@@ -620,6 +683,41 @@ ORACLE_SQL = {
         ORDER BY da, db
     """,
     "txt_langid": _langid_oracle_sql(),
+    "txt_quality": r"""
+        WITH s AS MATERIALIZED (
+            SELECT doc_id,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                   length(regexp_split_to_array(text, '\s+')) AS nt,
+                   length(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       t -> t IN ('a','an','and','in','is','it','of','or',
+                                  'the','to'))) AS n_stopwords
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+               CAST(n_stopwords AS BIGINT) AS n_stopwords,
+               ROUND(n_stopwords / GREATEST(nt, 1), 6) AS stop_ratio,
+               ROUND(LEAST(1.0, n_bpe_tokens / 200.0)
+                     * (1.0 - 0.5 * (n_stopwords / GREATEST(nt, 1))), 6)
+                   AS q_score
+        FROM s ORDER BY doc_id
+    """,
+    "txt_top_tokens": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+            FROM documents
+        ),
+        cnt AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM toks WHERE token <> '' GROUP BY token
+        )
+        SELECT token, n_occ FROM cnt
+        QUALIFY ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) <= 20
+        ORDER BY token
+    """,
+    "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "ann_ivf": _ann_ivf_oracle_sql(),
     "mm_features": _mm_features_oracle_sql(),
     "dd_minhash_lsh": _minhash_oracle_sql(),

@@ -63,6 +63,124 @@ def text_stats(ds, text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# quality scoring (BPE-ish token counts + stopword ratio)
+# ---------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
+#: (RE2 syntax, identical in pyarrow.compute and DuckDB regexp_extract_all)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny closed-class list for the stopword-density signal (the operator
+#: contract — broadcast list, vectorized membership — is what matters)
+STOPWORDS = ("a", "an", "and", "in", "is", "it", "of", "or", "the", "to")
+
+
+def quality_score_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, text, ...) -> (doc_id, n_bpe_tokens, n_stopwords,
+    stop_ratio, q_score). SQL-mirrored definitions:
+
+    - n_bpe_tokens = length(regexp_extract_all(text, BPE_TOKEN_RE))
+    - n_stopwords  = whitespace tokens of lower(text) that are STOPWORDS
+    - stop_ratio   = ROUND(n_stopwords / GREATEST(n_ws_tokens, 1), 6)
+    - q_score      = ROUND(LEAST(1, n_bpe/200) * (1 - 0.5*ratio), 6)
+
+    Pure pyarrow.compute kernels + one reduceat; zero Python rows."""
+    txt = t.column(text_col).combine_chunks()
+    n_bpe = pc.count_substring_regex(txt, BPE_TOKEN_RE).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    toks = pc.split_pattern_regex(pc.utf8_lower(txt), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_ws = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]  # zero-copy slices carry shifted offsets
+    n_stop = np.add.reduceat(
+        np.r_[is_stop, 0], np.minimum(offs[:-1], len(is_stop))
+    )
+    n_stop[n_ws == 0] = 0
+    ratio = n_stop / np.maximum(n_ws, 1)
+    q = np.minimum(1.0, n_bpe / 200.0) * (1.0 - 0.5 * ratio)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": pa.array(n_bpe),
+            "n_stopwords": pa.array(n_stop.astype(np.int64)),
+            "stop_ratio": pa.array(sql_round(ratio)),
+            "q_score": pa.array(sql_round(q)),
+        }
+    )
+
+
+def quality_scores(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: quality_score_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level heavy hitters (top-k tokens)
+# ---------------------------------------------------------------------------
+
+
+def _token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block partial token counts — the pre-aggregation that keeps
+    the groupby shuffle to |vocab| rows per block instead of one row
+    per token occurrence. Empty tokens (leading/trailing whitespace
+    split artifacts) are dropped on BOTH sides of the oracle."""
+    txt = t.column(text_col).combine_chunks()
+    flat = pc.list_flatten(pc.split_pattern_regex(txt, r"\s+"))
+    words = flat.to_numpy(zero_copy_only=False)
+    words = words[words != ""]
+    uniq, cnt = np.unique(words, return_counts=True)
+    return pa.table(
+        {"token": pa.array(uniq.tolist(), type=pa.string()),
+         "n_occ": pa.array(cnt.astype(np.int64))}
+    )
+
+
+def _block_topk(t: pa.Table, k: int) -> pa.Table:
+    if t.num_rows == 0 or t.num_columns == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n_occ": pa.array([], pa.int64())}
+        )
+    tok = np.asarray(t.column("token").to_pylist(), dtype=object)
+    n = t.column("n_occ").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -n))[:k]
+    return pa.table(
+        {"token": pa.array(tok[order].tolist(), type=pa.string()),
+         "n_occ": pa.array(n[order].astype(np.int64))}
+    )
+
+
+def top_tokens(ds, k: int = 20, text_col: str = "text") -> pa.Table:
+    """Global top-k most frequent whitespace tokens: per-block partial
+    counts -> groupby("token").sum (shuffles only distinct tokens) ->
+    per-block partial top-k over the disjoint groupby output -> tiny
+    driver merge. Ties break toward the lexicographically smaller
+    token, mirrored by the oracle's ROW_NUMBER ordering."""
+    import ray
+
+    agg = (
+        ds.map_batches(lambda t: _token_count_batch(t, text_col), batch_format="pyarrow")
+        .groupby("token")
+        .sum("n_occ")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "n_occ"]), batch_format="pyarrow"
+        )
+        .map_batches(lambda t: _block_topk(t, k), batch_format="pyarrow")
+    )
+    parts = pa.concat_tables(
+        ray.get(agg.materialize().to_arrow_refs()), promote_options="default"
+    )
+    return _block_topk(parts, k)
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 
