@@ -132,6 +132,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "sssp_tree",
         "spmv",
         "triangle_count",
+        "clustering",
         "scc",
         "out_degrees",
         "src_adjlist",
@@ -153,6 +154,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_fingerprint",
         "txt_quality",
         "txt_top_tokens",
+        "txt_unigram_nll",
         "agg_hll_users",
         "mm_features",
         "rel_topk",

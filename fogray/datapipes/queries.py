@@ -81,6 +81,10 @@ def q_agg_hll_users(sf_dir: str) -> pa.Table:
     return sketches.hll_distinct(_events(sf_dir), "user_id")
 
 
+def q_txt_unigram_nll(sf_dir: str) -> pa.Table:
+    return _collect(text.unigram_nll(_docs(sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -309,6 +313,7 @@ QUERIES = {
     "txt_langid": q_txt_langid,
     "txt_quality": q_txt_quality,
     "txt_top_tokens": q_txt_top_tokens,
+    "txt_unigram_nll": q_txt_unigram_nll,
     "agg_hll_users": q_agg_hll_users,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -716,6 +721,28 @@ ORACLE_SQL = {
         SELECT token, n_occ FROM cnt
         QUALIFY ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) <= 20
         ORDER BY token
+    """,
+    "txt_unigram_nll": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, t AS token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        cnt AS MATERIALIZED (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY token
+        ),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+        sc AS (
+            SELECT toks.doc_id,
+                   AVG(-LN(cnt.c / (SELECT n FROM tot))) AS nll
+            FROM toks JOIN cnt USING (token) GROUP BY toks.doc_id
+        )
+        SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS nll
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "ann_ivf": _ann_ivf_oracle_sql(),

@@ -181,6 +181,74 @@ def top_tokens(ds, k: int = 20, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# unigram language-model scoring (corpus self-perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def _split_tokens(t: pa.Table, text_col: str):
+    """-> (flat_words, doc_row_index) with empty split artifacts dropped."""
+    txt = t.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    toks = pc.split_pattern_regex(txt, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+    keep = flat != ""
+    return flat[keep], row[keep]
+
+
+def unigram_nll(ds, text_col: str = "text"):
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram model — the classic cheap quality/outlier signal (a
+    perplexity proxy without a trained LM). Two passes:
+
+    1. global token counts: per-block partial counts -> groupby sum
+       (shuffles only distinct tokens), collected and broadcast ONCE
+       (``ray.put`` — the vocabulary is the small side);
+    2. scoring: each batch searchsorteds its tokens against the sorted
+       vocabulary and segment-averages -ln(count/total) per doc.
+
+    nll(doc) = ROUND(AVG over tokens of -LN(c(token)/N), 6); 0.0 for
+    token-free docs — mirrored exactly by the SQL oracle."""
+    import ray
+
+    counts = (
+        ds.map_batches(lambda t: _token_count_batch(t, text_col), batch_format="pyarrow")
+        .groupby("token")
+        .sum("n_occ")
+    )
+    ct = pa.concat_tables(
+        ray.get(counts.materialize().to_arrow_refs()), promote_options="default"
+    )
+    vt = np.asarray(ct.column(0).to_pylist(), dtype=object)
+    vc = ct.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vt, kind="stable")
+    vt, vc = vt[order], vc[order].astype(np.float64)
+    total = float(vc.sum())
+    vocab_ref = ray.put((vt, vc, total))
+
+    def score(t: pa.Table) -> pa.Table:
+        v_tok, v_cnt, tot = ray.get(vocab_ref)
+        words, row = _split_tokens(t, text_col)
+        s = np.zeros(len(t), dtype=np.float64)
+        nt = np.zeros(len(t), dtype=np.int64)
+        if len(words):
+            idx = np.searchsorted(v_tok, words)
+            lp = -np.log(v_cnt[idx] / tot)
+            np.add.at(s, row, lp)
+            nt = np.bincount(row, minlength=len(t)).astype(np.int64)
+        nll = np.where(nt > 0, s / np.maximum(nt, 1), 0.0)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "nll": pa.array(sql_round(nll))}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
 

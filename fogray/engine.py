@@ -311,7 +311,12 @@ class GraphEngine:
             cuts = np.searchsorted(order_key[order], bounds)
             for j in range(len(bounds) - 1):
                 idx = order[cuts[j] : cuts[j + 1]]
-                k = max(1, min(8, -(-len(idx) // target)))
+                # split a range across actors only when it is well past
+                # its fair share (round, don't ceil: ceil split every
+                # range that landed a few % over target, yielding ~1.5x
+                # more actors than CPUs — two uneven scheduling waves
+                # per superstep instead of one)
+                k = max(1, min(8, (len(idx) + target // 2) // target))
                 for c in range(k):
                     part = idx[(len(idx) * c) // k : (len(idx) * (c + 1)) // k]
                     ref = ray.put(
@@ -391,7 +396,9 @@ class GraphEngine:
         views = self.fwd_views if direction == FWD else self.bwd_views
         span_max = max((hi - lo for _, lo, hi in views), default=1)
         dense = program.combine == "sum" and span_max <= self.cfg.dense_threshold
-        bcast, active_count = self._broadcast(state, frontier)
+        # ship only what scatter reads (programs with a derived scatter
+        # input compute it ONCE here instead of once per actor)
+        bcast, active_count = self._broadcast(program.scatter_view(state), frontier)
         futs = [a.scatter.remote(program, bcast, direction, dense) for a, _, _ in views]
         results = ray.get(futs)
         emitted = sum(r[1] for r in results)

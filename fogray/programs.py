@@ -60,6 +60,14 @@ class VertexProgram:
             state[k] = state[k] + lo
         return state, frontier
 
+    def scatter_view(self, state):
+        """What the broadcast engine ships to scatter actors each
+        superstep. Default: the full state dict. Programs whose scatter
+        reads a derived quantity override this to ship ONE derived
+        array (smaller broadcast, and the O(V) derivation runs once on
+        the driver instead of once per actor)."""
+        return state
+
     def scatter(self, state, s, d, w, direction):
         """Vectorized edge kernel -> (dest_vids, values[, preds]).
 
@@ -93,11 +101,21 @@ class PageRank(VertexProgram):
     def init(self, n, outdeg, indeg, **params):
         return {"rank": np.ones(n, dtype=np.float64)}, None
 
+    def scatter_view(self, state):
+        # outdeg>0 guaranteed for every scattered src (zero-outdeg
+        # vertices emit nothing, cpu_thread.cpp:464-474), so the guard
+        # only silences the irrelevant lanes' divide-by-zero.
+        return {"contrib": 0.85 * state["rank"] / np.maximum(state["outdeg"], 1.0)}
+
     def scatter(self, state, s, d, w, direction):
-        # outdeg>0 guaranteed: s only contains sources of existing edges
-        # (zero-outdeg vertices emit nothing, cpu_thread.cpp:464-474).
-        vals = 0.85 * state["rank"][s] / state["outdeg"][s] + 0.15
-        return d, vals
+        # Broadcast engine ships the precomputed contrib (one O(V)
+        # driver-side derivation replaces the second O(E) random gather
+        # — per-edge memory traffic is the superstep bottleneck). The
+        # dist engine's sharded-field state supports only per-edge
+        # gathers, so it keeps the original two-gather form.
+        if "contrib" in state:
+            return d, state["contrib"][s] + 0.15
+        return d, 0.85 * state["rank"][s] / state["outdeg"][s] + 0.15
 
     def apply(self, state, ids, vals, preds=None):
         state["rank"][ids] += vals  # accumulate, pagerank.hpp:105
@@ -134,8 +152,14 @@ class PersonalizedPageRank(VertexProgram):
             rank[self.source - lo] = 1.0
         return {"rank": rank}, None
 
+    def scatter_view(self, state):
+        return {"contrib": 0.85 * state["rank"] / np.maximum(state["outdeg"], 1.0)}
+
     def scatter(self, state, s, d, w, direction):
-        vals = 0.85 * state["rank"][s] / state["outdeg"][s]
+        if "contrib" in state:
+            vals = state["contrib"][s]
+        else:
+            vals = 0.85 * state["rank"][s] / state["outdeg"][s]
         vals[d == self.source] += 0.15
         return d, vals
 
@@ -167,6 +191,9 @@ class KCoreRound(VertexProgram):
 
     def init(self, n, outdeg, indeg, **params):
         return {"alive": np.ones(n, dtype=np.float64)}, None
+
+    def scatter_view(self, state):
+        return {"alive": state["alive"]}
 
     def scatter(self, state, s, d, w, direction):
         return d, state["alive"][s]
@@ -200,6 +227,9 @@ class HitsAuthority(VertexProgram):
     def init(self, n, outdeg, indeg, **params):
         raise RuntimeError("HITS state is managed by fogray.algorithms.hits")
 
+    def scatter_view(self, state):
+        return {"hub": state["hub"]}
+
     def scatter(self, state, s, d, w, direction):
         return d, state["hub"][s]
 
@@ -225,6 +255,9 @@ class HitsHub(VertexProgram):
 
     def init(self, n, outdeg, indeg, **params):
         raise RuntimeError("HITS state is managed by fogray.algorithms.hits")
+
+    def scatter_view(self, state):
+        return {"auth": state["auth"]}
 
     def scatter(self, state, s, d, w, direction):
         return s, state["auth"][d]
@@ -252,6 +285,9 @@ class SpMV(VertexProgram):
             "origin_value": np.ones(n, dtype=np.float64),
             "spmv_value": np.zeros(n, dtype=np.float64),
         }, None
+
+    def scatter_view(self, state):
+        return {"origin_value": state["origin_value"]}
 
     def scatter(self, state, s, d, w, direction):
         return d, state["origin_value"][s] * w
@@ -283,6 +319,9 @@ class ConnectedComponents(VertexProgram):
         state = {"component_root": np.arange(n, dtype=np.int64)}
         frontier = (outdeg > 0) | (indeg > 0)  # cc.hpp:40-45
         return state, frontier
+
+    def scatter_view(self, state):
+        return {"component_root": state["component_root"]}
 
     def scatter(self, state, s, d, w, direction):
         if direction == FWD:
@@ -330,6 +369,9 @@ class BFS(VertexProgram):
             frontier[root - lo] = True
         return {"bfs_level": level}, frontier
 
+    def scatter_view(self, state):
+        return {"bfs_level": state["bfs_level"]}
+
     def scatter(self, state, s, d, w, direction):
         return d, state["bfs_level"][s] + 1.0
 
@@ -369,6 +411,9 @@ class SSSP(VertexProgram):
             value[source - lo] = 0.0
             frontier[source - lo] = True
         return {"value": value, "predecessor": pred}, frontier
+
+    def scatter_view(self, state):
+        return {"value": state["value"]}
 
     def scatter(self, state, s, d, w, direction):
         return d, state["value"][s] + w, s.astype(np.float64)

@@ -399,6 +399,28 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     return pa.table({"triangles": np.array([cnt], dtype=np.int64)})
 
 
+def q_clustering(sf_dir: str) -> pa.Table:
+    """Per-vertex triangle count + local clustering coefficient
+    c(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) over the undirected simple
+    co-occurrence graph (fogray.triangles.triangle_per_vertex)."""
+    from .triangles import triangle_per_vertex
+
+    t = cooccurrence_edges(sf_dir)
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    dst = t.column("dst").to_numpy(zero_copy_only=False)
+    n = int(max(src.max(), dst.max())) + 1 if len(src) else 1
+    vids, tri, deg = triangle_per_vertex((src, dst), n)
+    d = deg.astype(np.float64)
+    coeff = np.where(deg >= 2, 2.0 * tri / np.maximum(d * (d - 1.0), 1.0), 0.0)
+    return pa.table(
+        {
+            "vid": pa.array(vids),
+            "n_tri": pa.array(tri),
+            "clustering": pa.array(sql_round(coeff)),
+        }
+    )
+
+
 def q_src_edgelist(sf_dir: str) -> pa.Table:
     """Round-trip conformance for the SNAP text reader
     (fogray.sources.read_edgelist): serialize the co-occurrence graph as
@@ -762,6 +784,34 @@ ORACLE_SQL: dict[str, str] = {
         JOIN und p2 ON p2.a = p1.a AND p2.b > p1.b
         JOIN und p3 ON p3.a = p1.b AND p3.b = p2.b
     """,
+    "clustering": f"""
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        ),
+        tri AS MATERIALIZED (
+            SELECT p1.a AS x, p1.b AS y, p2.b AS z
+            FROM und p1
+            JOIN und p2 ON p2.a = p1.a AND p2.b > p1.b
+            JOIN und p3 ON p3.a = p1.b AND p3.b = p2.b
+        ),
+        tv AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                SELECT x AS v FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY v
+        ),
+        deg AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+        )
+        SELECT deg.v AS vid, COALESCE(tv.t, 0) AS n_tri,
+               ROUND(CASE WHEN d >= 2
+                          THEN 2.0 * COALESCE(tv.t, 0) / (d * (d - 1.0))
+                          ELSE 0.0 END, 6) AS clustering
+        FROM deg LEFT JOIN tv ON tv.v = deg.v
+        ORDER BY vid
+    """,
     "scc": f"""
         WITH RECURSIVE
         edges AS ({_SEQ_SQL}),
@@ -794,5 +844,6 @@ QUERIES = {
     "sssp_tree": q_sssp_tree,
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,
+    "clustering": q_clustering,
     "scc": q_scc,
 }

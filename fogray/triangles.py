@@ -158,6 +158,115 @@ def triangle_count(edges, n: int, closure: str = "auto") -> int:
         return int(counted.sum("tri") or 0)
 
     # ---- shuffle closure: wedge self-join + (x, y) groupby ------------
+    return _shuffle_closure_count(simple, deg)
+
+
+def triangle_per_vertex(edges, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-vertex triangle counts + simple-graph degrees over the
+    broadcast closure: the same rank-CSR wedge enumeration as
+    :func:`triangle_count`, but each CLOSED wedge attributes one
+    triangle to its apex and to both endpoints (every triangle is
+    enumerated exactly once at its lowest-rank apex, so each vertex's
+    count is exact). Returns ``(vids, tri, deg)`` for vertices with
+    degree > 0. Broadcast-path only — beyond ~50M edges extend the
+    shuffle closure with endpoint attribution before using this."""
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table({"src": np.asarray(src, dtype=np.int64),
+                      "dst": np.asarray(dst, dtype=np.int64)})
+        )
+    normalized = edges.map_batches(_normalize, batch_format="pyarrow").materialize()
+    e0 = np.empty(0, dtype=np.int64)
+    if normalized.count() == 0:
+        return e0, e0, e0
+    simple = key_grouped_block_map(
+        normalized.sort(["a", "b"]), ["a", "b"], _dedup_block
+    ).materialize()
+    refs = [r for r in simple.to_arrow_refs()]
+    deg = np.zeros(n, dtype=np.int64)
+    for u, c in ray.get([_degree_partial.remote(r) for r in refs]):
+        np.add.at(deg, u, c)
+
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    a = np.concatenate([t.column("a").to_numpy(zero_copy_only=False) for t in tabs])
+    b = np.concatenate([t.column("b").to_numpy(zero_copy_only=False) for t in tabs])
+    order = np.lexsort((np.arange(n), deg))
+    rank_of = np.empty(n, dtype=np.int64)
+    rank_of[order] = np.arange(n, dtype=np.int64)
+    ra, rb = rank_of[a], rank_of[b]
+    keys = np.sort(np.minimum(ra, rb) * np.int64(n) + np.maximum(ra, rb))
+    nbrs = keys % np.int64(n)
+    offsets = np.searchsorted(keys, np.arange(n + 1, dtype=np.int64) * np.int64(n))
+    use_bits = n * n <= (1 << 31)
+    if use_bits:
+        bits = np.zeros(((n * n) >> 3) + 1, dtype=np.uint8)
+        np.bitwise_or.at(
+            bits, (keys >> 3).astype(np.int64), (1 << (keys & 7)).astype(np.uint8)
+        )
+        member_ref = ray.put(bits)
+    else:
+        member_ref = ray.put(keys)
+    csr_ref = ray.put((offsets, nbrs))
+
+    def count_block(t: pa.Table) -> pa.Table:
+        offs, nb = ray.get(csr_ref)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        lo, hi = int(ids[0]), int(ids[-1]) + 1
+        p0, p1 = offs[lo], offs[hi]
+        empty = pa.table(
+            {"rank": pa.array([], pa.int64()), "tri": pa.array([], pa.int64())}
+        )
+        if p1 - p0 < 2:
+            return empty
+        pos = np.arange(p0, p1, dtype=np.int64)
+        apex_sizes = offs[lo + 1 : hi + 1] - offs[lo:hi]
+        apex_end = np.repeat(offs[lo + 1 : hi + 1], apex_sizes)
+        wedge_n = apex_end - pos - 1
+        firsts = np.repeat(nb[pos], wedge_n)
+        if len(firsts) == 0:
+            return empty
+        apexes = np.repeat(
+            np.repeat(np.arange(lo, hi, dtype=np.int64), apex_sizes), wedge_n
+        )
+        seconds = nb[expand_ranges(pos + 1, apex_end)]
+        nn = np.int64(len(offs) - 1)
+        wk = firsts * nn + seconds
+        m = ray.get(member_ref)
+        if use_bits:
+            hit = ((m[(wk >> 3).astype(np.int64)] >> (wk & 7).astype(np.uint8)) & 1).astype(bool)
+        else:
+            at = np.searchsorted(m, wk)
+            at[at >= len(m)] = len(m) - 1
+            hit = m[at] == wk
+        ends = np.concatenate([apexes[hit], firsts[hit], seconds[hit]])
+        ur, cr = np.unique(ends, return_counts=True)
+        return pa.table({"rank": ur, "tri": cr.astype(np.int64)})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    bs = max(64, n // (cpus * 4))
+    parts = pa.concat_tables(
+        ray.get(
+            rd.range(n)
+            .map_batches(count_block, batch_format="pyarrow", batch_size=bs)
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    tri_by_rank = np.zeros(n, dtype=np.int64)
+    if parts.num_rows:
+        np.add.at(
+            tri_by_rank,
+            parts.column("rank").to_numpy(zero_copy_only=False),
+            parts.column("tri").to_numpy(zero_copy_only=False),
+        )
+    tri = tri_by_rank[rank_of]  # rank space -> vid space
+    vids = np.flatnonzero(deg > 0).astype(np.int64)
+    return vids, tri[vids], deg[vids]
+
+
+def _shuffle_closure_count(simple, deg) -> int:
     deg_ref = ray.put(deg)
 
     def orient(t: pa.Table) -> pa.Table:
