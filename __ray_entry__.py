@@ -7,9 +7,10 @@ here (or in fogray) calls ray.init()/ray.shutdown().
   co-occurrence graph from ``lineitem`` and run FOG-semantics PageRank
   on the distributed engine; returns the per-vertex rank table.
 - ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
-  section 2 — DuckDB-checkable entries come from fogray.queries; the
-  iterative/ML-ish pipelines that SQL can't express are registered as
-  rows-only entries (no oracle_sql key).
+  section 2 — graph pipelines from fogray.queries, training-data
+  pipelines from fogray.datapipes.queries. Every query is oracle-gated
+  (43/43): iterative pipelines mirror via recursive or unrolled
+  MATERIALIZED CTEs, sketches via md5-based SQL-reproducible hashing.
 """
 
 from __future__ import annotations
