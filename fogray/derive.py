@@ -315,14 +315,36 @@ def derive_edges(
     guard, per-block pre-agg) -> union channels -> sort by (src, dst)
     -> per-block exact weight totals."""
     ds = source if isinstance(source, rd.Dataset) else read_parquet_clean(source)
-    files = ds.map_batches(add_content_sha, batch_format="pyarrow")
+    # a driver-built table arrives as ONE block, which would serialize
+    # every downstream stage (map parallelism AND the sort's partition
+    # count follow the block count) — split it before anything runs
+    try:
+        nb = ds.num_blocks()
+    except Exception:
+        nb = None
+    min_parallel = max(2 * int(ray.cluster_resources().get("CPU", 8)), 16)
+    if nb is not None and 0 < nb < min_parallel:
+        ds = ds.repartition(min_parallel)
+    # materialized once: both the distinct-repo pass and the vid pass
+    # consume it, and the wide ``content`` column is already gone
+    files = ds.map_batches(add_content_sha, batch_format="pyarrow").materialize()
 
-    # dense vid assignment: sorted distinct repo names. The distinct set
-    # is produced by a pre-aggregated groupby (count is irrelevant, the
-    # shuffle only carries one row per repo per block); the resulting
-    # O(#repos) table is collected and broadcast.
-    repo_rows = files.groupby("repo").aggregate(Count(alias_name="n_files")).to_pandas()
-    repo_names = np.sort(repo_rows["repo"].to_numpy().astype(str))
+    # dense vid assignment: sorted distinct repo names. Per-block
+    # distinct partials (tiny) collected on the driver — no shuffle at
+    # all (a groupby-count here cost more than the rest of the stage).
+    def _repo_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("repo").to_numpy(zero_copy_only=False).astype(str))
+        return pa.table({"repo": pa.array(u)})
+
+    parts = pa.concat_tables(
+        ray.get(
+            files.map_batches(_repo_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    repo_names = np.unique(parts.column("repo").to_numpy(zero_copy_only=False).astype(str))
     num_vertices = len(repo_names)
     names_ref = ray.put(repo_names)
 

@@ -127,8 +127,14 @@ class EdgeViewActor:
     straddle two sorted blocks): the driver adds/combines the partials,
     so overlap costs only a few duplicate entries."""
 
-    def __init__(self, tab: pa.Table, lo: int, hi: int, emit_key: str):
-        # (the driver passes an ObjectRef; Ray dereferences top-level args)
+    def __init__(self, tab, lo: int, hi: int, emit_key: str):
+        # (the driver passes an ObjectRef; Ray dereferences top-level
+        # args. The dataset path passes a LIST of block refs — adjacent
+        # sorted blocks grouped into one actor — which Ray leaves as
+        # refs inside the list: fetch and concat here, off-driver)
+        if isinstance(tab, list):
+            tabs = [t if isinstance(t, pa.Table) else ray.get(t) for t in tab]
+            tab = pa.concat_tables(tabs, promote_options="default")
         self.lo, self.hi = int(lo), int(hi)
         src = tab.column("src").to_numpy(zero_copy_only=False)
         dst = tab.column("dst").to_numpy(zero_copy_only=False)
@@ -140,6 +146,19 @@ class EdgeViewActor:
         read_key = src if emit_key == "dst" else dst
         order = np.argsort(read_key, kind="stable")
         self.s, self.d, self.w = src[order], dst[order], w[order]
+        # the scatter wave is memory-bandwidth-bound: store vids int32
+        # when they fit (halves the per-superstep edge-array traffic)
+        # and precompute the range-relative emission targets once, so
+        # the dense hot path (GLOBAL sum programs emitting the
+        # unfiltered target array) skips both the per-superstep
+        # ``dest - lo`` allocation and the bounds-check scans
+        vmax = max(int(self.s.max()), int(self.d.max())) if len(self.s) else 0
+        if vmax < np.iinfo(np.int32).max:
+            self.s = self.s.astype(np.int32)
+            self.d = self.d.astype(np.int32)
+        self.emit_arr = self.d if emit_key == "dst" else self.s
+        rel_dtype = np.int32 if (self.hi - self.lo) < np.iinfo(np.int32).max else np.int64
+        self.emit_rel = (self.emit_arr.astype(np.int64) - self.lo).astype(rel_dtype)
         self.key_sorted = self.s if emit_key == "dst" else self.d
 
     def ready(self) -> bool:
@@ -182,20 +201,30 @@ class EdgeViewActor:
             return (("sparse", empty, ef), 0)
 
         out = program.scatter(state, s, d, w, direction)
-        dest = np.asarray(out[0], dtype=np.int64)
+        dest = out[0]
         vals = np.asarray(out[1], dtype=np.float64)
         preds = np.asarray(out[2], dtype=np.float64) if len(out) > 2 else None
         emitted = len(dest)
-        if emitted and (dest.min() < self.lo or dest.max() >= self.hi):
-            # loud failure beats a negative-bincount error / silently
-            # corrupted span partial (VertexProgram.scatter contract)
-            raise ValueError(
-                f"{program.name}: scatter emitted outside its "
-                f"emission-target range [{self.lo}, {self.hi})"
-            )
+        # identity fast path: the program emitted THIS VIEW's untouched
+        # emission array (every GLOBAL sum program does), whose range
+        # membership holds by construction — reuse the precomputed
+        # relative targets (comparing against emit_arr specifically so a
+        # contract-violating program emitting the READ key still hits
+        # the loud range check below instead of silent corruption)
+        identity = dest is self.emit_arr
+        if not identity:
+            dest = np.asarray(dest, dtype=np.int64)
+            if emitted and (int(dest.min()) < self.lo or int(dest.max()) >= self.hi):
+                # loud failure beats a negative-bincount error / silently
+                # corrupted span partial (VertexProgram.scatter contract)
+                raise ValueError(
+                    f"{program.name}: scatter emitted outside its "
+                    f"emission-target range [{self.lo}, {self.hi})"
+                )
         if program.combine == "sum" and dense:
+            rel = self.emit_rel if identity else dest - self.lo
             return (
-                ("dense", np.bincount(dest - self.lo, weights=vals, minlength=span)),
+                ("dense", np.bincount(rel, weights=vals, minlength=span)),
                 emitted,
             )
         partial = local_combine(program.combine, span, False, dest, vals, preds)
@@ -346,6 +375,9 @@ class GraphEngine:
         self.num_edges = 0
         self.outdeg = np.zeros(self.n, dtype=np.int64)
         self.indeg = np.zeros(self.n, dtype=np.int64)
+        p = self.cfg.num_partitions
+        if p is None:
+            p = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
         first = True
         for sort_key, emit_key, views in (
             ("dst", "dst", self.fwd_views),
@@ -353,6 +385,7 @@ class GraphEngine:
         ):
             refs = dataset.sort(sort_key).materialize().to_arrow_refs()
             metas = ray.get([_block_degrees.remote(r) for r in refs])
+            blocks = []  # (ref, key_lo, key_hi, ne), in global sort order
             for r, (us, cs, ud, cd, ne) in zip(refs, metas):
                 if ne == 0:
                     continue
@@ -362,16 +395,41 @@ class GraphEngine:
                     self.num_edges += ne
                 key_lo = int(us[0] if emit_key == "src" else ud[0])
                 key_hi = int((us[-1] if emit_key == "src" else ud[-1])) + 1
+                blocks.append((r, key_lo, key_hi, ne))
+            first = False
+            if not blocks:
+                continue
+            # one actor per sorted BLOCK floods the node when the sort
+            # was wide (sort width follows the input block count) —
+            # hundreds of actor processes whose startup dwarfs the run.
+            # Group ADJACENT blocks (sorted => contiguous key ranges)
+            # into at most p actors, balanced by edge count; each actor
+            # concatenates its group's refs off-driver in __init__.
+            total = sum(b[3] for b in blocks)
+            target = max(1, -(-total // p))  # ceil
+            group: list = []
+            gsize = 0
+            groups = []
+            for b in blocks:
+                group.append(b)
+                gsize += b[3]
+                if gsize >= target and len(groups) < p - 1:
+                    groups.append(group)
+                    group, gsize = [], 0
+            if group:
+                groups.append(group)
+            for g in groups:
+                key_lo = min(b[1] for b in g)
+                key_hi = max(b[2] for b in g)
                 views.append(
                     (
                         EdgeViewActor.options(
                             num_cpus=self.cfg.num_cpus_per_actor
-                        ).remote(r, key_lo, key_hi, emit_key),
+                        ).remote([b[0] for b in g], key_lo, key_hi, emit_key),
                         key_lo,
                         key_hi,
                     )
                 )
-            first = False
 
     # -- one superstep -----------------------------------------------------
 
