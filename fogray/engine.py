@@ -113,39 +113,31 @@ def local_combine(kind: str, n: int, dense: bool, dest, vals, preds=None):
 # the pinned edge-view actor (emission-target range partitioned)
 # ---------------------------------------------------------------------------
 
-@ray.remote
-class EdgeViewActor:
-    """Serves ONE scatter view for one emission-target vid range
-    [lo, hi): either the forward view (edges whose dst lies in the
-    range, sorted by src) or the backward view (edges whose src lies in
-    the range, sorted by dst) — the rebuild of the mmapped
-    ``index_vert_array`` CSR/CSC, fogsrc/index_vert_array.cpp:25-336,
-    built once in ``__init__``. ``scatter`` runs the program's
-    vectorized kernel over frontier-filtered edges and pre-combines into
-    ONE range-sized partial. Ranges may OVERLAP (a hot range split
-    across actors, or dataset-block construction where a vertex's edges
-    straddle two sorted blocks): the driver adds/combines the partials,
-    so overlap costs only a few duplicate entries."""
+class _View:
+    """One scatter view's pinned arrays: edges read-key-sorted, plus the
+    precomputed range-relative emission targets for the dense hot path."""
+
+    __slots__ = ("s", "d", "w", "key_sorted", "emit_arr", "emit_rel")
 
     def __init__(self, tab, lo: int, hi: int, emit_key: str):
-        # (the driver passes an ObjectRef; Ray dereferences top-level
-        # args. The dataset path passes a LIST of block refs — adjacent
-        # sorted blocks grouped into one actor — which Ray leaves as
-        # refs inside the list: fetch and concat here, off-driver)
         if isinstance(tab, list):
             tabs = [t if isinstance(t, pa.Table) else ray.get(t) for t in tab]
-            tab = pa.concat_tables(tabs, promote_options="default")
-        self.lo, self.hi = int(lo), int(hi)
-        src = tab.column("src").to_numpy(zero_copy_only=False)
-        dst = tab.column("dst").to_numpy(zero_copy_only=False)
-        w = (
-            tab.column("weight").to_numpy(zero_copy_only=False)
-            if "weight" in tab.column_names
-            else np.ones(len(src), dtype=np.float64)
-        )
-        read_key = src if emit_key == "dst" else dst
-        order = np.argsort(read_key, kind="stable")
-        self.s, self.d, self.w = src[order], dst[order], w[order]
+            tabs = [t for t in tabs if t.num_rows and t.num_columns]
+            tab = pa.concat_tables(tabs, promote_options="default") if tabs else None
+        if tab is None or tab.num_rows == 0:
+            self.s = self.d = np.empty(0, dtype=np.int64)
+            self.w = np.empty(0, dtype=np.float64)
+        else:
+            src = tab.column("src").to_numpy(zero_copy_only=False)
+            dst = tab.column("dst").to_numpy(zero_copy_only=False)
+            w = (
+                tab.column("weight").to_numpy(zero_copy_only=False)
+                if "weight" in tab.column_names
+                else np.ones(len(src), dtype=np.float64)
+            )
+            read_key = src if emit_key == "dst" else dst
+            order = np.argsort(read_key, kind="stable")
+            self.s, self.d, self.w = src[order], dst[order], w[order]
         # the scatter wave is memory-bandwidth-bound: store vids int32
         # when they fit (halves the per-superstep edge-array traffic)
         # and precompute the range-relative emission targets once, so
@@ -157,9 +149,37 @@ class EdgeViewActor:
             self.s = self.s.astype(np.int32)
             self.d = self.d.astype(np.int32)
         self.emit_arr = self.d if emit_key == "dst" else self.s
-        rel_dtype = np.int32 if (self.hi - self.lo) < np.iinfo(np.int32).max else np.int64
-        self.emit_rel = (self.emit_arr.astype(np.int64) - self.lo).astype(rel_dtype)
+        rel_dtype = np.int32 if (hi - lo) < np.iinfo(np.int32).max else np.int64
+        self.emit_rel = (self.emit_arr.astype(np.int64) - lo).astype(rel_dtype)
         self.key_sorted = self.s if emit_key == "dst" else self.d
+
+
+@ray.remote
+class EdgeViewActor:
+    """Serves the scatter views for one emission-target vid range
+    [lo, hi): the forward view (edges whose dst lies in the range,
+    sorted by src) and the backward view (edges whose src lies in the
+    range, sorted by dst) — the rebuild of the mmapped
+    ``index_vert_array`` CSR/CSC, fogsrc/index_vert_array.cpp:25-336,
+    both built once in ``__init__`` (one actor PROCESS per range, not
+    one per view: actor startup is the dominant build cost on a fresh
+    session). ``scatter`` runs the program's vectorized kernel over
+    frontier-filtered edges and pre-combines into ONE range-sized
+    partial. Ranges may OVERLAP (a hot range split across actors): the
+    driver adds/combines the partials, so overlap costs only a few
+    duplicate entries."""
+
+    def __init__(self, parts: dict, lo: int, hi: int):
+        # parts: {"fwd": table/ref/list-of-refs/None, "bwd": ...}. Refs
+        # nested inside the dict are NOT dereferenced by Ray — fetched
+        # here, off-driver.
+        self.lo, self.hi = int(lo), int(hi)
+        self.views: dict[str, _View] = {}
+        for dirn, emit_key in ((FWD, "dst"), (BWD, "src")):
+            tab = parts.get(dirn)
+            if tab is not None and not isinstance(tab, (pa.Table, list)):
+                tab = ray.get(tab)
+            self.views[dirn] = _View(tab, self.lo, self.hi, emit_key)
 
     def ready(self) -> bool:
         return True
@@ -171,8 +191,9 @@ class EdgeViewActor:
         direction: str,
         dense: bool,
     ):
-        s, d, w = self.s, self.d, self.w
-        key_sorted = self.key_sorted
+        view = self.views[direction]
+        s, d, w = view.s, view.d, view.w
+        key_sorted = view.key_sorted
         state, frontier, active_ids = bcast
 
         if active_ids is not None:
@@ -211,7 +232,7 @@ class EdgeViewActor:
         # relative targets (comparing against emit_arr specifically so a
         # contract-violating program emitting the READ key still hits
         # the loud range check below instead of silent corruption)
-        identity = dest is self.emit_arr
+        identity = dest is view.emit_arr
         if not identity:
             dest = np.asarray(dest, dtype=np.int64)
             if emitted and (int(dest.min()) < self.lo or int(dest.max()) >= self.hi):
@@ -222,7 +243,7 @@ class EdgeViewActor:
                     f"emission-target range [{self.lo}, {self.hi})"
                 )
         if program.combine == "sum" and dense:
-            rel = self.emit_rel if identity else dest - self.lo
+            rel = view.emit_rel if identity else dest - self.lo
             return (
                 ("dense", np.bincount(rel, weights=vals, minlength=span)),
                 emitted,
@@ -233,6 +254,47 @@ class EdgeViewActor:
             for i, x in enumerate(partial[1:])
         )
         return (partial, emitted)
+
+
+def _degree_bounds(outdeg, indeg, n: int, p: int) -> np.ndarray:
+    """Degree-weighted vid-range bounds: p contiguous ranges holding
+    roughly equal edge shares (FOG's vid-mod-P striping replaced by
+    balanced ranges; the +1 keeps empty-degree spans splittable)."""
+    deg = outdeg + indeg
+    cum = np.cumsum(deg + 1)
+    total = int(cum[-1])
+    bounds = [0]
+    for j in range(1, p):
+        b = max(int(np.searchsorted(cum, total * j / p)), bounds[-1] + 1)
+        if b >= n:
+            break
+        bounds.append(b)
+    bounds.append(max(n, 1))
+    return np.asarray(bounds, dtype=np.int64)
+
+
+@ray.remote
+def _bucket_block(tab: pa.Table, bounds: np.ndarray):
+    """Scatter ONE edge block into 2p range pieces — p forward pieces
+    (bucketed by dst) then p backward pieces (bucketed by src). Called
+    with ``num_returns=2p`` so every piece is its own object and each
+    range's actor fetches ONLY its pieces: the map stage of a bucketed
+    exchange, replacing a full Ray-Data sort (the actors re-sort their
+    narrow slice locally anyway, so the sort's sampling + global
+    ordering work bought nothing)."""
+    p = len(bounds) - 1
+    if tab.num_rows == 0 or tab.num_columns == 0:
+        empty = tab.slice(0, 0)
+        return tuple(empty for _ in range(2 * p))
+    out = []
+    for key in ("dst", "src"):
+        k = tab.column(key).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds[1:-1], k, side="right")
+        order = np.argsort(part, kind="stable")
+        cuts = np.searchsorted(part[order], np.arange(p + 1))
+        for j in range(p):
+            out.append(tab.take(order[cuts[j] : cuts[j + 1]]))
+    return tuple(out)
 
 
 @ray.remote
@@ -315,121 +377,105 @@ class GraphEngine:
     def _init_from_arrays(self, src, dst, w, p):
         """Driver-held arrays (test/report scale): degree-weighted range
         bounds; ranges whose edge share exceeds ~E/P get multiple actors
-        (hub split)."""
+        (hub split). ONE actor per range holds both views."""
         self.num_edges = len(src)
         self.outdeg = np.bincount(src, minlength=self.n)
         self.indeg = np.bincount(dst, minlength=self.n)
-        deg = self.outdeg + self.indeg
-        cum = np.cumsum(deg + 1)
-        total = int(cum[-1])
-        bounds = [0]
-        for j in range(1, p):
-            b = max(int(np.searchsorted(cum, total * j / p)), bounds[-1] + 1)
-            if b >= self.n:
-                break
-            bounds.append(b)
-        bounds.append(max(self.n, 1))
-        bounds = np.asarray(bounds, dtype=np.int64)
+        bounds = _degree_bounds(self.outdeg, self.indeg, self.n, p)
 
         target = max(1, self.num_edges // max(p, 1))
-        for emit_key, order_key, views in (
-            ("dst", dst, self.fwd_views),
-            ("src", src, self.bwd_views),
-        ):
-            order = np.argsort(order_key, kind="stable")
-            cuts = np.searchsorted(order_key[order], bounds)
-            for j in range(len(bounds) - 1):
-                idx = order[cuts[j] : cuts[j + 1]]
-                # split a range across actors only when it is well past
-                # its fair share (round, don't ceil: ceil split every
-                # range that landed a few % over target, yielding ~1.5x
-                # more actors than CPUs — two uneven scheduling waves
-                # per superstep instead of one)
-                k = max(1, min(8, (len(idx) + target // 2) // target))
-                for c in range(k):
+        fwd_order = np.argsort(dst, kind="stable")
+        fwd_cuts = np.searchsorted(dst[fwd_order], bounds)
+        bwd_order = np.argsort(src, kind="stable")
+        bwd_cuts = np.searchsorted(src[bwd_order], bounds)
+        for j in range(len(bounds) - 1):
+            fidx = fwd_order[fwd_cuts[j] : fwd_cuts[j + 1]]
+            bidx = bwd_order[bwd_cuts[j] : bwd_cuts[j + 1]]
+            # split a range across actors only when it is well past its
+            # fair share (round, don't ceil: ceil split every range that
+            # landed a few % over target, yielding ~1.5x more actors
+            # than CPUs — two uneven scheduling waves per superstep
+            # instead of one)
+            k = max(1, min(8, (max(len(fidx), len(bidx)) + target // 2) // target))
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            for c in range(k):
+                parts = {}
+                for dirn, idx in ((FWD, fidx), (BWD, bidx)):
                     part = idx[(len(idx) * c) // k : (len(idx) * (c + 1)) // k]
-                    ref = ray.put(
+                    parts[dirn] = ray.put(
                         pa.table(
                             {"src": src[part], "dst": dst[part], "weight": w[part]}
                         )
                     )
-                    views.append(
-                        (
-                            EdgeViewActor.options(
-                                num_cpus=self.cfg.num_cpus_per_actor
-                            ).remote(ref, int(bounds[j]), int(bounds[j + 1]), emit_key),
-                            int(bounds[j]),
-                            int(bounds[j + 1]),
-                        )
-                    )
+                actor = EdgeViewActor.options(
+                    num_cpus=self.cfg.num_cpus_per_actor
+                ).remote(parts, lo, hi)
+                self.fwd_views.append((actor, lo, hi))
+                self.bwd_views.append((actor, lo, hi))
 
     def _init_from_dataset(self, dataset, has_weights):
-        """Streaming construction: TWO distributed sorts partition the
-        edge Dataset by dst (forward views) and by src (backward views);
-        each sorted BLOCK becomes one actor whose range is the block's
-        own key span. The driver touches only ObjectRefs and per-block
-        boundary keys — the edge table is never materialized driver-side
-        (the scale path for edge tables that dwarf one machine; the
-        sorts are Ray Data's shuffle, the converter's external-sort
-        rebuild, convert/process_in_edge.cpp)."""
-        self.num_edges = 0
+        """Streaming construction via a bucketed exchange: one metadata
+        pass computes degrees (and so degree-weighted range bounds),
+        then one map wave scatters every block into per-range pieces
+        (``_bucket_block``, 2p objects per block) and each range's actor
+        fetches ONLY its pieces and key-sorts its narrow slice locally.
+        The driver touches only ObjectRefs and degree partials — the
+        edge table is never materialized driver-side (the scale path for
+        edge tables that dwarf one machine; this is the map+reduce
+        shuffle the converter's external sort performs,
+        convert/process_in_edge.cpp, minus the global ordering the
+        range-local argsort makes redundant)."""
         self.outdeg = np.zeros(self.n, dtype=np.int64)
         self.indeg = np.zeros(self.n, dtype=np.int64)
         p = self.cfg.num_partitions
         if p is None:
             p = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
-        first = True
-        for sort_key, emit_key, views in (
-            ("dst", "dst", self.fwd_views),
-            ("src", "src", self.bwd_views),
-        ):
-            refs = dataset.sort(sort_key).materialize().to_arrow_refs()
-            metas = ray.get([_block_degrees.remote(r) for r in refs])
-            blocks = []  # (ref, key_lo, key_hi, ne), in global sort order
-            for r, (us, cs, ud, cd, ne) in zip(refs, metas):
-                if ne == 0:
-                    continue
-                if first:
-                    np.add.at(self.outdeg, us, cs)
-                    np.add.at(self.indeg, ud, cd)
-                    self.num_edges += ne
-                key_lo = int(us[0] if emit_key == "src" else ud[0])
-                key_hi = int((us[-1] if emit_key == "src" else ud[-1])) + 1
-                blocks.append((r, key_lo, key_hi, ne))
-            first = False
-            if not blocks:
-                continue
-            # one actor per sorted BLOCK floods the node when the sort
-            # was wide (sort width follows the input block count) —
-            # hundreds of actor processes whose startup dwarfs the run.
-            # Group ADJACENT blocks (sorted => contiguous key ranges)
-            # into at most p actors, balanced by edge count; each actor
-            # concatenates its group's refs off-driver in __init__.
-            total = sum(b[3] for b in blocks)
-            target = max(1, -(-total // p))  # ceil
-            group: list = []
-            gsize = 0
-            groups = []
-            for b in blocks:
-                group.append(b)
-                gsize += b[3]
-                if gsize >= target and len(groups) < p - 1:
-                    groups.append(group)
-                    group, gsize = [], 0
-            if group:
-                groups.append(group)
-            for g in groups:
-                key_lo = min(b[1] for b in g)
-                key_hi = max(b[2] for b in g)
-                views.append(
-                    (
-                        EdgeViewActor.options(
-                            num_cpus=self.cfg.num_cpus_per_actor
-                        ).remote([b[0] for b in g], key_lo, key_hi, emit_key),
-                        key_lo,
-                        key_hi,
-                    )
-                )
+        refs = dataset.materialize().to_arrow_refs()
+        metas = ray.get([_block_degrees.remote(r) for r in refs])
+        self.num_edges = sum(m[4] for m in metas)
+        block_refs = [r for r, m in zip(refs, metas) if m[4]]
+        if not block_refs:
+            return
+        # one vectorized bincount over the concatenated per-block unique
+        # partials (a per-block np.add.at loop cost seconds at 100+ blocks)
+        us = np.concatenate([m[0] for m in metas if m[4]])
+        cs = np.concatenate([m[1] for m in metas if m[4]])
+        ud = np.concatenate([m[2] for m in metas if m[4]])
+        cd = np.concatenate([m[3] for m in metas if m[4]])
+        self.outdeg = np.bincount(us, weights=cs, minlength=self.n).astype(np.int64)
+        self.indeg = np.bincount(ud, weights=cd, minlength=self.n).astype(np.int64)
+        bounds = _degree_bounds(self.outdeg, self.indeg, self.n, p)
+        np_ranges = len(bounds) - 1
+        pieces = [
+            _bucket_block.options(num_returns=2 * np_ranges).remote(r, bounds)
+            for r in block_refs
+        ]
+        if np_ranges == 1:
+            pieces = [[a, b] for a, b in pieces]
+        # per-range edge counts (exact, from the degree arrays) drive
+        # the hub split: a range well past its fair share gets multiple
+        # actors, each serving a block-subset of the range's pieces
+        cum_in = np.concatenate([[0], np.cumsum(self.indeg)])
+        cum_out = np.concatenate([[0], np.cumsum(self.outdeg)])
+        fwd_cnt = cum_in[bounds[1:]] - cum_in[bounds[:-1]]
+        bwd_cnt = cum_out[bounds[1:]] - cum_out[bounds[:-1]]
+        target = max(1, self.num_edges // max(p, 1))
+        nb = len(block_refs)
+        for j in range(np_ranges):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            heavier = int(max(fwd_cnt[j], bwd_cnt[j]))
+            k = max(1, min(8, nb, (heavier + target // 2) // target))
+            for c in range(k):
+                b0, b1 = (nb * c) // k, (nb * (c + 1)) // k
+                parts = {
+                    FWD: [pieces[b][j] for b in range(b0, b1)],
+                    BWD: [pieces[b][np_ranges + j] for b in range(b0, b1)],
+                }
+                actor = EdgeViewActor.options(
+                    num_cpus=self.cfg.num_cpus_per_actor
+                ).remote(parts, lo, hi)
+                self.fwd_views.append((actor, lo, hi))
+                self.bwd_views.append((actor, lo, hi))
 
     # -- one superstep -----------------------------------------------------
 
@@ -568,6 +614,9 @@ class GraphEngine:
         )
 
     def shutdown(self):
+        seen = set()
         for a, _, _ in self.fwd_views + self.bwd_views:
-            ray.kill(a)
+            if a._actor_id not in seen:
+                seen.add(a._actor_id)
+                ray.kill(a)
         self.fwd_views, self.bwd_views = [], []
