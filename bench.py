@@ -16,8 +16,17 @@ the best of GRAFT_SCALING_REPEATS per level (co-tenant noise protocol,
 BASELINE.md), and report both throughputs + the scaling efficiency
 ``thr(4N) / (4 * thr(N))``.
 
-``--worker K``: internal — one fresh-process PageRank run at K CPUs,
-prints its own JSON line (used by --scaling via subprocess).
+``--scaling --e2e``: same two-level fresh-process protocol, but each
+run is the WHOLE flagship pipeline (synthetic repo table -> derive
+co-occurrence edges -> build engine -> 10-iter PageRank; input
+synthesis untimed); throughput = input files / pipeline second. The
+pipeline includes two all-to-all shuffles whose cost is shared-memory-
+bandwidth-bound on this single box, so its efficiency reads lower than
+the kernel's — BASELINE.md records both with that caveat.
+
+``--worker K``: internal — one fresh-process run at K CPUs (kernel by
+default, pipeline with ``--e2e``), prints its own JSON line (used by
+--scaling via subprocess).
 """
 
 from __future__ import annotations
@@ -198,8 +207,68 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
     return out
 
 
-def run_worker(sf_dir: str, num_cpus: int, synthetic: bool = False) -> dict:
+E2E_REPOS = int(os.environ.get("GRAFT_E2E_REPOS", "60000"))
+E2E_FILES_PER_REPO = int(os.environ.get("GRAFT_E2E_FILES_PER_REPO", "16"))
+
+
+def _e2e_flagship(num_cpus: int) -> dict:
+    """The whole flagship pipeline on a deterministic synthetic repo
+    table (input synthesis untimed): derive co-occurrence edges ->
+    build the range-partitioned engine -> 10-iter FOG-semantics
+    PageRank. Throughput = input files / pipeline-second."""
+    import ray.data as rd
+
+    from fogray import algorithms as alg
+    from fogray import derive, tables
+    from fogray.config import EngineConfig
+    from fogray.engine import GraphEngine
+
+    n_files = E2E_REPOS * E2E_FILES_PER_REPO
+    t = tables.make_repo_table(n_files, E2E_REPOS, seed=42)
+    src = rd.from_arrow(t)
+    t0 = time.perf_counter()
+    res = derive.derive_edges(src)
+    edges = res["edges"].materialize()
+    t1 = time.perf_counter()
+    eng = GraphEngine(res["num_vertices"], dataset=edges, cfg=EngineConfig())
+    try:
+        t2 = time.perf_counter()
+        rr = alg.pagerank(eng, niters=10)
+        t3 = time.perf_counter()
+    finally:
+        eng.shutdown()
+    wall = t3 - t0
+    return {
+        "num_repos": E2E_REPOS,
+        "num_files": n_files,
+        "num_edges": int(eng.num_edges) if eng.num_edges else edges.count(),
+        "iters": rr.supersteps,
+        "derive_s": round(t1 - t0, 4),
+        "build_s": round(t2 - t1, 4),
+        "pagerank_s": round(t3 - t2, 4),
+        "wall_s": round(wall, 4),
+        "files_per_sec": round(n_files / wall, 1),
+        "edges_per_sec_per_iter": round(
+            int(eng.num_edges) * rr.supersteps / max(t3 - t2, 1e-9), 1
+        ),
+    }
+
+
+def run_worker(
+    sf_dir: str, num_cpus: int, synthetic: bool = False, e2e: bool = False
+) -> dict:
     _init_ray(num_cpus)
+    if e2e:
+        pr = _e2e_flagship(num_cpus)
+        return {
+            "metric": "flagship_files_per_sec",
+            "value": pr["files_per_sec"],
+            "unit": "files/s",
+            "sf": -1.0,
+            "num_cpus": num_cpus,
+            "input": "synthetic_repo_table",
+            **pr,
+        }
     pr = _pagerank_throughput(sf_dir, num_cpus, synthetic=synthetic)
     return {
         "metric": "pagerank_edges_per_sec_per_iter",
@@ -212,24 +281,30 @@ def run_worker(sf_dir: str, num_cpus: int, synthetic: bool = False) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
+def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8, e2e: bool = False) -> dict:
     """Fresh-process runs at two parallelism levels, N and 4N CPUs
-    (BASELINE.md): the identical seeded synthetic graph (sized so
-    per-superstep kernel work dominates fixed task costs) at
-    num_cpus=lo and =hi. Each level runs SCALING_REPEATS times and the
-    BEST throughput is kept — this sandbox is co-tenant and identical
-    runs vary by >10x under background load (the best run is the one
-    least perturbed; all repeat timings are reported for transparency)."""
+    (BASELINE.md): the identical seeded input (kernel mode: the
+    synthetic graph, sized so per-superstep kernel work dominates fixed
+    task costs; --e2e mode: the whole flagship pipeline on the
+    synthetic repo table) at num_cpus=lo and =hi. Each level runs
+    SCALING_REPEATS times and the BEST throughput is kept — this
+    sandbox is co-tenant and identical runs vary by >10x under
+    background load (the best run is the one least perturbed; all
+    repeat timings are reported for transparency)."""
     results: dict[int, dict] = {}
     reps: dict[str, list] = {}
+    job = "flagship" if e2e else "pagerank"
+    thr_key = "files_per_sec" if e2e else "edges_per_sec_per_iter"
     for k in (lo, hi):
         best = None
         times = []
         for _ in range(max(1, SCALING_REPEATS)):
             env = dict(os.environ)
             env["GRAFT_SF_DIR"] = sf_dir
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(k)]
+            cmd.append("--e2e" if e2e else "--synthetic")
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(k), "--synthetic"],
+                cmd,
                 capture_output=True,
                 text=True,
                 env=env,
@@ -238,15 +313,15 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             d = json.loads(line)
             times.append(d["wall_s"])
-            if best is None or d["edges_per_sec_per_iter"] > best["edges_per_sec_per_iter"]:
+            if best is None or d[thr_key] > best[thr_key]:
                 best = d
         results[k] = best
-        reps[f"pagerank@{k}cpus_reps"] = times
-    thr_lo = results[lo]["edges_per_sec_per_iter"]
-    thr_hi = results[hi]["edges_per_sec_per_iter"]
+        reps[f"{job}@{k}cpus_reps"] = times
+    thr_lo = results[lo][thr_key]
+    thr_hi = results[hi][thr_key]
     eff = thr_hi / (thr_lo * (hi / lo))
-    return {
-        "metric": "scaling_efficiency",
+    out = {
+        "metric": "scaling_efficiency_e2e" if e2e else "scaling_efficiency",
         "value": round(eff, 4),
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
@@ -255,21 +330,26 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8) -> dict:
         "hi_cpus": hi,
         "throughput_lo": thr_lo,
         "throughput_hi": thr_hi,
-        "num_vertices": results[hi]["num_vertices"],
+        "throughput_unit": "files/s" if e2e else "edges/s/iter",
         "num_edges": results[hi]["num_edges"],
         "repeats": SCALING_REPEATS,
         **reps,
-        "queries": {f"pagerank@{lo}cpus": results[lo]["wall_s"],
-                    f"pagerank@{hi}cpus": results[hi]["wall_s"]},
+        "queries": {f"{job}@{lo}cpus": results[lo]["wall_s"],
+                    f"{job}@{hi}cpus": results[hi]["wall_s"]},
     }
+    if not e2e:
+        out["num_vertices"] = results[hi]["num_vertices"]
+    return out
 
 
 def main(argv: list[str]) -> None:
     if "--worker" in argv:
         k = int(argv[argv.index("--worker") + 1])
-        out = run_worker(SF_DIR, k, synthetic="--synthetic" in argv)
+        out = run_worker(
+            SF_DIR, k, synthetic="--synthetic" in argv, e2e="--e2e" in argv
+        )
     elif "--scaling" in argv:
-        out = run_scaling(SF_DIR)
+        out = run_scaling(SF_DIR, e2e="--e2e" in argv)
     else:
         out = run_suite(SF_DIR, NUM_CPUS)
     print(json.dumps(out))

@@ -201,24 +201,32 @@ def make_pair_expander(key_cols: list[str], value_col: str, cap: int | None):
     def expand(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        key_arrs = [t.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+        # hash-factorize string keys to int codes first: sorting /
+        # comparing 10^6 strings with np.lexsort costs ~10s where the
+        # factorize + int sort costs ~1s. Codes are block-local (groups
+        # only need consistent codes, not globally ordered ones).
+        comb = None
+        for c in key_cols:
+            codes, uniques = pd.factorize(
+                t.column(c).to_numpy(zero_copy_only=False),
+                sort=False,
+                use_na_sentinel=False,
+            )
+            codes = codes.astype(np.int64)
+            if comb is None:
+                comb = codes
+            else:
+                comb = comb * np.int64(len(uniques)) + codes
         vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        # distinct (key, value) rows; np.lexsort orders by key then value
-        order = np.lexsort((vals,) + tuple(key_arrs[::-1]))
-        key_arrs = [k[order] for k in key_arrs]
-        vals = vals[order]
-        same_key = np.ones(len(vals) - 1, dtype=bool) if len(vals) > 1 else np.empty(0, bool)
-        for k in key_arrs:
-            same_key &= k[1:] == k[:-1]
-        dup = np.r_[False, same_key & (vals[1:] == vals[:-1])]
-        for i in range(len(key_arrs)):
-            key_arrs[i] = key_arrs[i][~dup]
-        vals = vals[~dup]
+        order = np.lexsort((vals, comb))
+        comb, vals = comb[order], vals[order]
+        # distinct (key, value) rows
+        if len(vals) > 1:
+            dup = np.r_[False, (comb[1:] == comb[:-1]) & (vals[1:] == vals[:-1])]
+            comb, vals = comb[~dup], vals[~dup]
         if len(vals) == 0:
             return empty
-        new_grp = np.zeros(len(vals) - 1, dtype=bool) if len(vals) > 1 else np.empty(0, bool)
-        for k in key_arrs:
-            new_grp |= k[1:] != k[:-1]
+        new_grp = comb[1:] != comb[:-1] if len(vals) > 1 else np.empty(0, bool)
         starts = np.flatnonzero(np.r_[True, new_grp])
         sizes = np.diff(np.r_[starts, len(vals)])
         ok = sizes >= 2
@@ -227,22 +235,42 @@ def make_pair_expander(key_cols: list[str], value_col: str, cap: int | None):
         starts, sizes = starts[ok], sizes[ok]
         if len(starts) == 0:
             return empty
-        kk = sizes * sizes
-        tot = int(kk.sum())
-        rep = np.repeat
-        within = np.arange(tot) - rep(np.cumsum(kk) - kk, kk)
-        i = within // rep(sizes, kk)
-        j = within % rep(sizes, kk)
-        base = rep(starts, kk)
-        src, dst = vals[base + i], vals[base + j]
-        m = src != dst
-        pairs = np.stack([src[m], dst[m]], axis=1)
-        u, c = np.unique(pairs, axis=0, return_counts=True)
+        # expand per SIZE CLASS with 2-D gathers (group sizes are <= cap,
+        # so there are few distinct sizes; an index-arithmetic expansion
+        # over all pairs cost ~8 O(total-pairs) passes incl. two integer
+        # divisions). Only UNORDERED pairs (i<j) are generated — ordered
+        # co-occurrence counts are symmetric, so count once and mirror.
+        lo_parts, hi_parts = [], []
+        for s in np.unique(sizes):
+            st = starts[sizes == s]
+            block = vals[st[:, None] + np.arange(s)]
+            ii, jj = np.triu_indices(int(s), k=1)
+            a = block[:, ii].ravel()
+            b = block[:, jj].ravel()
+            lo_parts.append(a)
+            hi_parts.append(b)
+        a = np.concatenate(lo_parts)
+        b = np.concatenate(hi_parts)
+        # values within a group are sorted ascending and distinct, so
+        # a < b always: (a, b) is already the canonical unordered pair
+        n_hi = int(b.max()) + 1 if len(b) else 1
+        assert int(a.max() if len(a) else 0) < (1 << 62) // max(n_hi, 1), (
+            "pair key would overflow int64; vid space too large for fused key"
+        )
+        # pre-aggregate on a fused int64 pair key (np.unique over 2-D
+        # rows falls back to a slow void-view sort)
+        code = a * np.int64(n_hi) + b
+        code.sort()
+        firsts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+        cnt = np.diff(np.r_[firsts, len(code)])
+        u = code[firsts]
+        ua, ub = u // np.int64(n_hi), u % np.int64(n_hi)
+        cnt = cnt.astype(np.int64)
         return pa.table(
             {
-                "src": np.ascontiguousarray(u[:, 0]),
-                "dst": np.ascontiguousarray(u[:, 1]),
-                "cnt": c.astype(np.int64),
+                "src": np.concatenate([ua, ub]),
+                "dst": np.concatenate([ub, ua]),
+                "cnt": np.concatenate([cnt, cnt]),
             }
         )
 
