@@ -98,21 +98,59 @@ class _SpanState:
         return field in self._arrays
 
 
+class _GatherPlan:
+    """Precomputed routing of ONE static index array (an edge view's
+    read-key column) through the state partition bounds: built once per
+    (actor, direction), reused every superstep. Turns the sharded
+    gather from per-superstep searchsorted + P boolean-mask passes over
+    O(E_span) indices into P contiguous fancy-gathers + one inverse
+    permutation (~2 passes)."""
+
+    __slots__ = ("key", "order", "cuts", "rel")
+
+    def __init__(self, key: np.ndarray, bounds: np.ndarray):
+        self.key = key
+        part = np.searchsorted(bounds, key, side="right") - 1
+        order = np.argsort(part, kind="stable")
+        self.order = order.astype(np.int32) if len(order) < 2**31 else order
+        sp = part[self.order]
+        P = len(bounds) - 1
+        self.cuts = np.searchsorted(sp, np.arange(P + 1))
+        rel = np.asarray(key, dtype=np.int64)[self.order] - bounds[sp]
+        self.rel = rel.astype(np.int32) if (len(rel) == 0 or rel.max() < 2**31) else rel
+
+    def gather(self, slices: list[np.ndarray]) -> np.ndarray:
+        dtype = slices[0].dtype if slices else np.float64
+        out_sorted = np.empty(len(self.key), dtype=dtype)
+        for j in range(len(self.cuts) - 1):
+            a, b = self.cuts[j], self.cuts[j + 1]
+            if b > a:
+                out_sorted[a:b] = slices[j][self.rel[a:b]]
+        out = np.empty_like(out_sorted)
+        out[self.order] = out_sorted
+        return out
+
+
 class _ShardedField:
     """Read-only per-vertex field assembled from the state partitions'
     exported slices WITHOUT concatenating them: absolute-vid fancy
     indexing routes each index to its owning slice (one searchsorted +
     one pass per touched partition). The slices stay zero-copy plasma
     views, so a pull-mode edge actor reads O(V) shared bytes but
-    allocates only O(indices-it-reads) heap."""
+    allocates only O(indices-it-reads) heap. When indexed with the
+    exact array a :class:`_GatherPlan` was built for, the precomputed
+    routing is used instead."""
 
-    __slots__ = ("slices", "bounds")
+    __slots__ = ("slices", "bounds", "plan")
 
-    def __init__(self, slices: list[np.ndarray], bounds: np.ndarray):
+    def __init__(self, slices: list[np.ndarray], bounds: np.ndarray, plan=None):
         self.slices = slices
         self.bounds = bounds
+        self.plan = plan
 
     def __getitem__(self, idx):
+        if self.plan is not None and idx is self.plan.key:
+            return self.plan.gather(self.slices)
         idx = np.asarray(idx, dtype=np.int64)
         out = np.empty(idx.shape, dtype=self.slices[0].dtype)
         part = np.searchsorted(self.bounds, idx, side="right") - 1
@@ -126,12 +164,15 @@ class _ShardedState:
     """dict-of-_ShardedField over all state partitions (pull-mode
     scatter: read state at ANY vid, no dense copy)."""
 
-    def __init__(self, slices: list[dict], bounds: np.ndarray):
+    def __init__(self, slices: list[dict], bounds: np.ndarray, plan=None):
         self._slices = slices
         self._bounds = bounds
+        self._plan = plan
 
     def __getitem__(self, field: str) -> _ShardedField:
-        return _ShardedField([sl[field] for sl in self._slices], self._bounds)
+        return _ShardedField(
+            [sl[field] for sl in self._slices], self._bounds, self._plan
+        )
 
     def __contains__(self, field) -> bool:
         return bool(self._slices) and field in self._slices[0]
@@ -224,7 +265,19 @@ class DistEdgeActor:
         # lexsorted arrays too
         self.fs, self.fd, self.fw = _cat(fwd_blocks, ("src", "dst", "weight"), 0)
         self.bs, self.bd, self.bw = _cat(bwd_blocks, ("src", "dst", "weight"), 1)
+        # int32 vids when they fit: the scatter wave is memory-bandwidth
+        # bound, so halving the edge-array bytes is ~free throughput
+        vmax = max(
+            (int(a.max()) for a in (self.fs, self.fd, self.bs, self.bd) if len(a)),
+            default=0,
+        )
+        if vmax < np.iinfo(np.int32).max:
+            self.fs, self.fd = self.fs.astype(np.int32), self.fd.astype(np.int32)
+            self.bs, self.bd = self.bs.astype(np.int32), self.bd.astype(np.int32)
         self.bounds = state_bounds  # vid range bounds of the state partitions
+        # per-direction pull-mode plans, built lazily on first use:
+        # (read-side _GatherPlan, per-state-partition emission cut/rel)
+        self._pull_plans: dict = {}
         # state-partition spans this actor's views overlap (driver reads
         # these once to know which slice refs to ship each superstep)
         self.fwd_span = self._span_of(self.fs)
@@ -313,7 +366,7 @@ class DistEdgeActor:
             )
 
         scatter = getattr(program, "scatter_dist", program.scatter)
-        out = scatter(state, s.astype(np.int64), d.astype(np.int64), w, direction)
+        out = scatter(state, s, d, w, direction)
         dest = np.asarray(out[0], dtype=np.int64)
         vals = np.asarray(out[1], dtype=np.float64)
         preds = np.asarray(out[2], dtype=np.float64) if len(out) > 2 else None
@@ -375,14 +428,38 @@ class DistEdgeActor:
         nparts = span[1] - span[0]
         emit_lo = int(emit_arr[0]) if len(emit_arr) else 0
         emit_hi = int(emit_arr[-1]) + 1 if len(emit_arr) else 0
-        state = _ShardedState(list(slices), self.bounds)
 
+        # plans for the STATIC arrays, built once per direction: the
+        # read-side gather routing and the emission cuts/relative
+        # targets at the state-partition boundaries. Valid only while
+        # the views are unfiltered — any frontier / self-loop filtering
+        # below falls back to the generic paths.
+        plans = self._pull_plans.get(direction)
+        if plans is None:
+            read_plan = _GatherPlan(read_key, self.bounds)
+            emit_cuts = {}
+            for j in range(span[0], span[1]):
+                lo = max(int(self.bounds[j]), emit_lo)
+                hi = min(int(self.bounds[j + 1]), emit_hi)
+                a, b = np.searchsorted(emit_arr, (lo, hi))
+                rel = np.asarray(emit_arr[a:b], dtype=np.int64) - lo
+                if len(rel) == 0 or rel.max() < 2**31:
+                    rel = rel.astype(np.int32)
+                emit_cuts[j] = (lo, hi, int(a), int(b), rel)
+            plans = (read_plan, emit_cuts)
+            self._pull_plans[direction] = plans
+        read_plan, emit_cuts = plans
+
+        state = _ShardedState(list(slices), self.bounds, plan=read_plan)
+        filtered = False
         if "__frontier" in state and len(read_key):
             m = state["__frontier"][read_key]
             s, d, w = s[m], d[m], w[m]
+            filtered = True
         if program.skip_self_loops and len(s):
             m = s != d
             s, d, w = s[m], d[m], w[m]
+            filtered = True
 
         def _cut(j):
             lo = max(int(self.bounds[j]), emit_lo)
@@ -399,10 +476,29 @@ class DistEdgeActor:
             return tuple(outs) if nparts != 1 else outs[0]
 
         scatter = getattr(program, "scatter_dist", program.scatter)
-        out = scatter(state, s.astype(np.int64), d.astype(np.int64), w, direction)
-        dest = np.asarray(out[0], dtype=np.int64)  # sorted: emission-key order
+        out = scatter(state, s, d, w, direction)
         vals = np.asarray(out[1], dtype=np.float64)
         outs = []
+        if not filtered and out[0] is emit_arr:
+            # identity fast path: the program emitted the untouched
+            # (emission-key-sorted) target array — reuse the precomputed
+            # cuts and relative targets, no per-superstep allocation
+            for j in range(span[0], span[1]):
+                lo, hi, a, b, rel = emit_cuts[j]
+                outs.append(
+                    (
+                        (
+                            "dense_at",
+                            lo,
+                            np.bincount(
+                                rel, weights=vals[a:b], minlength=max(hi - lo, 0)
+                            ),
+                        ),
+                        int(b - a),
+                    )
+                )
+            return tuple(outs) if nparts != 1 else outs[0]
+        dest = np.asarray(out[0], dtype=np.int64)  # sorted: emission-key order
         for j in range(span[0], span[1]):
             lo, hi = _cut(j)
             a, b = np.searchsorted(dest, (lo, hi))
@@ -467,11 +563,16 @@ class StatePartitionActor:
             self.next_frontier = np.zeros(self.hi - self.lo, dtype=bool)
         return int(self.frontier.sum()) if self.frontier is not None else self.hi - self.lo
 
-    def export(self):
+    def export(self, program: VertexProgram | None = None):
         """One shared object per superstep: the slice arrays + frontier
         (fetched via the object store by every edge actor whose span
-        overlaps — on a cluster each node materializes it at most once)."""
-        out = dict(self.state)
+        overlaps — on a cluster each node materializes it at most once).
+        When a program is given, its ``scatter_view`` derivation runs
+        HERE, per slice (element-wise by contract, so slice-local is
+        exact): the derived array is usually smaller than the full
+        state, and programs like PageRank then read ONE field per edge
+        instead of two."""
+        out = dict(self.state if program is None else program.scatter_view(self.state))
         if self.frontier is not None:
             out["__frontier"] = self.frontier
         return out
@@ -726,7 +827,7 @@ class DistGraphEngine:
     def _superstep(self, program: VertexProgram, direction: str):
         t0 = time.perf_counter()
         combine = getattr(program, "dist_combine", program.combine)
-        slices = [a.export.remote() for a in self.state_actors]
+        slices = [a.export.remote(program) for a in self.state_actors]
         if combine == "sum":
             # PULL mode (sum/global programs): each edge actor scatters
             # its emission-target-sorted span and returns partials only

@@ -61,11 +61,15 @@ class VertexProgram:
         return state, frontier
 
     def scatter_view(self, state):
-        """What the broadcast engine ships to scatter actors each
-        superstep. Default: the full state dict. Programs whose scatter
-        reads a derived quantity override this to ship ONE derived
-        array (smaller broadcast, and the O(V) derivation runs once on
-        the driver instead of once per actor)."""
+        """What the engines ship to scatter actors each superstep.
+        Default: the full state dict. Programs whose scatter reads a
+        derived quantity override this to ship ONE derived array
+        (smaller broadcast, and the O(V) derivation runs once on the
+        driver instead of once per actor). CONTRACT: the derivation
+        must be ELEMENT-WISE over the state arrays — the dist engine
+        applies it independently per vid-range slice
+        (StatePartitionActor.export), which is only exact for
+        element-wise functions."""
         return state
 
     def scatter(self, state, s, d, w, direction):
