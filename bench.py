@@ -7,14 +7,17 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: run the identical PageRank job in FRESH processes at two
+``--scaling``: run the identical job in FRESH processes at two
 parallelism levels — default num_cpus=2 and num_cpus=8, i.e. N and 4N,
-the sandbox stand-in for two cluster sizes per BASELINE.md — over the
-same seeded 32M-edge synthetic graph (sized so kernel work dominates
-fixed task costs; the sf graph is fixed-cost-bound at 32 CPUs), keep
-the best of GRAFT_SCALING_REPEATS per level (co-tenant noise protocol,
+the sandbox stand-in for two cluster sizes per BASELINE.md — keep the
+best of GRAFT_SCALING_REPEATS per level (co-tenant noise protocol,
 BASELINE.md), and report both throughputs + the scaling efficiency
-``thr(4N) / (4 * thr(N))``.
+``thr(4N) / (4 * thr(N))``. By default BOTH protocols run and land in
+one JSON line: the PageRank KERNEL over the seeded 32M-edge synthetic
+graph (sized so kernel work dominates fixed task costs; the sf graph
+is fixed-cost-bound at 32 CPUs) as the primary criterion number, and
+the whole flagship pipeline (under ``"e2e"``) as the supplementary
+one. ``--kernel`` / ``--e2e`` select a single protocol.
 
 ``--scaling --e2e``: same two-level fresh-process protocol, but each
 run is the WHOLE flagship pipeline (synthetic repo table -> derive
@@ -207,7 +210,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
     return out
 
 
-E2E_REPOS = int(os.environ.get("GRAFT_E2E_REPOS", "60000"))
+E2E_REPOS = int(os.environ.get("GRAFT_E2E_REPOS", "240000"))
 E2E_FILES_PER_REPO = int(os.environ.get("GRAFT_E2E_FILES_PER_REPO", "16"))
 
 
@@ -349,7 +352,16 @@ def main(argv: list[str]) -> None:
             SF_DIR, k, synthetic="--synthetic" in argv, e2e="--e2e" in argv
         )
     elif "--scaling" in argv:
-        out = run_scaling(SF_DIR, e2e="--e2e" in argv)
+        if "--e2e" in argv:
+            out = run_scaling(SF_DIR, e2e=True)
+        elif "--kernel" in argv:
+            out = run_scaling(SF_DIR, e2e=False)
+        else:
+            # default: BOTH protocols in one JSON line — the kernel
+            # efficiency is the primary criterion number (BASELINE.md),
+            # the whole-pipeline flagship run is the supplementary one
+            out = run_scaling(SF_DIR, e2e=False)
+            out["e2e"] = run_scaling(SF_DIR, e2e=True)
     else:
         out = run_suite(SF_DIR, NUM_CPUS)
     print(json.dumps(out))
