@@ -21,6 +21,7 @@ recall bounds in pytest):
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -48,6 +49,26 @@ def _collect(ds) -> pa.Table:
 
 def _nonempty(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return t if t.num_rows or t.num_columns else schema.empty_table()
+
+
+@functools.lru_cache(maxsize=4)
+def _minhash_pairs_cached(sf_dir: str, _session: str) -> pa.Table:
+    """The verified MinHash-LSH pair table at the suite's standard
+    parameters, computed once per (sf_dir, Ray session): dd_minhash_lsh
+    returns it and dd_cluster builds its dup graph from it — the
+    pipeline is deterministic, so recomputing it per query was pure
+    fixed cost (~10s of the suite)."""
+    return _collect(
+        dedup.minhash_lsh_pairs(
+            _docs(sf_dir), num_perm=32, bands=8, shingle_words=3, threshold=0.5
+        )
+    )
+
+
+def _minhash_pairs(sf_dir: str) -> pa.Table:
+    from ..queries import _ray_session_key
+
+    return _minhash_pairs_cached(sf_dir, _ray_session_key())
 
 
 # ---------------------------------------------------------------------------
@@ -103,11 +124,7 @@ def q_dd_ngram_jaccard(sf_dir: str) -> pa.Table:
 
 def q_dd_minhash_lsh(sf_dir: str) -> pa.Table:
     return _nonempty(
-        _collect(
-            dedup.minhash_lsh_pairs(
-                _docs(sf_dir), num_perm=32, bands=8, shingle_words=3, threshold=0.5
-            )
-        ),
+        _minhash_pairs(sf_dir),
         pa.schema([("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]),
     )
 
@@ -127,11 +144,7 @@ def q_dd_cluster(sf_dir: str) -> pa.Table:
     from ..config import EngineConfig
     from ..engine import GraphEngine
 
-    pairs = _collect(
-        dedup.minhash_lsh_pairs(
-            _docs(sf_dir), num_perm=32, bands=8, shingle_words=3, threshold=0.5
-        )
-    )
+    pairs = _minhash_pairs(sf_dir)
     ids = np.sort(
         _collect(_docs(sf_dir).select_columns(["doc_id"]))
         .column("doc_id")
