@@ -440,21 +440,34 @@ def _edgelist_fixture(sf_dir: str) -> str:
     (scratch under /tmp, atomic) — shared by the reader round-trips
     (src_edgelist / det_weights). Cached per sf_dir: the graph is
     deterministic, so the three fixture consumers pay the sort+write
-    once per process; written via pyarrow.csv (~10x pandas to_csv)."""
+    once per process; written via pyarrow.csv (~10x pandas to_csv).
+    Written as a DIRECTORY of shards: ray.data.read_text cannot split
+    a single text file, so a one-file fixture serialized the whole
+    parse into one task."""
     import pyarrow.csv as pacsv
 
     t = sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"])
-    path = f"/tmp/fogray_edgelist_{os.path.basename(sf_dir.rstrip('/'))}.txt"
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with pa.OSFile(tmp, "wb") as f:
-        f.write(b"# fogray edge-list round-trip fixture\n")
-        pacsv.write_csv(
-            t.select(["src", "dst"]),
-            f,
-            pacsv.WriteOptions(include_header=False, delimiter="\t"),
-        )
-    os.replace(tmp, path)
-    return path
+    base = f"/tmp/fogray_edgelist_{os.path.basename(sf_dir.rstrip('/'))}"
+    tmp = f"{base}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    shards = max(1, min(32, t.num_rows // 50_000))
+    for i in range(shards):
+        a = (t.num_rows * i) // shards
+        b = (t.num_rows * (i + 1)) // shards
+        with pa.OSFile(os.path.join(tmp, f"part-{i:05d}.txt"), "wb") as f:
+            if i == 0:
+                f.write(b"# fogray edge-list round-trip fixture\n")
+            pacsv.write_csv(
+                t.select(["src", "dst"]).slice(a, b - a),
+                f,
+                pacsv.WriteOptions(include_header=False, delimiter="\t"),
+            )
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base)
+    os.replace(tmp, base)
+    return base
 
 
 def q_src_adjlist(sf_dir: str) -> pa.Table:
