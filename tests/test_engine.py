@@ -265,3 +265,110 @@ def test_kcore_matches_peeling_oracle(ray_session):
             assert res.supersteps <= 32
     finally:
         eng.shutdown()
+
+
+def test_degree_bounds_properties():
+    from fogray.engine import _degree_bounds
+
+    rng = np.random.RandomState(3)
+    outdeg = rng.poisson(4, 1000).astype(np.int64)
+    indeg = rng.poisson(4, 1000).astype(np.int64)
+    for p in (1, 2, 7, 32):
+        b = _degree_bounds(outdeg, indeg, 1000, p)
+        assert b[0] == 0 and b[-1] == 1000
+        assert (np.diff(b) > 0).all()  # strictly increasing => nonempty ranges
+        assert len(b) - 1 <= p
+    # degenerate single-vertex space
+    b = _degree_bounds(np.zeros(1, np.int64), np.zeros(1, np.int64), 1, 4)
+    assert b[0] == 0 and b[-1] == 1
+
+
+def test_bucket_block_partitions_exactly(ray_session):
+    """_bucket_block's 2p pieces are a partition of the block: the fwd
+    pieces split rows by dst range, the bwd pieces by src range, and
+    concatenating either side restores the block's multiset of rows."""
+    import pyarrow as pa
+    import ray
+
+    from fogray.engine import _bucket_block
+
+    rng = np.random.RandomState(5)
+    t = pa.table(
+        {
+            "src": rng.randint(0, 100, 500).astype(np.int64),
+            "dst": rng.randint(0, 100, 500).astype(np.int64),
+            "weight": np.ones(500),
+        }
+    )
+    bounds = np.array([0, 10, 37, 90, 100], dtype=np.int64)
+    p = len(bounds) - 1
+    pieces = ray.get(list(_bucket_block.options(num_returns=2 * p).remote(t, bounds)))
+    assert len(pieces) == 2 * p
+    for side, key in ((pieces[:p], "dst"), (pieces[p:], "src")):
+        rows = 0
+        for j, piece in enumerate(side):
+            k = piece.column(key).to_numpy(zero_copy_only=False)
+            assert ((k >= bounds[j]) & (k < bounds[j + 1])).all()
+            rows += piece.num_rows
+        assert rows == t.num_rows
+        cat = pa.concat_tables(side)
+        got = sorted(zip(*[cat.column(c).to_pylist() for c in ("src", "dst")]))
+        want = sorted(zip(*[t.column(c).to_pylist() for c in ("src", "dst")]))
+        assert got == want
+
+
+def test_dataset_hub_split_exact(ray_session):
+    """One vertex owning most in-edges forces the hub split (multiple
+    actors share one emission range); results stay exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    n = 64
+    src = rng.randint(0, n, 4000).astype(np.int64)
+    dst = np.concatenate(
+        [np.full(3200, 7, dtype=np.int64), rng.randint(0, n, 800).astype(np.int64)]
+    )
+    w = np.ones(len(src))
+    t = pa.table({"src": src, "dst": dst, "weight": w})
+    chunk = len(src) // 5
+    ds = rd.from_arrow([t.slice(i * chunk, chunk) for i in range(6) if i * chunk < len(src)])
+    eng = GraphEngine(n, dataset=ds, cfg=EngineConfig(num_partitions=4))
+    try:
+        # the hub range must actually be served by >1 actor
+        from collections import Counter
+
+        spans = Counter((lo, hi) for _a, lo, hi in eng.fwd_views)
+        assert max(spans.values()) > 1
+        res = alg.pagerank(eng, niters=5)
+        np.testing.assert_allclose(
+            res.state["rank"], orc.pagerank_fog(src, dst, n, 5), rtol=1e-6
+        )
+        res2 = alg.connected_components(eng)
+        np.testing.assert_array_equal(
+            res2.state["component_root"].astype(np.int64), orc.wcc_fog(src, dst, n)
+        )
+    finally:
+        eng.shutdown()
+
+
+def test_gather_plan_matches_naive():
+    from fogray.dist_engine import _GatherPlan, _ShardedField
+
+    rng = np.random.RandomState(13)
+    n = 500
+    bounds = np.array([0, 100, 101, 350, 500], dtype=np.int64)
+    full = rng.rand(n)
+    slices = [full[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+    key = rng.randint(0, n, 10_000).astype(np.int64)
+    plan = _GatherPlan(key, bounds)
+    np.testing.assert_array_equal(plan.gather(slices), full[key])
+    # the planned field and the generic field agree; plan only fires on
+    # the exact key object
+    f = _ShardedField(slices, bounds, plan)
+    np.testing.assert_array_equal(f[key], full[key])
+    other = key[: len(key) // 2].copy()
+    np.testing.assert_array_equal(f[other], full[other])
+    # empty key
+    ek = np.empty(0, dtype=np.int64)
+    assert len(_GatherPlan(ek, bounds).gather(slices)) == 0
