@@ -358,19 +358,26 @@ def derive_edges(
     files = ds.map_batches(add_content_sha, batch_format="pyarrow").materialize()
 
     # dense vid assignment: sorted distinct repo names. Per-block
-    # distinct partials (tiny) collected on the driver — no shuffle at
-    # all (a groupby-count here cost more than the rest of the stage).
+    # distinct partials, then ONE coalescing dedup round before the
+    # driver touches anything (a groupby-count shuffle here cost more
+    # than the rest of the stage; but collecting raw per-block uniques
+    # directly is worst-case O(#files) driver memory when every block
+    # sees fresh repos — the second round bounds the driver collect at
+    # O(#repos x coalesced-partitions)).
     def _repo_partial(t: pa.Table) -> pa.Table:
         u = np.unique(t.column("repo").to_numpy(zero_copy_only=False).astype(str))
         return pa.table({"repo": pa.array(u)})
 
-    parts = pa.concat_tables(
-        ray.get(
-            files.map_batches(_repo_partial, batch_format="pyarrow")
+    uniq = files.map_batches(_repo_partial, batch_format="pyarrow").materialize()
+    coalesce = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    if uniq.num_blocks() > coalesce:
+        uniq = (
+            uniq.repartition(coalesce)
+            .map_batches(_repo_partial, batch_format="pyarrow")
             .materialize()
-            .to_arrow_refs()
-        ),
-        promote_options="default",
+        )
+    parts = pa.concat_tables(
+        ray.get(uniq.to_arrow_refs()), promote_options="default"
     )
     repo_names = np.unique(parts.column("repo").to_numpy(zero_copy_only=False).astype(str))
     num_vertices = len(repo_names)
