@@ -145,6 +145,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "spmv",
         "triangle_count",
         "clustering",
+        "scan_similarity",
         "scc",
         "out_degrees",
         "src_adjlist",
@@ -167,6 +168,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_quality",
         "txt_top_tokens",
         "txt_unigram_nll",
+        "txt_tfidf",
         "agg_hll_users",
         "mm_features",
         "rel_topk",

@@ -133,6 +133,10 @@ def q_dd_simhash(sf_dir: str) -> pa.Table:
     return _collect(dedup.simhash(_docs(sf_dir)))
 
 
+def q_txt_tfidf(sf_dir: str) -> pa.Table:
+    return _collect(text.tfidf_topk(_docs(sf_dir), k=5))
+
+
 def q_dd_cluster(sf_dir: str) -> pa.Table:
     """Near-dup clustering = connected components over the MinHash-LSH
     dup graph, run on the DISTRIBUTED graph engine (the documented scale
@@ -327,6 +331,7 @@ QUERIES = {
     "txt_quality": q_txt_quality,
     "txt_top_tokens": q_txt_top_tokens,
     "txt_unigram_nll": q_txt_unigram_nll,
+    "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -756,6 +761,30 @@ ORACLE_SQL = {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN sc ON sc.doc_id = d.doc_id
         ORDER BY d.doc_id
+    """,
+    "txt_tfidf": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, t AS token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM toks GROUP BY 1
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf * LN(n.n / df.df) AS s
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, ROUND(s, 6) AS tfidf FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, token) <= 5
+        ORDER BY doc_id, token
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "ann_ivf": _ann_ivf_oracle_sql(),

@@ -394,3 +394,99 @@ class LangId:
 
 def lang_id(ds, concurrency: int = 4):
     return ds.map_batches(LangId, concurrency=(1, concurrency), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (top-k terms per document)
+# ---------------------------------------------------------------------------
+
+
+def _doc_freq_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block partial DOCUMENT frequencies: distinct tokens per doc,
+    counted once per doc. Each document is one row (one block owns it
+    whole), so summing the partials per token is the exact corpus DF."""
+    import pandas as pd
+
+    words, row = _split_tokens(t, text_col)
+    if len(words) == 0:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+        )
+    codes, uniques = pd.factorize(words, sort=False, use_na_sentinel=False)
+    nv = np.int64(len(uniques))
+    vi = np.unique(row.astype(np.int64) * nv + codes) % nv
+    cnt = np.bincount(vi, minlength=len(uniques))
+    nz = np.flatnonzero(cnt)
+    return pa.table(
+        {"token": pa.array(np.asarray(uniques, dtype=object)[nz].tolist(), type=pa.string()),
+         "n_docs": pa.array(cnt[nz].astype(np.int64))}
+    )
+
+
+def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
+    """Top-k TF-IDF terms per document: tfidf = tf * LN(N / df).
+
+    Dataflow (the unigram_nll pattern): (1) per-block DF partials ->
+    groupby("token").sum — the shuffle carries only distinct tokens —
+    collected and broadcast ONCE (the sorted vocabulary is the small
+    side); (2) scoring pass: each block fuses (doc_row, vocab_index)
+    into one int64 key, np.unique gives per-doc term frequencies, and a
+    vectorized per-doc rank keeps the top k by (score DESC, token ASC)
+    — the vocab index IS the lexicographic tiebreak, since the
+    broadcast vocabulary is sorted. ROUND(...,6) on both sides;
+    mirrored exactly by the DuckDB window-rank oracle."""
+    import ray
+
+    df_tab = (
+        ds.map_batches(lambda t: _doc_freq_batch(t, text_col), batch_format="pyarrow")
+        .groupby("token")
+        .sum("n_docs")
+    )
+    ct = pa.concat_tables(
+        ray.get(df_tab.materialize().to_arrow_refs()), promote_options="default"
+    )
+    vt = np.asarray(ct.column(0).to_pylist(), dtype=object)
+    vc = ct.column(1).to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(vt, kind="stable")
+    vt, vc = vt[order], vc[order]
+    n_docs = float(ds.count())
+    vocab_ref = ray.put((vt.astype(str), vc))
+
+    def score(t: pa.Table) -> pa.Table:
+        v_tok, v_df = ray.get(vocab_ref)
+        words, row = _split_tokens(t, text_col)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        if len(words) == 0:
+            return empty
+        vidx = np.searchsorted(v_tok, words.astype(str))
+        nv = np.int64(len(v_tok))
+        assert int(row.max()) < (1 << 62) // max(int(nv), 1)
+        key = row * nv + vidx
+        key.sort()
+        firsts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tf = np.diff(np.r_[firsts, len(key)]).astype(np.float64)
+        u = key[firsts]
+        r, vi = u // nv, u % nv
+        score_ = tf * np.log(n_docs / v_df[vi])
+        # per-doc rank by (score DESC, vocab index ASC == token ASC)
+        ordr = np.lexsort((vi, -score_, r))
+        r_s, vi_s, sc_s = r[ordr], vi[ordr], score_[ordr]
+        starts = np.flatnonzero(np.r_[True, r_s[1:] != r_s[:-1]])
+        rank = np.arange(len(r_s)) - np.repeat(starts, np.diff(np.r_[starts, len(r_s)]))
+        keep = rank < k
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[r_s[keep]].astype(np.int64)),
+                "token": pa.array(v_tok[vi_s[keep]].tolist(), type=pa.string()),
+                "tfidf": pa.array(sql_round(sc_s[keep])),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

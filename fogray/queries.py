@@ -421,6 +421,31 @@ def q_clustering(sf_dir: str) -> pa.Table:
     )
 
 
+def q_scan_similarity(sf_dir: str) -> pa.Table:
+    """Edge-wise structural similarity over the undirected simple
+    co-occurrence graph (the SCAN metric family, Xu et al. 2007 —
+    public algorithm; no FOG counterpart): for every simple edge
+    (u < v), the Jaccard of the OPEN neighborhoods,
+    common / (deg(u) + deg(v) - 2 - common), 0 when the denominator
+    is 0. Built on the per-edge triangle attribution
+    (fogray.triangles.triangle_per_edge — the same broadcast rank-CSR
+    closure as triangle counting, so cost is bounded by wedge volume,
+    never by all vertex pairs)."""
+    from .triangles import triangle_per_edge
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    a, b, common, deg = triangle_per_edge(ds.select_columns(["src", "dst"]), n)
+    denom = deg[a] + deg[b] - 2 - common
+    j = np.where(denom > 0, common / np.maximum(denom, 1), 0.0)
+    return pa.table(
+        {
+            "u": pa.array(a.astype(np.int64)),
+            "v": pa.array(b.astype(np.int64)),
+            "similarity": pa.array(sql_round(j)),
+        }
+    )
+
+
 def q_src_edgelist(sf_dir: str) -> pa.Table:
     """Round-trip conformance for the SNAP text reader
     (fogray.sources.read_edgelist): serialize the co-occurrence graph as
@@ -825,6 +850,38 @@ ORACLE_SQL: dict[str, str] = {
         FROM deg LEFT JOIN tv ON tv.v = deg.v
         ORDER BY vid
     """,
+    "scan_similarity": f"""
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        ),
+        tri AS MATERIALIZED (
+            SELECT p1.a AS x, p1.b AS y, p2.b AS z
+            FROM und p1
+            JOIN und p2 ON p2.a = p1.a AND p2.b > p1.b
+            JOIN und p3 ON p3.a = p1.b AND p3.b = p2.b
+        ),
+        cn AS MATERIALIZED (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT x AS a, y AS b FROM tri
+                UNION ALL SELECT x, z FROM tri
+                UNION ALL SELECT y, z FROM tri) GROUP BY a, b
+        ),
+        deg AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+        )
+        SELECT und.a AS u, und.b AS v,
+               ROUND(CASE WHEN da.d + db.d - 2 - COALESCE(cn.c, 0) > 0
+                          THEN CAST(COALESCE(cn.c, 0) AS DOUBLE)
+                               / (da.d + db.d - 2 - COALESCE(cn.c, 0))
+                          ELSE 0.0 END, 6) AS similarity
+        FROM und
+        LEFT JOIN cn ON cn.a = und.a AND cn.b = und.b
+        JOIN deg da ON da.v = und.a
+        JOIN deg db ON db.v = und.b
+        ORDER BY u, v
+    """,
     "scc": f"""
         WITH RECURSIVE
         edges AS ({_SEQ_SQL}),
@@ -858,5 +915,6 @@ QUERIES = {
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,
     "clustering": q_clustering,
+    "scan_similarity": q_scan_similarity,
     "scc": q_scc,
 }

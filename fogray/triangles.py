@@ -161,15 +161,12 @@ def triangle_count(edges, n: int, closure: str = "auto") -> int:
     return _shuffle_closure_count(simple, deg)
 
 
-def triangle_per_vertex(edges, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-vertex triangle counts + simple-graph degrees over the
-    broadcast closure: the same rank-CSR wedge enumeration as
-    :func:`triangle_count`, but each CLOSED wedge attributes one
-    triangle to its apex and to both endpoints (every triangle is
-    enumerated exactly once at its lowest-rank apex, so each vertex's
-    count is exact). Returns ``(vids, tri, deg)`` for vertices with
-    degree > 0. Broadcast-path only — beyond ~50M edges extend the
-    shuffle closure with endpoint attribution before using this."""
+def _simple_rank_csr(edges, n: int):
+    """Shared prep for the per-vertex / per-edge attribution paths:
+    normalize + dedup to the undirected simple graph, degree-order
+    ranks, broadcast the rank-relabelled CSR + membership structure.
+    Returns (a, b, deg, order, rank_of, member_ref, csr_ref, use_bits)
+    or None for an empty graph."""
     if not isinstance(edges, rd.Dataset):
         src, dst = edges
         edges = from_arrow_chunked(
@@ -177,9 +174,8 @@ def triangle_per_vertex(edges, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarr
                       "dst": np.asarray(dst, dtype=np.int64)})
         )
     normalized = edges.map_batches(_normalize, batch_format="pyarrow").materialize()
-    e0 = np.empty(0, dtype=np.int64)
     if normalized.count() == 0:
-        return e0, e0, e0
+        return None
     simple = key_grouped_block_map(
         normalized.sort(["a", "b"]), ["a", "b"], _dedup_block
     ).materialize()
@@ -208,6 +204,29 @@ def triangle_per_vertex(edges, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarr
     else:
         member_ref = ray.put(keys)
     csr_ref = ray.put((offsets, nbrs))
+    return a, b, deg, order, rank_of, member_ref, csr_ref, use_bits
+
+
+def triangle_per_vertex(edges, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-vertex triangle counts + simple-graph degrees over the
+    broadcast closure: the same rank-CSR wedge enumeration as
+    :func:`triangle_count`, but each CLOSED wedge attributes one
+    triangle to its apex and to both endpoints (every triangle is
+    enumerated exactly once at its lowest-rank apex, so each vertex's
+    count is exact). Returns ``(vids, tri, deg)`` for vertices with
+    degree > 0. Broadcast-path only — beyond ~50M edges extend the
+    shuffle closure with endpoint attribution before using this."""
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table({"src": np.asarray(src, dtype=np.int64),
+                      "dst": np.asarray(dst, dtype=np.int64)})
+        )
+    prep = _simple_rank_csr(edges, n)
+    e0 = np.empty(0, dtype=np.int64)
+    if prep is None:
+        return e0, e0, e0
+    a, b, deg, order, rank_of, member_ref, csr_ref, use_bits = prep
 
     def count_block(t: pa.Table) -> pa.Table:
         offs, nb = ray.get(csr_ref)
@@ -326,3 +345,85 @@ def _shuffle_closure_count(simple, deg) -> int:
     )
     total = closed.sum("tri")
     return int(total or 0)
+
+
+def triangle_per_edge(edges, n: int):
+    """Per-EDGE common-neighbor (triangle) counts over the undirected
+    simple graph: every closed wedge (apex < first < second in rank
+    order) attributes one triangle to each of its THREE edges, so an
+    edge's total is exactly |N(u) & N(v)|. Same broadcast rank-CSR
+    closure as :func:`triangle_per_vertex`. Returns
+    ``(a, b, common, deg)``: the canonical simple edges (a < b by vid),
+    each edge's common-neighbor count, and the full per-vid degree
+    array. The SCAN structural-similarity / edge-Jaccard inputs."""
+    prep = _simple_rank_csr(edges, n)
+    e0 = np.empty(0, dtype=np.int64)
+    if prep is None:
+        return e0, e0, e0, np.zeros(n, dtype=np.int64)
+    a, b, deg, order, rank_of, member_ref, csr_ref, use_bits = prep
+    nn_key = np.int64(n)
+    assert n < (1 << 31), "fused rank-pair key would overflow"
+
+    def count_block(t: pa.Table) -> pa.Table:
+        offs, nb = ray.get(csr_ref)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        lo, hi = int(ids[0]), int(ids[-1]) + 1
+        p0, p1 = offs[lo], offs[hi]
+        empty = pa.table(
+            {"ek": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+        if p1 - p0 < 2:
+            return empty
+        pos = np.arange(p0, p1, dtype=np.int64)
+        apex_sizes = offs[lo + 1 : hi + 1] - offs[lo:hi]
+        apex_end = np.repeat(offs[lo + 1 : hi + 1], apex_sizes)
+        wedge_n = apex_end - pos - 1
+        firsts = np.repeat(nb[pos], wedge_n)
+        if len(firsts) == 0:
+            return empty
+        apexes = np.repeat(
+            np.repeat(np.arange(lo, hi, dtype=np.int64), apex_sizes), wedge_n
+        )
+        seconds = nb[expand_ranges(pos + 1, apex_end)]
+        nn = np.int64(len(offs) - 1)
+        wk = firsts * nn + seconds
+        m = ray.get(member_ref)
+        if use_bits:
+            hit = ((m[(wk >> 3).astype(np.int64)] >> (wk & 7).astype(np.uint8)) & 1).astype(bool)
+        else:
+            at = np.searchsorted(m, wk)
+            at[at >= len(m)] = len(m) - 1
+            hit = m[at] == wk
+        # apex < first < second in rank order: all three edge keys are
+        # already canonical in rank space
+        ap, fi, se = apexes[hit], firsts[hit], seconds[hit]
+        eks = np.concatenate([ap * nn + fi, ap * nn + se, fi * nn + se])
+        eks.sort()
+        starts = np.flatnonzero(np.r_[True, eks[1:] != eks[:-1]])
+        cnt = np.diff(np.r_[starts, len(eks)])
+        return pa.table({"ek": eks[starts], "c": cnt.astype(np.int64)})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    bs = max(64, n // (cpus * 4))
+    parts = pa.concat_tables(
+        ray.get(
+            rd.range(n)
+            .map_batches(count_block, batch_format="pyarrow", batch_size=bs)
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    # combine block partials, then map rank-pair keys back to vid pairs
+    ra, rb = rank_of[a], rank_of[b]
+    edge_keys = np.minimum(ra, rb) * nn_key + np.maximum(ra, rb)
+    eorder = np.argsort(edge_keys)
+    sorted_keys = edge_keys[eorder]
+    common = np.zeros(len(a), dtype=np.int64)
+    if parts.num_rows:
+        pk = parts.column("ek").to_numpy(zero_copy_only=False)
+        pc_ = parts.column("c").to_numpy(zero_copy_only=False)
+        at = np.searchsorted(sorted_keys, pk)
+        # every attributed key IS an edge of the simple graph
+        np.add.at(common, eorder[at], pc_)
+    return a, b, common, deg

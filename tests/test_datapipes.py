@@ -27,7 +27,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["txt_stats", "txt_fingerprint", "txt_langid", "txt_quality",
-     "txt_top_tokens", "txt_unigram_nll", "agg_hll_users", "dd_exact",
+     "txt_top_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
      "rel_sample", "evt_window", "evt_sliding", "evt_asof",

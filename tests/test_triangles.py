@@ -24,3 +24,37 @@ def test_triangles_closure_paths_agree(ray_session, closure):
     assert triangle_count((src, dst), n, closure=closure) == orc.triangle_count_bruteforce(
         src, dst, n
     )
+
+
+def test_triangle_per_edge_bruteforce(ray_session):
+    from fogray import fixtures as fx
+    from fogray.triangles import triangle_per_edge
+
+    for seed in (3, 29):
+        src, dst, w, n = fx.random_graph(80, 0.12, seed=seed)
+        a, b, common, deg = triangle_per_edge((src, dst), n)
+        adj = [set() for _ in range(n)]
+        for s, d in zip(src, dst):
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        assert (a < b).all()
+        for i in range(len(a)):
+            assert common[i] == len(adj[a[i]] & adj[b[i]])
+        assert all(deg[v] == len(adj[v]) for v in range(n))
+
+
+def test_triangle_per_edge_empty_and_triangle_free(ray_session):
+    import numpy as np
+
+    from fogray.triangles import triangle_per_edge
+
+    a, b, c, deg = triangle_per_edge(
+        (np.array([0]), np.array([0])), 3
+    )  # self-loop only -> empty simple graph
+    assert len(a) == 0 and (deg == 0).all()
+    # a path graph has edges but zero triangles
+    a, b, c, deg = triangle_per_edge(
+        (np.array([0, 1, 2]), np.array([1, 2, 3])), 4
+    )
+    assert len(a) == 3 and (c == 0).all()
