@@ -713,27 +713,33 @@ class DistGraphEngine:
             p_edge = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
         p_state = num_state_partitions or p_edge
 
+        dataset_blocks = None
         if dataset is not None:
-            # streaming construction: two distributed sorts partition
-            # the Dataset into src-sorted (forward) and dst-sorted
-            # (backward) block runs — the driver holds only ObjectRefs;
-            # degrees come from per-block remote partials (O(V) ints is
-            # the only driver-side vertex-sized state at setup)
+            # streaming construction (same bucketed exchange as
+            # GraphEngine._init_from_dataset, instead of two sorts +
+            # one actor per sorted block, which flooded the node with
+            # worker processes when the sort was wide): one metadata
+            # pass computes degrees; after the state bounds are fixed,
+            # one map wave scatters every block into per-range pieces
+            # and each range's actor fetches only its pieces. The
+            # driver holds only ObjectRefs and O(V) degree ints.
             from .engine import _block_degrees
 
-            fwd_blocks = list(dataset.sort("src").materialize().to_arrow_refs())
-            bwd_blocks = list(dataset.sort("dst").materialize().to_arrow_refs())
-            outdeg = np.zeros(self.n, dtype=np.int64)
-            indeg = np.zeros(self.n, dtype=np.int64)
-            self.num_edges = 0
-            for us, cs, ud, cd, ne in ray.get(
-                [_block_degrees.remote(r) for r in fwd_blocks]
-            ):
-                np.add.at(outdeg, us, cs)
-                np.add.at(indeg, ud, cd)
-                self.num_edges += ne
+            refs = dataset.materialize().to_arrow_refs()
+            metas = ray.get([_block_degrees.remote(r) for r in refs])
+            self.num_edges = sum(m[4] for m in metas)
+            dataset_blocks = [r for r, m in zip(refs, metas) if m[4]]
+            if dataset_blocks:
+                us = np.concatenate([m[0] for m in metas if m[4]])
+                cs = np.concatenate([m[1] for m in metas if m[4]])
+                ud = np.concatenate([m[2] for m in metas if m[4]])
+                cd = np.concatenate([m[3] for m in metas if m[4]])
+                outdeg = np.bincount(us, weights=cs, minlength=self.n).astype(np.int64)
+                indeg = np.bincount(ud, weights=cd, minlength=self.n).astype(np.int64)
+            else:
+                outdeg = np.zeros(self.n, dtype=np.int64)
+                indeg = np.zeros(self.n, dtype=np.int64)
             deg = outdeg + indeg
-            p_edge = max(1, max(len(fwd_blocks), len(bwd_blocks)))
         else:
             src, dst, w = arrays
             src = np.asarray(src, dtype=np.int64)
@@ -763,7 +769,57 @@ class DistGraphEngine:
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
 
-        if dataset is None:
+        bounds_ref = self.bounds
+        empty_tab = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+             "weight": pa.array([], pa.float64())}
+        )
+        if dataset is not None:
+            if not dataset_blocks:
+                self.edge_actors = [
+                    DistEdgeActor.options(
+                        num_cpus=self.cfg.num_cpus_per_actor
+                    ).remote([ray.put(empty_tab)], [ray.put(empty_tab)], bounds_ref)
+                ]
+            else:
+                from .engine import _bucket_block
+
+                nb = len(dataset_blocks)
+                pieces = [
+                    _bucket_block.options(num_returns=2 * self.P).remote(
+                        r, self.bounds
+                    )
+                    for r in dataset_blocks
+                ]
+                if self.P == 1:
+                    pieces = [[x, y] for x, y in pieces]
+                # piece layout per block: P by-dst pieces then P by-src
+                # pieces; the dist fwd view is SRC-sorted (read side)
+                # and the bwd view DST-sorted, so fwd takes the by-src
+                # half and bwd the by-dst half. Hub-heavy ranges get
+                # multiple actors, each serving a block-subset.
+                cum_in = np.concatenate([[0], np.cumsum(indeg)])
+                cum_out = np.concatenate([[0], np.cumsum(outdeg)])
+                in_cnt = cum_in[self.bounds[1:]] - cum_in[self.bounds[:-1]]
+                out_cnt = cum_out[self.bounds[1:]] - cum_out[self.bounds[:-1]]
+                target = max(1, self.num_edges // max(p_edge, 1))
+                self.edge_actors = []
+                for j in range(self.P):
+                    heavier = int(max(in_cnt[j], out_cnt[j]))
+                    k = max(1, min(8, nb, (heavier + target // 2) // target))
+                    for c in range(k):
+                        b0, b1 = (nb * c) // k, (nb * (c + 1)) // k
+                        self.edge_actors.append(
+                            DistEdgeActor.options(
+                                num_cpus=self.cfg.num_cpus_per_actor
+                            ).remote(
+                                [pieces[b][self.P + j] for b in range(b0, b1)],
+                                [pieces[b][j] for b in range(b0, b1)],
+                                bounds_ref,
+                                False,
+                            )
+                        )
+        else:
             # edge-count-balanced spans of the two sorted views (hub
             # edges split across actors when a vertex's list exceeds a
             # span). Single-key stable sorts: no kernel depends on the
@@ -787,20 +843,12 @@ class DistGraphEngine:
                         pa.table({"src": src[bidx], "dst": dst[bidx], "weight": w[bidx]})
                     )
                 )
-
-        bounds_ref = self.bounds
-        empty_tab = pa.table(
-            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
-             "weight": pa.array([], pa.float64())}
-        )
-        self.edge_actors = [
-            DistEdgeActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
-                [fwd_blocks[i]] if i < len(fwd_blocks) else [ray.put(empty_tab)],
-                [bwd_blocks[i]] if i < len(bwd_blocks) else [ray.put(empty_tab)],
-                bounds_ref,
-            )
-            for i in range(p_edge)
-        ]
+            self.edge_actors = [
+                DistEdgeActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
+                    [fwd_blocks[i]], [bwd_blocks[i]], bounds_ref
+                )
+                for i in range(p_edge)
+            ]
         self.state_actors = [
             StatePartitionActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
                 int(self.bounds[j]), int(self.bounds[j + 1])
