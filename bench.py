@@ -173,6 +173,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "mm_features",
         "rel_topk",
         "rel_sample",
+        "rel_stratified",
         "evt_window",
         "evt_sliding",
         "evt_asof",

@@ -261,6 +261,18 @@ def _events(sf_dir: str) -> rd.Dataset:
     return read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
 
 
+def q_rel_stratified(sf_dir: str) -> pa.Table:
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.stratified_sample(
+            _docs(sf_dir), group_col="source", key_col="doc_id", k=10
+        )
+    )
+    return sorted_table(t, ["source", "rk"])
+
+
 def q_evt_window(sf_dir: str) -> pa.Table:
     from . import streams
     from ..util import sorted_table
@@ -344,6 +356,7 @@ QUERIES = {
     "mm_features": q_mm_features,
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
+    "rel_stratified": q_rel_stratified,
     "evt_window": q_evt_window,
     "evt_sliding": q_evt_sliding,
     "evt_asof": q_evt_asof,
@@ -875,6 +888,16 @@ ORACLE_SQL = {
         SELECT doc_id, source, n_chars FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         ORDER BY doc_id
+    """,
+    "rel_stratified": """
+        SELECT source, doc_id, rk FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 10 ORDER BY source, rk
     """,
     "evt_asof": """
         SELECT c.event_id, c.user_id, c.ts, v.ts AS ts_view,

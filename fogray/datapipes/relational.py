@@ -213,3 +213,46 @@ def hash_sample(ds, *, key_col: str, max_prefix: str) -> rd.Dataset:
         return t.filter(pa.array(pref <= max_prefix))
 
     return ds.map_batches(block_filter, batch_format="pyarrow")
+
+
+def stratified_sample(ds, *, group_col: str, key_col: str, k: int) -> rd.Dataset:
+    """Deterministic k-per-group sample: within each group keep the k
+    rows whose full md5(str(key)) hex digest sorts lowest (ties broken
+    by key ASC — unreachable in practice, but it makes the rank total).
+    The per-group analog of :func:`hash_sample`: reproducible across
+    runs/engines and stable under repartitioning, giving every stratum
+    a bounded, unbiased-under-md5 quota — the standard recipe for
+    balanced eval carve-outs from a skewed corpus. ONE sort by the
+    group key; ranking is vectorized inside group-complete blocks."""
+
+    proj = ds.select_columns([group_col, key_col])
+
+    def block_sample(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], t.schema.field(group_col).type),
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        i = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = np.array(
+            [hashlib.md5(str(x).encode()).hexdigest() for x in i.tolist()]
+        )
+        order = np.lexsort((i, h, g))
+        g, i = g[order], i[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        rank = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        mask = rank < k
+        return pa.table(
+            {
+                group_col: pa.array(g[mask]),
+                key_col: pa.array(i[mask]),
+                "rk": (rank[mask] + 1).astype(np.int64),
+            }
+        )
+
+    return key_grouped_block_map(proj.sort([group_col]), [group_col], block_sample)

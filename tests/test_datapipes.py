@@ -30,7 +30,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_top_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
-     "rel_sample", "evt_window", "evt_sliding", "evt_asof",
+     "rel_sample", "rel_stratified", "evt_window", "evt_sliding", "evt_asof",
      "evt_sessions"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
