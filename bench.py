@@ -68,6 +68,9 @@ def _init_ray(num_cpus: int) -> None:
 SCALING_VERTICES = int(os.environ.get("GRAFT_SCALING_VERTICES", "1000000"))
 SCALING_EDGES = int(os.environ.get("GRAFT_SCALING_EDGES", "32000000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+# the e2e pipeline run is ~10x longer per repeat than the kernel run,
+# so it gets its own (smaller) repeat count
+E2E_REPEATS = int(os.environ.get("GRAFT_E2E_REPEATS", "2"))
 
 
 def _scaling_graph() -> tuple:
@@ -76,17 +79,26 @@ def _scaling_graph() -> tuple:
     (2.4M edges, ~0.08s/superstep) is fixed-cost-dominated at 32 CPUs,
     so it cannot evidence compute scaling; this one has ~10 core-seconds
     of kernel work per superstep. Seeded => byte-identical input at both
-    parallelism levels, as the scaling protocol requires."""
+    parallelism levels, as the scaling protocol requires. Cached to
+    /tmp (atomic rename): regenerating 32M random edges cost ~25s of
+    untimed wall per worker process."""
     import numpy as np
 
-    rng = np.random.RandomState(42)
     n, e = SCALING_VERTICES, SCALING_EDGES
+    cache = f"/tmp/fogray_scaling_graph_{n}_{e}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["src"], z["dst"], z["w"], n
+    rng = np.random.RandomState(42)
     hub = e // 20
     src = rng.randint(0, n, e).astype(np.int64)
     dst = np.concatenate(
         [rng.randint(0, n, e - hub), rng.randint(0, max(n // 1000, 1), hub)]
     ).astype(np.int64)
     w = np.ones(e, dtype=np.float64)
+    tmp = f"{cache}.tmp.{os.getpid()}.npz"
+    np.savez(tmp, src=src, dst=dst, w=w)
+    os.replace(tmp, cache)
     return src, dst, w, n
 
 
@@ -301,10 +313,11 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8, e2e: bool = False) -> dic
     reps: dict[str, list] = {}
     job = "flagship" if e2e else "pagerank"
     thr_key = "files_per_sec" if e2e else "edges_per_sec_per_iter"
+    repeats = E2E_REPEATS if e2e else SCALING_REPEATS
     for k in (lo, hi):
         best = None
         times = []
-        for _ in range(max(1, SCALING_REPEATS)):
+        for _ in range(max(1, repeats)):
             env = dict(os.environ)
             env["GRAFT_SF_DIR"] = sf_dir
             cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(k)]
@@ -338,7 +351,7 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8, e2e: bool = False) -> dic
         "throughput_hi": thr_hi,
         "throughput_unit": "files/s" if e2e else "edges/s/iter",
         "num_edges": results[hi]["num_edges"],
-        "repeats": SCALING_REPEATS,
+        "repeats": repeats,
         **reps,
         "queries": {f"{job}@{lo}cpus": results[lo]["wall_s"],
                     f"{job}@{hi}cpus": results[hi]["wall_s"]},

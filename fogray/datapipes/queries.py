@@ -10,7 +10,8 @@ tests/test_datapipes.py):
   sketch-band-verify pipeline SQL-expressible), dd_simhash, dd_cluster
   (recursive closure over the SQL-expressible pair set),
   dd_embed_cosine, ann_topk, mm_features, rel_topk, rel_sample,
-  evt_window, evt_sliding, evt_asof (DuckDB ASOF JOIN parity),
+  rel_stratified (md5-rank k-per-group quota), txt_tfidf (window-rank
+  mirror), evt_window, evt_sliding, evt_asof (DuckDB ASOF JOIN parity),
   evt_sessions.
 
 Rows-only entry (deterministic but not SQL-expressible — the IVF
