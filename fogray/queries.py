@@ -446,6 +446,62 @@ def q_scan_similarity(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ktruss(sf_dir: str) -> pa.Table:
+    """Bounded k-truss peeling over the simple co-occurrence graph
+    (k=10, 4 fixed rounds — fogray.triangles.ktruss_edges): the
+    multi-pass edge-peeling analog of SCC/k-core's vertex loops. The
+    fixed round count makes the result exactly mirrorable by the
+    unrolled SQL oracle regardless of convergence (peeling is monotone,
+    so the two definitions coincide once a round removes nothing)."""
+    from .triangles import ktruss_edges
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    a, b = ktruss_edges(ds.select_columns(["src", "dst"]), n, k=_KTRUSS_K,
+                        rounds=_KTRUSS_ROUNDS)
+    return pa.table(
+        {"u": pa.array(a.astype(np.int64)), "v": pa.array(b.astype(np.int64))}
+    )
+
+
+_KTRUSS_K = 10  # sf0.01 median support is 10 => a real peel at gate scale
+_KTRUSS_ROUNDS = 4
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled DuckDB mirror of :func:`q_ktruss`: round i recomputes
+    per-edge support over und{i} via the triangle CTE and keeps edges
+    with support >= k-2 (edges in no triangle vanish through the inner
+    join, exactly the engine's common < k-2 drop for k > 2)."""
+    parts = [
+        f"""und0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        )"""
+    ]
+    for i in range(rounds):
+        parts.append(f"""tri{i} AS MATERIALIZED (
+            SELECT p1.a AS x, p1.b AS y, p2.b AS z
+            FROM und{i} p1
+            JOIN und{i} p2 ON p2.a = p1.a AND p2.b > p1.b
+            JOIN und{i} p3 ON p3.a = p1.b AND p3.b = p2.b
+        )""")
+        parts.append(f"""sup{i} AS MATERIALIZED (
+            SELECT a, b, COUNT(*) AS c FROM (
+                SELECT x AS a, y AS b FROM tri{i}
+                UNION ALL SELECT x, z FROM tri{i}
+                UNION ALL SELECT y, z FROM tri{i}) GROUP BY a, b
+        )""")
+        parts.append(f"""und{i + 1} AS MATERIALIZED (
+            SELECT u.a, u.b FROM und{i} u
+            JOIN sup{i} s ON s.a = u.a AND s.b = u.b
+            WHERE s.c >= {k - 2}
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a AS u, b AS v FROM und{rounds} ORDER BY u, v"
+    )
+
+
 def q_src_edgelist(sf_dir: str) -> pa.Table:
     """Round-trip conformance for the SNAP text reader
     (fogray.sources.read_edgelist): serialize the co-occurrence graph as
@@ -850,6 +906,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM deg LEFT JOIN tv ON tv.v = deg.v
         ORDER BY vid
     """,
+    "ktruss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ROUNDS),
     "scan_similarity": f"""
         WITH und AS MATERIALIZED (
             SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -916,5 +973,6 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "clustering": q_clustering,
     "scan_similarity": q_scan_similarity,
+    "ktruss": q_ktruss,
     "scc": q_scc,
 }

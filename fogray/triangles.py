@@ -427,3 +427,26 @@ def triangle_per_edge(edges, n: int):
         # every attributed key IS an edge of the simple graph
         np.add.at(common, eorder[at], pc_)
     return a, b, common, deg
+
+
+def ktruss_edges(edges, n: int, k: int, rounds: int = 4):
+    """Bounded k-truss peeling: ``rounds`` rounds of (per-edge support
+    -> drop edges with support < k-2), the multi-pass-loop pattern of
+    SCC/k-core applied to EDGES. Monotone, so the result equals the
+    true k-truss whenever peeling converges within ``rounds`` (early
+    exit when a round removes nothing); the FIXED round count is part
+    of the operator contract and mirrored by the unrolled SQL oracle —
+    both sides compute "the edge set after R peeling rounds" exactly.
+    Returns the canonical (a < b) surviving simple edges."""
+    cur = edges
+    a = b = np.empty(0, dtype=np.int64)
+    for _ in range(max(1, rounds)):
+        a, b, common, _deg = triangle_per_edge(cur, n)
+        keep = common >= (k - 2)
+        if keep.all():
+            return a, b  # fixpoint: every later round is the identity
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return a, b
+        cur = (a, b)
+    return a, b

@@ -46,7 +46,7 @@ def _compare(name, con):
 @pytest.mark.parametrize("name", [
     "derive_edges", "out_degrees", "pagerank", "ppr", "hits", "kcore",
     "connected_components", "label_propagation", "bfs", "sssp_tree",
-    "spmv", "triangle_count", "clustering", "scan_similarity", "scc",
+    "spmv", "triangle_count", "clustering", "scan_similarity", "ktruss", "scc",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)

@@ -58,3 +58,35 @@ def test_triangle_per_edge_empty_and_triangle_free(ray_session):
         (np.array([0, 1, 2]), np.array([1, 2, 3])), 4
     )
     assert len(a) == 3 and (c == 0).all()
+
+
+def test_ktruss_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from fogray import fixtures as fx
+    from fogray.triangles import ktruss_edges
+
+    def brute(src, dst, n, k, rounds):
+        edges = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+        for _ in range(rounds):
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            nxt = {
+                (a, b)
+                for a, b in edges
+                if len(adj.get(a, set()) & adj.get(b, set())) >= k - 2
+            }
+            if nxt == edges:
+                break
+            edges = nxt
+            if not edges:
+                break
+        return sorted(edges)
+
+    for seed, k in ((3, 3), (3, 4), (11, 5)):
+        src, dst, w, n = fx.random_graph(60, 0.15, seed=seed)
+        a, b = ktruss_edges((src, dst), n, k=k, rounds=4)
+        got = sorted(zip(a.tolist(), b.tolist()))
+        assert got == brute(src, dst, n, k, 4), (seed, k)
