@@ -398,6 +398,8 @@ def triangle_per_edge(edges, n: int):
         # already canonical in rank space
         ap, fi, se = apexes[hit], firsts[hit], seconds[hit]
         eks = np.concatenate([ap * nn + fi, ap * nn + se, fi * nn + se])
+        if len(eks) == 0:  # every wedge in this batch was open
+            return empty
         eks.sort()
         starts = np.flatnonzero(np.r_[True, eks[1:] != eks[:-1]])
         cnt = np.diff(np.r_[starts, len(eks)])
