@@ -158,6 +158,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "triangle_count",
         "clustering",
         "scan_similarity",
+        "ktruss",
         "scc",
         "out_degrees",
         "src_adjlist",
