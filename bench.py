@@ -190,6 +190,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "evt_window",
         "evt_sliding",
         "evt_asof",
+        "evt_range",
         "evt_sessions",
     ]
     names = names or [k for k in default if k in qs]

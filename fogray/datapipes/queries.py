@@ -337,6 +337,39 @@ def q_evt_sessions(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "session_id"])
 
 
+def q_evt_range(sf_dir: str) -> pa.Table:
+    """Banded range join within the event stream: every (click,
+    purchase) pair by the same user with the purchase 0..30 minutes
+    (inclusive) after the click — the interval-join shape Ray Data has
+    no native operator for (see relational.range_join)."""
+    import pyarrow.compute as pc
+
+    from . import relational
+    from ..util import sorted_table
+
+    def _side(event_type: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), event_type)).select(
+                ["user_id", "ts", "event_id"]
+            )
+
+        return f
+
+    ev = _events(sf_dir)
+    t = _collect(
+        relational.range_join(
+            ev.map_batches(_side("click"), batch_format="pyarrow"),
+            ev.map_batches(_side("purchase"), batch_format="pyarrow"),
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            lo_us=0,
+            hi_us=30 * 60 * 1_000_000,
+        )
+    )
+    return sorted_table(t, ["user_id", "event_id_l", "event_id_r"])
+
+
 QUERIES = {
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
@@ -361,6 +394,7 @@ QUERIES = {
     "evt_window": q_evt_window,
     "evt_sliding": q_evt_sliding,
     "evt_asof": q_evt_asof,
+    "evt_range": q_evt_range,
     "evt_sessions": q_evt_sessions,
 }
 
@@ -950,5 +984,17 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_range": """
+        SELECT l.user_id, l.event_id AS event_id_l, r.event_id AS event_id_r,
+               epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'click') l
+        JOIN (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id
+         AND r.ts >= l.ts
+         AND epoch_us(r.ts) - epoch_us(l.ts) <= 1800000000
+        ORDER BY l.user_id, event_id_l, event_id_r
     """,
 }

@@ -256,3 +256,141 @@ def stratified_sample(ds, *, group_col: str, key_col: str, k: int) -> rd.Dataset
         )
 
     return key_grouped_block_map(proj.sort([group_col]), [group_col], block_sample)
+
+
+def range_join(
+    left,
+    right,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    lo_us: int,
+    hi_us: int,
+) -> rd.Dataset:
+    """Banded range (interval) join: emit every pair of a left row and a
+    right row sharing ``key_col`` with ``lo_us <= right.ts - left.ts <=
+    hi_us`` (both inclusive, microseconds). Output columns:
+    ``(key_col, id_col + "_l", id_col + "_r", gap_us)``.
+
+    No reference counterpart (the reference has no relational surface,
+    SURVEY.md section 2.6) — rebuild-defined, the standard scalable
+    band-join recipe: bucket time into width ``W = hi_us`` strips, send
+    each left row to its own bucket and REPLICATE each right row into
+    its bucket and the one below (a matching right is at most ``hi_us``
+    ahead of its left, so it lands in the left's bucket or the next —
+    the copy-down makes every match local to the left's bucket, and
+    each pair is emitted exactly once because a left lives in exactly
+    one bucket). ONE sort by (key, bucket) is the only all-to-all;
+    group-complete blocks then resolve all pairs with two vectorized
+    ``searchsorted`` calls over a fused (group, bucket-relative-ts) key
+    — no per-row or per-group Python loop. Right-side replication costs
+    a fixed 2x; a hot (key, bucket) costs one task whose output is
+    bounded by lefts x rights within a ``2W`` strip, so W (= the band
+    width) directly caps skew."""
+    if not (0 <= lo_us <= hi_us) or hi_us <= 0:
+        raise ValueError("need 0 <= lo_us <= hi_us and hi_us > 0")
+    w = np.int64(hi_us)
+    lid, rid, gap = id_col + "_l", id_col + "_r", "gap_us"
+
+    key_type = left.schema().base_schema.field(key_col).type
+    id_type = left.schema().base_schema.field(id_col).type
+    mixed_schema = pa.schema(
+        [
+            (key_col, key_type),
+            ("__bkt", pa.int64()),
+            ("__ts", pa.int64()),
+            (id_col, id_type),
+            ("__side", pa.int8()),
+        ]
+    )
+    out_schema = pa.schema(
+        [(key_col, key_type), (lid, id_type), (rid, id_type), (gap, pa.int64())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "__bkt": pa.array(ts // w),
+                "__ts": pa.array(ts),
+                id_col: t.column(id_col),
+                "__side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            },
+            schema=mixed_schema,
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        two = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        key_col: t.column(key_col),
+                        "__bkt": pa.array(ts // w - shift),
+                        "__ts": pa.array(ts),
+                        id_col: t.column(id_col),
+                        "__side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                    },
+                    schema=mixed_schema,
+                )
+                for shift in (0, 1)
+            ]
+        )
+        return two
+
+    scale = np.int64(2) * w + np.int64(hi_us) + 2
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        if k.dtype == object:  # group identity only — codes suffice
+            import pandas as pd
+
+            k = pd.factorize(k, use_na_sentinel=False)[0]
+        bkt = t.column("__bkt").to_numpy(zero_copy_only=False)
+        ts = t.column("__ts").to_numpy(zero_copy_only=False)
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+
+        order = np.lexsort((ts, bkt, k))
+        ks, bs, tss, ss = k[order], bkt[order], ts[order], side[order]
+        gid = np.cumsum(np.r_[True, (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])])
+        rts = tss - bs * w  # bucket-relative: lefts in [0, W), copies in [0, 2W)
+        fused = gid.astype(np.int64) * scale + rts
+
+        r_mask = ss == 0
+        r_fused = fused[r_mask]
+        l_idx = np.flatnonzero(ss == 1)
+        if len(l_idx) == 0 or len(r_fused) == 0:
+            return out_schema.empty_table()
+        lo_b = np.searchsorted(r_fused, fused[l_idx] + lo_us, side="left")
+        hi_b = np.searchsorted(r_fused, fused[l_idx] + hi_us, side="right")
+        counts = hi_b - lo_b
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        r_rows_sorted = np.flatnonzero(r_mask)
+        base = np.repeat(lo_b, counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        r_sel = r_rows_sorted[base + offs]
+        l_sel = np.repeat(l_idx, counts)
+        l_orig = order[l_sel]
+        r_orig = order[r_sel]
+        return pa.table(
+            {
+                key_col: t.column(key_col).take(pa.array(l_orig)),
+                lid: t.column(id_col).take(pa.array(l_orig)),
+                rid: t.column(id_col).take(pa.array(r_orig)),
+                gap: pa.array(ts[r_orig] - ts[l_orig]),
+            },
+            schema=out_schema,
+        )
+
+    mixed = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return key_grouped_block_map(
+        mixed.sort([key_col, "__bkt"]), [key_col, "__bkt"], block_pairs
+    )

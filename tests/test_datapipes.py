@@ -31,7 +31,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
      "rel_sample", "rel_stratified", "evt_window", "evt_sliding", "evt_asof",
-     "evt_sessions"],
+     "evt_range", "evt_sessions"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -504,3 +504,87 @@ def test_asof_join_semantics(ray_session):
     assert len(hot) == n
     hot = hot.sort_values("event_id").reset_index(drop=True)
     assert (hot.value_right.to_numpy() == np.arange(n, dtype=np.float64)).all()
+
+
+def test_range_join_semantics(ray_session):
+    """range_join edge rules: [lo, hi] inclusive at both ends, matches
+    crossing a bucket boundary emitted exactly once (right-copy
+    replication dedup), negative gaps excluded, and the whole result
+    equals an O(n^2) brute force on a random keyed stream."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    def tt(us):
+        return pa.array(np.asarray(us, dtype=np.int64)).cast(pa.timestamp("us"))
+
+    hi = 100  # band [0, 100] us -> bucket width 100
+    left = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+            "ts": tt([50, 95, 199, 300]),
+            "event_id": np.arange(4, dtype=np.int64),
+        }
+    )
+    # rights: gap 0 (==lo), gap exactly hi, cross-bucket gap, gap hi+1,
+    # negative gap, other key
+    right = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+            "ts": tt([50, 150, 101, 401, 40, 60]),
+            "event_id": np.arange(10, 16, dtype=np.int64),
+        }
+    )
+    out = (
+        relational.range_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(3),
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            lo_us=0,
+            hi_us=hi,
+        )
+        .to_pandas()
+        .sort_values(["event_id_l", "event_id_r"])
+        .reset_index(drop=True)
+    )
+    # l0 (t50): r10 gap 0 (== lo), r12 gap 51 (cross-bucket), r11 gap 100 (== hi)
+    # l1 (t95): r12 gap 6, r11 gap 55
+    # l2 (t199): none (r11 gap -49, r13 gap 202 > hi)
+    # l3 (t300): none (r13 gap 101 > hi)
+    want = {(0, 10, 0), (0, 11, 100), (0, 12, 51), (1, 11, 55), (1, 12, 6)}
+    got = set(zip(out.event_id_l, out.event_id_r, out.gap_us))
+    assert got == want
+
+    # brute force on a random keyed stream, including a hot key
+    rng = np.random.default_rng(7)
+    n = 4000
+    keys = rng.integers(0, 8, n)
+    keys[: n // 2] = 3  # hot key
+    ts = rng.integers(0, 50_000, n)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"user_id": keys.astype(np.int64), "ts": tt(ts), "event_id": ids}
+    )
+    lo_us, hi_us = 5, 137
+    out = relational.range_join(
+        rd.from_arrow(tbl).repartition(7),
+        rd.from_arrow(tbl).repartition(5),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        lo_us=lo_us,
+        hi_us=hi_us,
+    ).to_pandas()
+    got = set(zip(out.event_id_l, out.event_id_r))
+    want = set()
+    for k in np.unique(keys):
+        idx = np.flatnonzero(keys == k)
+        gap = ts[idx][None, :] - ts[idx][:, None]  # right - left
+        li, ri = np.nonzero((gap >= lo_us) & (gap <= hi_us))
+        want |= set(zip(idx[li], idx[ri]))
+    assert got == want
+    gaps = dict(zip(zip(out.event_id_l, out.event_id_r), out.gap_us))
+    for (l, r), g in list(gaps.items())[:100]:
+        assert g == ts[r] - ts[l]
