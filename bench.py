@@ -159,6 +159,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "clustering",
         "scan_similarity",
         "ktruss",
+        "graph_walks",
         "scc",
         "out_degrees",
         "src_adjlist",

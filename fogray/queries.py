@@ -613,6 +613,22 @@ def q_graph_meta(sf_dir: str) -> pa.Table:
     )
 
 
+_WALK_STEPS = 6
+
+
+def q_graph_walks(sf_dir: str) -> pa.Table:
+    """Deterministic DeepWalk-style walk corpus over the co-occurrence
+    graph: one walk per vertex, _WALK_STEPS splitmix-chosen steps
+    (fogray.walks.random_walks) — checked bit-for-bit against a
+    recursive-CTE DuckDB mirror."""
+    from . import walks
+
+    t = cooccurrence_edges(sf_dir).select(["src", "dst"])
+    return sorted_table(
+        walks.random_walks(t, num_steps=_WALK_STEPS), ["wid", "step"]
+    )
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -664,6 +680,59 @@ _DET_W_SQL = """
            ROUND(CAST(f >> 11 AS DOUBLE) / 9007199254740992.0 * 10.0, 6) AS w
     FROM s3
 """
+
+
+def _walks_oracle_sql(num_steps: int = 6) -> str:
+    """DuckDB mirror of :func:`fogray.walks.random_walks` on the
+    co-occurrence graph: neighbor rank by ascending dst (ROW_NUMBER),
+    per-(walker, step) splitmix53 hash precomputed by the same staged
+    mod-2^64 HUGEINT CTE chain as ``_DET_W_SQL``, then a recursive CTE
+    advances every walk ``a.idx = h % deg`` steps until ``num_steps``;
+    a vertex with no out-edges simply finds no adj row and halts, like
+    the engine's -1."""
+    return f"""
+    WITH RECURSIVE
+    edges AS MATERIALIZED ({_COOC_SQL}),
+    adj AS MATERIALIZED (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               COUNT(*) OVER (PARTITION BY src) AS deg
+        FROM edges
+    ),
+    hw AS (SELECT DISTINCT src AS wid FROM edges),
+    hp AS (
+        SELECT wid, CAST(k AS BIGINT) AS step,
+               xor(CAST(wid AS UBIGINT) * CAST(4294967296 AS UBIGINT),
+                   CAST(k AS UBIGINT)) AS x0
+        FROM hw CROSS JOIN (SELECT unnest(range({num_steps})) AS k)
+    ),
+    h1 AS (SELECT wid, step, xor(x0, x0 >> 30) AS a FROM hp),
+    h1m AS (SELECT wid, step, CAST((
+        (CAST(a AS HUGEINT) * 484763065 +
+         ((CAST(a AS HUGEINT) % 4294967296) * 3210233709 % 4294967296)
+         * 4294967296)
+        % 18446744073709551616) AS UBIGINT) AS x1 FROM h1),
+    h2 AS (SELECT wid, step, xor(x1, x1 >> 27) AS b FROM h1m),
+    h2m AS (SELECT wid, step, CAST((
+        (CAST(b AS HUGEINT) * 321982955 +
+         ((CAST(b AS HUGEINT) % 4294967296) * 2496678331 % 4294967296)
+         * 4294967296)
+        % 18446744073709551616) AS UBIGINT) AS x2 FROM h2),
+    hz AS MATERIALIZED (
+        SELECT wid, step, xor(x2, x2 >> 31) >> 11 AS h FROM h2m
+    ),
+    walk(wid, step, vid) AS (
+        SELECT wid, CAST(0 AS BIGINT), wid FROM hw
+        UNION ALL
+        SELECT w.wid, w.step + 1, a.dst
+        FROM walk w
+        JOIN hz h ON h.wid = w.wid AND h.step = w.step
+        JOIN adj a ON a.src = w.vid
+         AND a.idx = CAST(h.h % CAST(a.deg AS UBIGINT) AS BIGINT)
+        WHERE w.step < {num_steps}
+    )
+    SELECT wid, step, vid FROM walk ORDER BY wid, step
+    """
 
 
 def _hits_oracle_sql(niters: int = 5) -> str:
@@ -907,6 +976,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY vid
     """,
     "ktruss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ROUNDS),
+    "graph_walks": _walks_oracle_sql(_WALK_STEPS),
     "scan_similarity": f"""
         WITH und AS MATERIALIZED (
             SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -974,5 +1044,6 @@ QUERIES = {
     "clustering": q_clustering,
     "scan_similarity": q_scan_similarity,
     "ktruss": q_ktruss,
+    "graph_walks": q_graph_walks,
     "scc": q_scc,
 }

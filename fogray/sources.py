@@ -42,16 +42,24 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
+def splitmix53(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer truncated to 53 bits (uint64 in/out) — the
+    repo's one deterministic hash, shared by the weight generator and
+    the random-walk step chooser; each user has an exact DuckDB mirror
+    (mod-2^64 HUGEINT arithmetic)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x >> np.uint64(11)
+
+
 def det_weight(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Deterministic per-edge weight in [0, 10) — the reproducible
     replacement for convert's ``10.0*rand()/(RAND_MAX+1)``
     (process_adjlist.cpp:25-30): a splitmix-style integer hash of
     (src, dst) scaled to the same range."""
     x = (src.astype(np.uint64) << np.uint64(32)) ^ dst.astype(np.uint64)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
-    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 10.0
+    return splitmix53(x).astype(np.float64) / float(1 << 53) * 10.0
 
 
 def _finish(src: np.ndarray, dst: np.ndarray, weighted: bool) -> pa.Table:

@@ -46,7 +46,8 @@ def _compare(name, con):
 @pytest.mark.parametrize("name", [
     "derive_edges", "out_degrees", "pagerank", "ppr", "hits", "kcore",
     "connected_components", "label_propagation", "bfs", "sssp_tree",
-    "spmv", "triangle_count", "clustering", "scan_similarity", "ktruss", "scc",
+    "spmv", "triangle_count", "clustering", "scan_similarity", "ktruss",
+    "graph_walks", "scc",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)
@@ -78,3 +79,60 @@ def test_query_matches_oracle_sf001(ray_session, con01, name):
     want_df = normalize(con01.execute(q.ORACLE_SQL[name]).df())
     assert len(got_df) == len(want_df), f"{name}: {len(got_df)} vs {len(want_df)} rows"
     pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False, atol=0, rtol=0)
+
+
+def test_random_walks_semantics(ray_session):
+    """random_walks edge rules against a pure-numpy simulation on a
+    directed graph WITH dead ends (the co-occurrence graph is symmetric
+    so the query never exercises halting): walkers stop at sinks, every
+    step is splitmix53(wid<<32 ^ step) mod outdeg over dst-ascending
+    neighbors, and sharding is invariant (1 shard == 8 shards)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fogray.sources import splitmix53
+    from fogray.walks import random_walks
+
+    rng = np.random.default_rng(11)
+    n_edges = 5000
+    src = rng.integers(0, 300, n_edges).astype(np.int64)
+    dst = rng.integers(0, 400, n_edges).astype(np.int64)  # vids 300..399 are sinks
+    m = src != dst
+    src, dst = src[m], dst[m]
+    # dedup (src, dst)
+    key = src * 1000 + dst
+    _, first = np.unique(key, return_index=True)
+    src, dst = src[first], dst[first]
+    tab = pa.table({"src": src, "dst": dst})
+
+    out = random_walks(tab, num_steps=5, num_shards=8).to_pandas()
+    out1 = random_walks(tab, num_steps=5, num_shards=1).to_pandas()
+    k = ["wid", "step", "vid"]
+    assert out.sort_values(k).reset_index(drop=True).equals(
+        out1.sort_values(k).reset_index(drop=True)
+    )
+
+    # numpy simulation
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    usrc = s[starts]
+    offs = np.r_[starts, len(s)]
+    rows = set()
+    for start in usrc:
+        cur, wid = start, start
+        rows.add((wid, 0, cur))
+        for step in range(5):
+            p = np.searchsorted(usrc, cur)
+            if p >= len(usrc) or usrc[p] != cur:
+                break  # dead end
+            deg = offs[p + 1] - offs[p]
+            h = int(splitmix53(np.array([(np.uint64(wid) << np.uint64(32))
+                                         ^ np.uint64(step)], dtype=np.uint64))[0])
+            cur = int(d[offs[p] + h % deg])
+            rows.add((wid, step + 1, cur))
+    got = set(zip(out.wid, out.step, out.vid))
+    assert got == rows
+    # dead ends actually exercised: some walks are shorter than max
+    lens = out.groupby("wid").step.max()
+    assert (lens < 5).any() and (lens == 5).any()
