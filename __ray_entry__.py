@@ -9,7 +9,7 @@ here (or in fogray) calls ray.init()/ray.shutdown().
 - ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
   section 2 — graph pipelines from fogray.queries, training-data
   pipelines from fogray.datapipes.queries. Every query is oracle-gated
-  (47/47): iterative pipelines mirror via recursive or unrolled
+  (52/52): iterative pipelines mirror via recursive or unrolled
   MATERIALIZED CTEs, sketches via md5-based SQL-reproducible hashing.
 """
 
@@ -126,10 +126,36 @@ def _repo_oracle_sql() -> dict[str, str]:
         )
         SELECT v AS vid, ROUND(r, 6) AS rank FROM pr WHERE iter = 10 ORDER BY vid
     """
+    # the derived graph is symmetric (both co-occurrence directions), so
+    # component/label of a vertex = MIN reachable vid, same recursive
+    # shape as the co-occurrence oracles in fogray/queries.py
+    reach_sql = f"""
+        WITH RECURSIVE
+        edges AS (SELECT src, dst FROM ({edges_sql})),
+        reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+        )
+        SELECT v AS vid, MIN(r) AS {{label}} FROM reach GROUP BY v ORDER BY vid
+    """
+    triangles_sql = f"""
+        WITH und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({edges_sql}) WHERE src <> dst
+        )
+        SELECT COUNT(*) AS triangles
+        FROM und p1
+        JOIN und p2 ON p2.a = p1.a AND p2.b > p1.b
+        JOIN und p3 ON p3.a = p1.b AND p3.b = p2.b
+    """
     return {
         "repo_derive_edges": f"SELECT src, dst, weight FROM ({edges_sql}) ORDER BY src, dst",
         "repo_pagerank": pagerank_sql,
         "repo_pagerank_dist": pagerank_sql,
+        "repo_cc": reach_sql.format(label="component_root"),
+        "repo_lp": reach_sql.format(label="label"),
+        "repo_triangles": triangles_sql,
     }
 
 
@@ -217,10 +243,81 @@ def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
             {"vid": np.arange(out["num_vertices"]), "rank": sql_round(res.state["rank"])}
         )
 
+    def _repo_engine(sf_dir: str):
+        from fogray.config import EngineConfig
+        from fogray.engine import GraphEngine
+
+        out = _derived(sf_dir)
+        e = out["edges"]
+        return out, GraphEngine(
+            out["num_vertices"],
+            arrays=(e["src"].to_numpy(), e["dst"].to_numpy(), e["weight"].to_numpy()),
+            cfg=EngineConfig(num_partitions=4),
+        )
+
+    def repo_cc(sf_dir: str):
+        """North-rule connected components over the repo-derived graph
+        (exact component assignments; symmetric graph => root = min
+        reachable vid)."""
+        import numpy as np
+        import pandas as pd
+
+        from fogray import algorithms as alg
+
+        out, eng = _repo_engine(sf_dir)
+        try:
+            res = alg.connected_components(eng)
+        finally:
+            eng.shutdown()
+        ids = np.unique(out["edges"]["src"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vid": ids.astype(np.int64),
+                "component_root": res.state["component_root"][ids].astype(np.int64),
+            }
+        )
+
+    def repo_lp(sf_dir: str):
+        """North-rule label propagation over the repo-derived graph."""
+        import numpy as np
+        import pandas as pd
+
+        from fogray import algorithms as alg
+
+        out, eng = _repo_engine(sf_dir)
+        try:
+            res = alg.label_propagation(eng)
+        finally:
+            eng.shutdown()
+        ids = np.unique(out["edges"]["src"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vid": ids.astype(np.int64),
+                "label": res.state["component_root"][ids].astype(np.int64),
+            }
+        )
+
+    def repo_triangles(sf_dir: str):
+        """North-rule triangle count over the repo-derived graph."""
+        import numpy as np
+        import pandas as pd
+
+        from fogray.triangles import triangle_count
+
+        out = _derived(sf_dir)
+        e = out["edges"]
+        cnt = triangle_count(
+            (e["src"].to_numpy(), e["dst"].to_numpy()), out["num_vertices"]
+        )
+        return pd.DataFrame({"triangles": np.array([cnt], dtype=np.int64)})
+
     return {
         "repo_derive_edges": repo_edges,
         "repo_pagerank": repo_pagerank,
         "repo_pagerank_dist": repo_pagerank_dist,
+        "repo_cc": repo_cc,
+        "repo_lp": repo_lp,
+        "repo_triangles": repo_triangles,
     }
 
 

@@ -168,6 +168,9 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "repo_derive_edges",
         "repo_pagerank",
         "repo_pagerank_dist",
+        "repo_cc",
+        "repo_lp",
+        "repo_triangles",
         "dd_exact",
         "dd_minhash_lsh",
         "dd_simhash",

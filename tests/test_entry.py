@@ -22,7 +22,8 @@ def test_queries_registry(ray_session):
                  "out_degrees"]:
         assert name in qs and name in sqls
     # the flagship repo_* pipelines are oracle-gated since round 2
-    for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist"):
+    for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist",
+                 "repo_cc", "repo_lp", "repo_triangles"):
         assert name in qs and name in sqls
 
 
@@ -49,7 +50,8 @@ def test_repo_oracles_match(ray_session):
     import __ray_entry__ as e
 
     qs, sqls = e.queries(), e.oracle_sql()
-    for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist"):
+    for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist",
+                 "repo_cc", "repo_lp", "repo_triangles"):
         df = qs[name]("/root/testdata/sf0.001")
         odf = duckdb.connect().execute(sqls[name]).fetchdf()
         a = df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
