@@ -67,17 +67,37 @@ def _build_engine(args):
     return engine_cls(n, dataset=edges_ds, cfg=cfg), n
 
 
-def _write_result(state: dict, n: int, out_dir: str, shards: int) -> None:
+def _write_result(state: dict, n: int, out_dir: str, shards: int,
+                  run_meta: dict) -> None:
     """Partitioned parquet: one file per vid-range shard (resumable /
-    parallel-readable output, never one giant file)."""
+    parallel-readable output, never one giant file), plus a
+    ``_MANIFEST.json`` with per-partition lineage (vid range, rows,
+    sha256 per shard — the same shape as the checkpoint manifests,
+    fogray/checkpoint.py) and the run metrics, written LAST via atomic
+    rename so a reader never sees output without its manifest."""
+    import hashlib
+
     os.makedirs(out_dir, exist_ok=True)
     bounds = np.linspace(0, n, shards + 1).astype(np.int64)
+    shard_meta = []
     for i in range(shards):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         cols = {"vid": np.arange(lo, hi, dtype=np.int64)}
         for k, v in state.items():
             cols[k] = v[lo:hi]
-        pq.write_table(pa.table(cols), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        pq.write_table(pa.table(cols), path)
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        shard_meta.append(
+            {"file": os.path.basename(path), "vid_lo": lo, "vid_hi": hi,
+             "rows": hi - lo, "sha256": digest}
+        )
+    mtmp = os.path.join(out_dir, f"_MANIFEST.json.tmp-{os.getpid()}")
+    with open(mtmp, "w") as f:
+        json.dump({**run_meta, "state_fields": sorted(state.keys()),
+                   "shards": shard_meta}, f, indent=1)
+    os.replace(mtmp, os.path.join(out_dir, "_MANIFEST.json"))
 
 
 def main(argv=None) -> int:
@@ -139,10 +159,11 @@ def main(argv=None) -> int:
         eng.shutdown()
 
     wall = time.perf_counter() - t0
-    if args.output:
-        _write_result(res.state, n, args.output, args.output_shards)
     summary = {
         "algorithm": args.algorithm,
+        "engine": args.engine,
+        "input": args.repo_table or args.sf_dir
+        or f"synthetic:{args.synthetic_repos}x{args.files_per_repo}",
         "num_vertices": n,
         "num_edges": res.num_edges,
         "supersteps": res.supersteps,
@@ -151,6 +172,8 @@ def main(argv=None) -> int:
         "output": args.output,
         "checkpoints": args.ckpt_dir,
     }
+    if args.output:
+        _write_result(res.state, n, args.output, args.output_shards, summary)
     print(json.dumps(summary))
     return 0
 

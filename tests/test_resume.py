@@ -117,3 +117,42 @@ def test_resume_without_checkpoint_starts_fresh(eng, tmp_path):
     np.testing.assert_array_equal(
         res.state["bfs_level"].astype(np.uint64), orc.bfs_fog(src, dst, n, 0)
     )
+
+
+def test_run_job_cli_output_manifest(ray_session, tmp_path):
+    """run_job end-to-end via main(): synthetic repo table -> pagerank ->
+    partitioned parquet output with a _MANIFEST.json whose per-partition
+    lineage (vid ranges, rows, sha256) matches the files on disk."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fogray.run_job import main
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ckpt")
+    rc = main([
+        "--algorithm", "pagerank", "--synthetic-repos", "8",
+        "--files-per-repo", "12", "--niters", "3",
+        "--output", out, "--output-shards", "4", "--ckpt-dir", ck,
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["algorithm"] == "pagerank" and man["supersteps"] >= 3
+    assert "rank" in man["state_fields"]
+    total = 0
+    for s in man["shards"]:
+        p = os.path.join(out, s["file"])
+        with open(p, "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == s["sha256"]
+        t = pq.read_table(p)
+        assert t.num_rows == s["rows"] == s["vid_hi"] - s["vid_lo"]
+        total += t.num_rows
+    assert total == man["num_vertices"]
+    # checkpoints were written and are resumable
+    from fogray.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(ck) is not None
