@@ -9,7 +9,7 @@ here (or in fogray) calls ray.init()/ray.shutdown().
 - ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
   section 2 — graph pipelines from fogray.queries, training-data
   pipelines from fogray.datapipes.queries. Every query is oracle-gated
-  (52/52): iterative pipelines mirror via recursive or unrolled
+  (53/53): iterative pipelines mirror via recursive or unrolled
   MATERIALIZED CTEs, sketches via md5-based SQL-reproducible hashing.
 """
 
@@ -156,6 +156,13 @@ def _repo_oracle_sql() -> dict[str, str]:
         "repo_cc": reach_sql.format(label="component_root"),
         "repo_lp": reach_sql.format(label="label"),
         "repo_triangles": triangles_sql,
+        "repo_dedup": f"""
+            SELECT sha256(content) AS sha, COUNT(*) AS n_copies,
+                   COUNT(DISTINCT repo) AS n_repos,
+                   MIN(repo || ':' || path) AS keeper
+            FROM read_parquet('{path}')
+            GROUP BY content ORDER BY sha
+        """,
     }
 
 
@@ -311,6 +318,86 @@ def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
         )
         return pd.DataFrame({"triangles": np.array([cnt], dtype=np.int64)})
 
+    def repo_dedup(sf_dir: str):
+        """Exact cross-repo file dedup on the input_hint-shaped table —
+        the per-row sha256(content) invariant as an operator: one row
+        per distinct content with copy/repo counts and the
+        lexicographically-first (repo:path) keeper. Same dataflow as
+        datapipes exact_dedup: hash inside map_batches, ONE sort by
+        sha, group-complete blocks aggregate vectorized."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray
+        import ray.data as rd
+
+        from fogray import tables
+        from fogray.derive import key_grouped_block_map
+
+        n_rows, n_repos, seed = _REPO_SHAPE
+        t = tables.make_repo_table(n_rows, n_repos, seed=seed)
+        ds = rd.from_arrow(t).repartition(8)
+
+        def sha_batch(b: pa.Table) -> pa.Table:
+            shas = [
+                hashlib.sha256(c.encode()).hexdigest()
+                for c in b.column("content").to_pylist()
+            ]
+            keeper = pc.binary_join_element_wise(
+                b.column("repo").cast(pa.string()),
+                b.column("path").cast(pa.string()),
+                ":",
+            )
+            return pa.table(
+                {"sha": pa.array(shas), "repo": b.column("repo"), "keeper": keeper}
+            )
+
+        def agg(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "sha": pa.array([], pa.string()),
+                    "n_copies": pa.array([], pa.int64()),
+                    "n_repos": pa.array([], pa.int64()),
+                    "keeper": pa.array([], pa.string()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            sha = np.asarray(b.column("sha").to_pylist(), dtype=object)
+            repo = np.asarray(b.column("repo").to_pylist(), dtype=object)
+            keep = np.asarray(b.column("keeper").to_pylist(), dtype=object)
+            order = np.lexsort((keep, sha))
+            sha, repo, keep = sha[order], repo[order], keep[order]
+            new_grp = np.r_[True, sha[1:] != sha[:-1]]
+            starts = np.flatnonzero(new_grp)
+            sizes = np.diff(np.r_[starts, len(sha)])
+            # equal repos are contiguous within a keeper-sorted group
+            # (shared "repo:" prefix), so distinct repos = run changes
+            new_repo = new_grp | np.r_[True, repo[1:] != repo[:-1]]
+            n_repos_ = np.add.reduceat(new_repo.astype(np.int64), starts)
+            return pa.table(
+                {
+                    "sha": pa.array(sha[starts]),
+                    "n_copies": pa.array(sizes.astype(np.int64)),
+                    "n_repos": pa.array(n_repos_),
+                    "keeper": pa.array(keep[starts]),
+                }
+            )
+
+        out = key_grouped_block_map(
+            ds.map_batches(sha_batch, batch_format="pyarrow").sort("sha"),
+            ["sha"],
+            agg,
+        )
+        import pandas as pd
+
+        df = pa.concat_tables(
+            ray.get(out.materialize().to_arrow_refs())
+        ).to_pandas()
+        return df.sort_values("sha").reset_index(drop=True)
+
     return {
         "repo_derive_edges": repo_edges,
         "repo_pagerank": repo_pagerank,
@@ -318,6 +405,7 @@ def _repo_graph_queries() -> dict[str, Callable[[str], Any]]:
         "repo_cc": repo_cc,
         "repo_lp": repo_lp,
         "repo_triangles": repo_triangles,
+        "repo_dedup": repo_dedup,
     }
 
 

@@ -171,6 +171,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "repo_cc",
         "repo_lp",
         "repo_triangles",
+        "repo_dedup",
         "dd_exact",
         "dd_minhash_lsh",
         "dd_simhash",

@@ -23,7 +23,7 @@ def test_queries_registry(ray_session):
         assert name in qs and name in sqls
     # the flagship repo_* pipelines are oracle-gated since round 2
     for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist",
-                 "repo_cc", "repo_lp", "repo_triangles"):
+                 "repo_cc", "repo_lp", "repo_triangles", "repo_dedup"):
         assert name in qs and name in sqls
 
 
@@ -51,7 +51,7 @@ def test_repo_oracles_match(ray_session):
 
     qs, sqls = e.queries(), e.oracle_sql()
     for name in ("repo_derive_edges", "repo_pagerank", "repo_pagerank_dist",
-                 "repo_cc", "repo_lp", "repo_triangles"):
+                 "repo_cc", "repo_lp", "repo_triangles", "repo_dedup"):
         df = qs[name]("/root/testdata/sf0.001")
         odf = duckdb.connect().execute(sqls[name]).fetchdf()
         a = df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
