@@ -620,12 +620,13 @@ def q_graph_walks(sf_dir: str) -> pa.Table:
     """Deterministic DeepWalk-style walk corpus over the co-occurrence
     graph: one walk per vertex, _WALK_STEPS splitmix-chosen steps
     (fogray.walks.random_walks) — checked bit-for-bit against a
-    recursive-CTE DuckDB mirror."""
+    recursive-CTE DuckDB mirror. Uses the Dataset shard path: the edge
+    table never materializes on the driver."""
     from . import walks
 
-    t = cooccurrence_edges(sf_dir).select(["src", "dst"])
+    ds, _n = cooccurrence_edges_ds(sf_dir)
     return sorted_table(
-        walks.random_walks(t, num_steps=_WALK_STEPS), ["wid", "step"]
+        walks.random_walks(ds, num_steps=_WALK_STEPS), ["wid", "step"]
     )
 
 

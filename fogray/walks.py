@@ -10,18 +10,22 @@ of (walker, step, adjacency), so any two runs (and the DuckDB
 recursive-CTE mirror) agree bit-for-bit.
 
 Dataflow: adjacency is sharded by contiguous src range across an actor
-pool (degree-balanced split points snapped to src boundaries, so every
-vertex's full neighbor list lives in exactly ONE shard — the same
-group-complete invariant the engines rely on). The coordinator holds
-only the walker frontier (one vid per live walker) and per step routes
-each walker id+position to the shard owning its current vertex with
-one ``searchsorted`` — per-step traffic is O(live walkers), never
-O(edges), and the L steps are L small RPC waves against pinned
-adjacency, exactly the engine's superstep shape. At cluster scale the
-walker frontier itself shards by walker id across coordinators; the
-routing loop is unchanged (each coordinator talks to the same shard
-pool), which is why the per-shard API takes explicit (wids, curs,
-step) arrays rather than global state.
+pool, every vertex's full neighbor list in exactly ONE shard (the same
+group-complete invariant the engines rely on). Shards come from either
+a driver-side table (degree-balanced split points snapped to src
+boundaries) or, for edge tables that must never touch the driver, a
+``ray.data.Dataset``: ONE sort by src, then the boundary-key planner
+(fogray.derive.plan_key_groups — block order is NOT trusted) assigns
+whole blocks to shards and each actor fetches only its refs from the
+object store. The coordinator holds only the walker frontier (one vid
+per live walker) and per step routes each walker id+position to the
+shard owning its current vertex with one ``searchsorted`` — per-step
+traffic is O(live walkers), never O(edges), and the L steps are L
+small RPC waves against pinned adjacency, exactly the engine's
+superstep shape. At cluster scale the walker frontier itself shards by
+walker id across coordinators; the routing loop is unchanged (each
+coordinator talks to the same shard pool), which is why the per-shard
+API takes explicit (wids, curs, step) arrays rather than global state.
 """
 
 from __future__ import annotations
@@ -36,9 +40,20 @@ from .sources import splitmix53
 @ray.remote
 class WalkShard:
     """Pinned adjacency for one contiguous src range: edges (src, dst)
-    sorted by (src, dst), CSR offsets built once in ``__init__``."""
+    sorted by (src, dst), CSR offsets built once in ``__init__``.
+    Accepts a table or a list of object refs (fetched here,
+    off-driver, like the engine actors)."""
 
-    def __init__(self, tab: pa.Table):
+    def __init__(self, tab):
+        if isinstance(tab, list):
+            tabs = [t if isinstance(t, pa.Table) else ray.get(t) for t in tab]
+            tabs = [t for t in tabs if t.num_rows]
+            tab = (
+                pa.concat_tables(tabs, promote_options="default")
+                if tabs
+                else pa.table({"src": pa.array([], pa.int64()),
+                               "dst": pa.array([], pa.int64())})
+            )
         s = tab.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
         d = tab.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((d, s))
@@ -51,8 +66,8 @@ class WalkShard:
         self.usrc = s[starts] if len(s) else np.empty(0, dtype=np.int64)
         self.offsets = np.r_[starts, len(s)]
 
-    def ready(self) -> bool:
-        return True
+    def start_vids(self) -> np.ndarray:
+        return self.usrc
 
     def step(self, wids: np.ndarray, curs: np.ndarray, step_no: int) -> np.ndarray:
         """Next vid per walker (-1 = dead end: current vertex has no
@@ -76,30 +91,13 @@ class WalkShard:
         return nxt
 
 
-def random_walks(
-    edges: pa.Table,
-    *,
-    num_steps: int,
-    num_shards: int = 8,
-) -> pa.Table:
-    """One walk per distinct src vertex (wid = start vid), ``num_steps``
-    deterministic steps; a walker halts at a vertex with no out-edges.
-    Returns (wid, step, vid) including step 0. ``edges`` is the (src,
-    dst) table; order does not matter (shards re-sort their slice)."""
+def _shards_from_table(edges: pa.Table, num_shards: int):
+    """Driver-table path: degree-balanced split points snapped to src
+    run boundaries; each shard gets its slice via the object store."""
     s = edges.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     d = edges.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(s) == 0:
-        return pa.table(
-            {
-                "wid": pa.array([], pa.int64()),
-                "step": pa.array([], pa.int64()),
-                "vid": pa.array([], pa.int64()),
-            }
-        )
     order = np.argsort(s, kind="stable")
     s, d = s[order], d[order]
-    # degree-balanced shard bounds snapped to src run boundaries so each
-    # vertex's whole neighbor list lands in exactly one shard
     p = max(1, min(num_shards, len(s) // 1024 or 1))
     cut_rows = (len(s) * np.arange(1, p)) // p
     run_starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
@@ -112,10 +110,65 @@ def random_walks(
         WalkShard.remote(ray.put(tab.slice(int(a), int(b - a))))
         for a, b in zip(starts_idx, ends_idx)
     ]
-    shard_lo = s[starts_idx]  # shard i owns src in [shard_lo[i], shard_lo[i+1])
-    ray.get([sh.ready.remote() for sh in shards])
+    return shards, s[starts_idx]
 
-    start_vids = s[run_starts]
+
+def _shards_from_dataset(edges, num_shards: int):
+    """Dataset path: ONE sort by src; the boundary-key planner groups
+    blocks so every src is complete in one group (executor block order
+    untrusted — fogray.derive.plan_key_groups), contiguous groups are
+    chunked into <= num_shards actor sets, and each actor fetches only
+    its block refs — the edge table never lands on the driver."""
+    from .derive import _first_last_keys, plan_key_groups
+
+    sorted_ds = edges.select_columns(["src", "dst"]).sort("src")
+    refs = sorted_ds.materialize().to_arrow_refs()
+    bounds = ray.get([_first_last_keys.remote(r, ["src"]) for r in refs])
+    groups = plan_key_groups(bounds)
+    if not groups:
+        return [], np.empty(0, dtype=np.int64)
+    # groups come back planner-ordered by first key, ranges disjoint
+    group_first = [min(bounds[i][0][0] for i in g) for g in groups]
+    n_chunks = max(1, min(num_shards, len(groups)))
+    chunk_ids = np.array_split(np.arange(len(groups)), n_chunks)
+    shards, shard_lo = [], []
+    for ids in chunk_ids:
+        if len(ids) == 0:
+            continue
+        chunk_refs = [refs[i] for gi in ids for i in groups[gi]]
+        shards.append(WalkShard.remote(chunk_refs))
+        shard_lo.append(group_first[int(ids[0])])
+    return shards, np.asarray(shard_lo, dtype=np.int64)
+
+
+def random_walks(
+    edges,
+    *,
+    num_steps: int,
+    num_shards: int = 8,
+) -> pa.Table:
+    """One walk per distinct src vertex (wid = start vid), ``num_steps``
+    deterministic steps; a walker halts at a vertex with no out-edges.
+    Returns (wid, step, vid) including step 0. ``edges`` is a (src,
+    dst) pyarrow Table (driver path) or ray.data.Dataset (distributed
+    build; the edge table never materializes on the driver)."""
+    empty = pa.table(
+        {
+            "wid": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "vid": pa.array([], pa.int64()),
+        }
+    )
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return empty
+        shards, shard_lo = _shards_from_table(edges, num_shards)
+    else:
+        shards, shard_lo = _shards_from_dataset(edges, num_shards)
+        if not shards:
+            return empty
+
+    start_vids = np.sort(np.concatenate(ray.get([sh.start_vids.remote() for sh in shards])))
     wids = start_vids.copy()
     curs = start_vids.copy()
     out_w = [wids]

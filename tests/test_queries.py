@@ -136,3 +136,25 @@ def test_random_walks_semantics(ray_session):
     # dead ends actually exercised: some walks are shorter than max
     lens = out.groupby("wid").step.max()
     assert (lens < 5).any() and (lens == 5).any()
+
+
+def test_random_walks_dataset_path_parity(ray_session):
+    """The Dataset shard-build path (sort + boundary-key planning, edge
+    table never on the driver) returns exactly the table path's walks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fogray.walks import random_walks
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 500, 20_000).astype(np.int64)
+    dst = rng.integers(0, 500, 20_000).astype(np.int64)
+    m = src != dst
+    tab = pa.table({"src": src[m], "dst": dst[m]})
+    a = random_walks(tab, num_steps=4).to_pandas()
+    b = random_walks(rd.from_arrow(tab).repartition(9), num_steps=4).to_pandas()
+    k = ["wid", "step", "vid"]
+    assert a.sort_values(k).reset_index(drop=True).equals(
+        b.sort_values(k).reset_index(drop=True)
+    )
