@@ -188,6 +188,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_unigram_nll",
         "txt_tfidf",
         "agg_hll_users",
+        "txt_cms_tokens",
         "mm_features",
         "rel_topk",
         "rel_sample",

@@ -337,6 +337,16 @@ def q_evt_sessions(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "session_id"])
 
 
+def q_txt_cms_tokens(sf_dir: str) -> pa.Table:
+    """Count-min-sketch frequency estimates for the exact top-20 tokens
+    (fogray.datapipes.sketches.cms_token_estimates) — the second
+    mergeable sketch next to HLL, estimate exact-match checkable via
+    deterministic md5-byte hashing."""
+    from . import sketches
+
+    return sketches.cms_token_estimates(_docs(sf_dir), k=20)
+
+
 def q_evt_range(sf_dir: str) -> pa.Table:
     """Banded range join within the event stream: every (click,
     purchase) pair by the same user with the purchase 0..30 minutes
@@ -376,6 +386,7 @@ QUERIES = {
     "txt_langid": q_txt_langid,
     "txt_quality": q_txt_quality,
     "txt_top_tokens": q_txt_top_tokens,
+    "txt_cms_tokens": q_txt_cms_tokens,
     "txt_unigram_nll": q_txt_unigram_nll,
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
@@ -787,6 +798,40 @@ ORACLE_SQL = {
         SELECT token, n_occ FROM cnt
         QUALIFY ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) <= 20
         ORDER BY token
+    """,
+    # CMS mirror: hash j of a token = md5 digest byte j ==
+    # ('0x' || substr(md5(tok), 2j+1, 2))::UBIGINT; counters are sums
+    # over the EXACT token counts (grouping per distinct token first
+    # matches the per-block pre-aggregated partials, since sums
+    # commute); estimate = MIN over the 4 probed cells.
+    "txt_cms_tokens": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+            FROM documents
+        ),
+        cnt AS MATERIALIZED (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM toks WHERE token <> '' GROUP BY token
+        ),
+        hs AS (SELECT unnest(range(4)) AS j),
+        cells AS MATERIALIZED (
+            SELECT j,
+                   ('0x' || substr(md5(token), 2 * j + 1, 2))::UBIGINT::BIGINT AS b,
+                   CAST(SUM(n_occ) AS BIGINT) AS cell
+            FROM cnt CROSS JOIN hs GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT token, n_occ FROM cnt
+            QUALIFY ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) <= 20
+        )
+        SELECT t.token, t.n_occ, MIN(c.cell) AS est_count
+        FROM top t
+        CROSS JOIN hs r
+        JOIN cells c
+          ON c.j = r.j
+         AND c.b = ('0x' || substr(md5(t.token), 2 * r.j + 1, 2))::UBIGINT::BIGINT
+        GROUP BY t.token, t.n_occ
+        ORDER BY t.token
     """,
     "txt_unigram_nll": r"""
         WITH toks AS MATERIALIZED (

@@ -101,3 +101,88 @@ def hll_distinct(ds, col: str) -> pa.Table:
             "n_rows": pa.array([n_rows], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+# ---------------------------------------------------------------------------
+
+CMS_D, CMS_W = 4, 256  # depth x width; hash j = md5 digest byte j
+
+
+def _cms_cells(tokens, counts: np.ndarray) -> np.ndarray:
+    """(CMS_D, CMS_W) counter partial for distinct tokens with counts."""
+    cells = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(tokens) == 0:
+        return cells
+    md5 = hashlib.md5
+    buf = b"".join(md5(w.encode()).digest()[:CMS_D] for w in tokens)
+    dig = np.frombuffer(buf, dtype=np.uint8).reshape(-1, CMS_D)
+    for j in range(CMS_D):
+        np.add.at(cells[j], dig[:, j].astype(np.int64), counts)
+    return cells
+
+
+def _cms_batch(t: pa.Table, text_col: str) -> pa.Table:
+    from .text import _token_count_batch
+
+    p = _token_count_batch(t, text_col)
+    cells = _cms_cells(
+        p.column("token").to_pylist(),
+        p.column("n_occ").to_numpy(zero_copy_only=False),
+    )
+    d = np.repeat(np.arange(CMS_D, dtype=np.int64), CMS_W)
+    b = np.tile(np.arange(CMS_W, dtype=np.int64), CMS_D)
+    return pa.table({"j": d, "bucket": b, "cell": cells.ravel()})
+
+
+def cms_token_estimates(ds, k: int = 20, text_col: str = "text") -> pa.Table:
+    """Count-min-sketch frequency estimates for the exact top-k tokens:
+    -> (token, n_occ, est_count) with est_count >= n_occ (the CMS
+    one-sided error). Dataflow is the same mergeable-sketch shape as
+    HLL: each block folds its token counts into a tiny CMS_D x CMS_W
+    counter partial inside ``map_batches`` (counters are
+    order-insensitive SUMs, so the "shuffle" is |blocks| x 1024 rows
+    regardless of corpus size) and the driver adds them; the probe set
+    comes from the exact heavy-hitter pipeline (:func:`..text.
+    top_tokens`). Deterministic md5-byte hashing makes the estimate —
+    not just the exact counts — reproducible by the SQL oracle."""
+    from .text import top_tokens
+
+    parts = pa.concat_tables(
+        ray.get(
+            ds.map_batches(lambda t: _cms_batch(t, text_col), batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    cells = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    flat_idx = (
+        parts.column("j").to_numpy(zero_copy_only=False) * CMS_W
+        + parts.column("bucket").to_numpy(zero_copy_only=False)
+    )
+    np.add.at(cells, flat_idx, parts.column("cell").to_numpy(zero_copy_only=False))
+    cells = cells.reshape(CMS_D, CMS_W)
+
+    top = top_tokens(ds, k=k, text_col=text_col)
+    toks = top.column("token").to_pylist()
+    if toks:
+        buf = b"".join(hashlib.md5(w.encode()).digest()[:CMS_D] for w in toks)
+        dig = np.frombuffer(buf, dtype=np.uint8).reshape(-1, CMS_D).astype(np.int64)
+        est = np.min(
+            np.stack([cells[j, dig[:, j]] for j in range(CMS_D)]), axis=0
+        )
+    else:
+        est = np.empty(0, dtype=np.int64)
+    out = pa.table(
+        {
+            "token": top.column("token"),
+            "n_occ": top.column("n_occ"),
+            "est_count": pa.array(est, type=pa.int64()),
+        }
+    )
+    import pandas as pd
+
+    df = out.to_pandas().sort_values("token").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

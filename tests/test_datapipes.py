@@ -27,7 +27,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["txt_stats", "txt_fingerprint", "txt_langid", "txt_quality",
-     "txt_top_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "dd_exact",
+     "txt_top_tokens", "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
      "rel_sample", "rel_stratified", "evt_window", "evt_sliding", "evt_asof",
@@ -588,3 +588,13 @@ def test_range_join_semantics(ray_session):
     gaps = dict(zip(zip(out.event_id_l, out.event_id_r), out.gap_us))
     for (l, r), g in list(gaps.items())[:100]:
         assert g == ts[r] - ts[l]
+
+
+def test_cms_one_sided_error(ray_session):
+    """CMS never underestimates: est_count >= exact count for every
+    probed token, and equals it when no bucket collisions occur."""
+    from fogray.datapipes import queries as dq
+
+    t = dq.QUERIES["txt_cms_tokens"](SF_DIR).to_pandas()
+    assert len(t) == 20
+    assert (t.est_count >= t.n_occ).all()
