@@ -103,6 +103,15 @@ def q_agg_hll_users(sf_dir: str) -> pa.Table:
     return sketches.hll_distinct(_events(sf_dir), "user_id")
 
 
+def q_agg_hll_by_type(sf_dir: str) -> pa.Table:
+    """Per-group HLL distinct users per event_type
+    (fogray.datapipes.sketches.hll_distinct_by) — the sketch replacement
+    for COUNT(DISTINCT user_id) GROUP BY event_type."""
+    from . import sketches
+
+    return sketches.hll_distinct_by(_events(sf_dir), "event_type", "user_id")
+
+
 def q_txt_unigram_nll(sf_dir: str) -> pa.Table:
     return _collect(text.unigram_nll(_docs(sf_dir)))
 
@@ -390,6 +399,7 @@ QUERIES = {
     "txt_unigram_nll": q_txt_unigram_nll,
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
+    "agg_hll_by_type": q_agg_hll_by_type,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -455,6 +465,60 @@ def _hll_oracle_sql(table: str, col: str) -> str:
                      END, 6) AS est_distinct,
                CAST((SELECT COUNT(*) FROM {table}) AS BIGINT) AS n_rows
         FROM s
+    """
+
+
+def _hll_group_oracle_sql(table: str, group_col: str, col: str) -> str:
+    """GROUP BY mirror of :func:`_hll_oracle_sql` — one HLL register set
+    per group (groups x range(256) cross join, LEFT JOIN the observed
+    per-group per-bucket maxima), identical estimator per group."""
+    return f"""
+        WITH h AS MATERIALIZED (
+            SELECT CAST({group_col} AS VARCHAR) AS grp,
+                   md5(CAST({col} AS VARCHAR)) AS hx
+            FROM {table} WHERE {col} IS NOT NULL
+        ),
+        gc AS MATERIALIZED (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows FROM h GROUP BY grp
+        ),
+        d AS MATERIALIZED (
+            SELECT grp,
+                   CAST(('0x' || substr(hx, 1, 2)) AS UBIGINT) AS bucket,
+                   length(regexp_extract(substr(hx, 3), '^0*')) AS zhex,
+                   substr(substr(hx, 3),
+                          length(regexp_extract(substr(hx, 3), '^0*')) + 1,
+                          1) AS c
+            FROM h
+        ),
+        r AS MATERIALIZED (
+            SELECT grp, bucket,
+                   MAX(CASE WHEN c = '' THEN 121
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 8 THEN 4*zhex + 1
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 4 THEN 4*zhex + 2
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 2 THEN 4*zhex + 3
+                        ELSE 4*zhex + 4 END) AS rho
+            FROM d GROUP BY grp, bucket
+        ),
+        regs AS MATERIALIZED (
+            SELECT g.grp, COALESCE(r.rho, 0) AS m
+            FROM (SELECT grp, unnest(range(256)) AS b FROM gc) g
+            LEFT JOIN r ON r.grp = g.grp AND r.bucket = g.b
+        ),
+        s AS (
+            SELECT grp,
+                   SUM(POWER(2.0, -m)) AS ssum,
+                   SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM regs GROUP BY grp
+        )
+        SELECT s.grp AS {group_col},
+               ROUND(CASE WHEN (0.7213/(1.0+1.079/256.0))*256.0*256.0/ssum
+                               <= 2.5*256.0 AND zeros > 0
+                          THEN 256.0 * LN(256.0 / zeros)
+                          ELSE (0.7213/(1.0+1.079/256.0))*256.0*256.0/ssum
+                     END, 6) AS est_distinct,
+               gc.n_rows AS n_rows
+        FROM s JOIN gc ON gc.grp = s.grp
+        ORDER BY s.grp
     """
 
 
@@ -880,6 +944,7 @@ ORACLE_SQL = {
         ORDER BY doc_id, token
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
+    "agg_hll_by_type": _hll_group_oracle_sql("events", "event_type", "user_id"),
     "ann_ivf": _ann_ivf_oracle_sql(),
     "mm_features": _mm_features_oracle_sql(),
     "dd_minhash_lsh": _minhash_oracle_sql(),

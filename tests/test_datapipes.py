@@ -27,7 +27,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["txt_stats", "txt_fingerprint", "txt_langid", "txt_quality",
-     "txt_top_tokens", "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "dd_exact",
+     "txt_top_tokens", "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "agg_hll_by_type", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
      "rel_sample", "rel_stratified", "evt_window", "evt_sliding", "evt_asof",
@@ -588,6 +588,31 @@ def test_range_join_semantics(ray_session):
     gaps = dict(zip(zip(out.event_id_l, out.event_id_r), out.gap_us))
     for (l, r), g in list(gaps.items())[:100]:
         assert g == ts[r] - ts[l]
+
+
+def test_hll_by_group_block_invariant(ray_session):
+    """Grouped HLL registers are order/layout-insensitive maxima: a
+    1-block layout and a 16-block layout yield identical estimates, and
+    each group's estimate equals the UNgrouped sketch run on just that
+    group's rows (merge correctness, not only plausibility)."""
+    import ray.data as rd
+    from fogray.datapipes import sketches as sk
+
+    rng = np.random.default_rng(7)
+    grp = np.array(["a", "b", "c"])[rng.integers(0, 3, 5000)]
+    val = rng.integers(0, 400, 5000).astype(str)
+    t = pa.table({"g": grp, "v": val})
+    one = sk.hll_distinct_by(rd.from_arrow(t), "g", "v").to_pandas()
+    many = sk.hll_distinct_by(
+        rd.from_arrow(t).repartition(16), "g", "v"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(one, many)
+    for g in ["a", "b", "c"]:
+        sub = t.filter(pa.compute.equal(t.column("g"), g))
+        solo = sk.hll_distinct(rd.from_arrow(sub), "v").to_pandas()
+        row = one[one.g == g].iloc[0]
+        assert row.est_distinct == solo.est_distinct.iloc[0]
+        assert row.n_rows == solo.n_rows.iloc[0]
 
 
 def test_cms_one_sided_error(ray_session):
