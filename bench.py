@@ -188,11 +188,15 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_unigram_nll",
         "txt_tfidf",
         "agg_hll_users",
+        "agg_hll_by_type",
         "txt_cms_tokens",
         "mm_features",
         "rel_topk",
         "rel_sample",
         "rel_stratified",
+        "rel_join_revenue",
+        "rel_quantiles",
+        "agg_histogram",
         "evt_window",
         "evt_sliding",
         "evt_asof",

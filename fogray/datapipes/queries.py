@@ -271,6 +271,53 @@ def _events(sf_dir: str) -> rd.Dataset:
     return read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
 
 
+def q_rel_join_revenue(sf_dir: str) -> pa.Table:
+    """Star-schema rollup (fogray.datapipes.relational.star_join_rollup):
+    lineitem x orders shuffle hash join, customer/nation dims broadcast,
+    int64-exact money. The reference has no relational surface
+    (SURVEY.md section 2.6) — rebuild-defined."""
+    import pyarrow.parquet as pq
+
+    from . import relational
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    return relational.star_join_rollup(li, orders, cust, nation)
+
+
+def q_rel_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed order statistics of o_totalprice
+    (fogray.datapipes.relational.exact_quantiles)."""
+    from . import relational
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+    return relational.exact_quantiles(orders, "o_totalprice")
+
+
+def q_agg_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width value histogram of o_totalprice
+    (fogray.datapipes.relational.fixed_width_histogram), width 20000."""
+    from . import relational
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+    return relational.fixed_width_histogram(orders, "o_totalprice", 20000.0)
+
+
 def q_rel_stratified(sf_dir: str) -> pa.Table:
     from . import relational
     from ..util import sorted_table
@@ -412,6 +459,9 @@ QUERIES = {
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
     "rel_stratified": q_rel_stratified,
+    "rel_join_revenue": q_rel_join_revenue,
+    "rel_quantiles": q_rel_quantiles,
+    "agg_histogram": q_agg_histogram,
     "evt_window": q_evt_window,
     "evt_sliding": q_evt_sliding,
     "evt_asof": q_evt_asof,
@@ -945,6 +995,38 @@ ORACLE_SQL = {
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "agg_hll_by_type": _hll_group_oracle_sql("events", "event_type", "user_id"),
+    "rel_join_revenue": r"""
+        SELECT n.n_name AS n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    "rel_quantiles": r"""
+        WITH s AS (
+            SELECT o_totalprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice) - 1 AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        )
+        SELECT t.q AS q, s.v AS value
+        FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
+        JOIN s ON s.rn = CAST(FLOOR(t.q * (s.n - 1)) AS BIGINT)
+        ORDER BY t.q
+    """,
+    "agg_histogram": r"""
+        SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+               CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) * 20000.0 AS lo,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
     "ann_ivf": _ann_ivf_oracle_sql(),
     "mm_features": _mm_features_oracle_sql(),
     "dd_minhash_lsh": _minhash_oracle_sql(),

@@ -14,7 +14,8 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "nation"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     return c
 
@@ -30,7 +31,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_top_tokens", "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "agg_hll_by_type", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
-     "rel_sample", "rel_stratified", "evt_window", "evt_sliding", "evt_asof",
+     "rel_sample", "rel_stratified", "rel_join_revenue", "rel_quantiles",
+     "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
@@ -613,6 +615,71 @@ def test_hll_by_group_block_invariant(ray_session):
         row = one[one.g == g].iloc[0]
         assert row.est_distinct == solo.est_distinct.iloc[0]
         assert row.n_rows == solo.n_rows.iloc[0]
+
+
+def test_exact_quantiles_layout_invariant(ray_session):
+    """Quantiles equal numpy order statistics regardless of input block
+    layout (1 vs 13 blocks), including duplicate-heavy data."""
+    import ray.data as rd
+    from fogray.datapipes import relational as rel
+
+    rng = np.random.default_rng(3)
+    v = np.r_[rng.normal(0, 100, 4000), np.full(1000, 42.0)]
+    want = np.sort(v)
+    t = pa.table({"v": v})
+    for parts in (1, 13):
+        ds = rd.from_arrow(t).repartition(parts) if parts > 1 else rd.from_arrow(t)
+        out = rel.exact_quantiles(ds, "v").to_pandas()
+        for q, val in zip(out.q, out.value):
+            assert val == want[int(np.floor(q * (len(v) - 1)))]
+
+
+def test_star_join_rollup_brute_force(ray_session):
+    """Star rollup equals the pandas brute force on a synthetic star
+    schema with int64-exact money."""
+    import ray.data as rd
+    from fogray.datapipes import relational as rel
+
+    rng = np.random.default_rng(5)
+    n_cust, n_ord, n_li = 50, 300, 1500
+    cust = pa.table({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_nationkey": rng.integers(0, 5, n_cust),
+    })
+    nation = pa.table({
+        "n_nationkey": np.arange(5, dtype=np.int64),
+        "n_name": [f"N{i}" for i in range(5)],
+    })
+    orders = pa.table({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, n_ord),
+    })
+    li = pa.table({
+        "l_orderkey": rng.integers(0, n_ord, n_li),
+        "l_extendedprice": np.round(rng.uniform(1, 100000, n_li), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+    })
+    got = rel.star_join_rollup(
+        rd.from_arrow(li).repartition(7), rd.from_arrow(orders).repartition(3),
+        cust, nation,
+    ).to_pandas()
+    df = li.to_pandas().merge(
+        orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey"
+    ).merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey").merge(
+        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
+    )
+    df["rev4"] = (
+        np.floor(df.l_extendedprice * 100 + 0.5).astype(np.int64)
+        * (100 - np.floor(df.l_discount * 100 + 0.5).astype(np.int64))
+    )
+    want = (
+        df.groupby("n_name")
+        .agg(revenue=("rev4", lambda s: s.sum() / 10000.0), n_items=("rev4", "size"))
+        .reset_index()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_cms_one_sided_error(ray_session):
