@@ -195,6 +195,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "rel_sample",
         "rel_stratified",
         "rel_join_revenue",
+        "corpus_curate",
         "rel_quantiles",
         "agg_histogram",
         "evt_window",

@@ -318,6 +318,17 @@ def q_agg_histogram(sf_dir: str) -> pa.Table:
     return relational.fixed_width_histogram(orders, "o_totalprice", 20000.0)
 
 
+def q_corpus_curate(sf_dir: str) -> pa.Table:
+    """End-to-end curation pipeline (fogray.datapipes.curate): quality
+    filter -> exact dedup of survivors -> deterministic hash sample, one
+    streaming composition."""
+    from . import curate
+    from ..util import sorted_table
+
+    t = _collect(curate.curate_corpus(_docs(sf_dir)))
+    return sorted_table(t, ["doc_id"])
+
+
 def q_rel_stratified(sf_dir: str) -> pa.Table:
     from . import relational
     from ..util import sorted_table
@@ -460,6 +471,7 @@ QUERIES = {
     "rel_sample": q_rel_sample,
     "rel_stratified": q_rel_stratified,
     "rel_join_revenue": q_rel_join_revenue,
+    "corpus_curate": q_corpus_curate,
     "rel_quantiles": q_rel_quantiles,
     "agg_histogram": q_agg_histogram,
     "evt_window": q_evt_window,
@@ -995,6 +1007,37 @@ ORACLE_SQL = {
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "agg_hll_by_type": _hll_group_oracle_sql("events", "event_type", "user_id"),
+    # one CTE per pipeline stage: score+filter, keeper-per-text, sample
+    "corpus_curate": r"""
+        WITH s AS MATERIALIZED (
+            SELECT doc_id, source, text,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                   length(regexp_split_to_array(text, '\s+')) AS nt,
+                   length(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       t -> t IN ('a','an','and','in','is','it','of','or',
+                                  'the','to'))) AS n_stop
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source, text,
+                   ROUND(LEAST(1.0, n_bpe / 200.0)
+                         * (1.0 - 0.5 * (n_stop / GREATEST(nt, 1))), 6)
+                       AS q_score
+            FROM s
+        ),
+        f AS (SELECT * FROM q WHERE q_score >= 0.25),
+        k AS (
+            SELECT f.doc_id, f.source, f.q_score
+            FROM f
+            JOIN (SELECT text, MIN(doc_id) AS m FROM f GROUP BY text) g
+              ON g.text = f.text AND g.m = f.doc_id
+        )
+        SELECT doc_id, source, q_score FROM k
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f'
+        ORDER BY doc_id
+    """,
     "rel_join_revenue": r"""
         SELECT n.n_name AS n_name,
                CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)

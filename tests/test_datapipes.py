@@ -32,6 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "rel_topk",
      "rel_sample", "rel_stratified", "rel_join_revenue", "rel_quantiles",
+     "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions"],
 )
@@ -680,6 +681,47 @@ def test_star_join_rollup_brute_force(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_curate_corpus_semantics(ray_session):
+    """Planted corpus: the low-quality doc is dropped at stage 1, the
+    duplicate keeps the min doc_id at stage 2, and stage 3 applies the
+    md5-prefix rule to the keepers only."""
+    import hashlib
+
+    import ray.data as rd
+    from fogray.datapipes import curate
+
+    rich = (
+        "the quick brown fox jumps over a lazy dog and then runs on "
+        "through fields of wheat to find the river where it drinks "
+    ) * 4
+    junk = "zzz"
+    docs = pa.table({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "source": ["s"] * 6,
+        "text": [rich, rich, junk, rich + "x", junk, rich + "y"],
+    })
+    out = curate.curate_corpus(
+        rd.from_arrow(docs).repartition(3), min_q=0.25, sample_max_prefix="ff"
+    )
+    got = pa.concat_tables(
+        __import__("ray").get(out.materialize().to_arrow_refs()),
+        promote_options="default",
+    ).to_pandas().sort_values("doc_id")
+    # junk docs (2, 4) fail quality; dup of rich keeps doc 0 not doc 1
+    assert got.doc_id.tolist() == [0, 3, 5]
+    # with a tighter prefix only doc_ids whose md5 falls under it remain
+    keep = [i for i in [0, 3, 5]
+            if hashlib.md5(str(i).encode()).hexdigest()[:2] <= "7f"]
+    out2 = curate.curate_corpus(
+        rd.from_arrow(docs).repartition(3), min_q=0.25, sample_max_prefix="7f"
+    )
+    got2 = pa.concat_tables(
+        __import__("ray").get(out2.materialize().to_arrow_refs()),
+        promote_options="default",
+    ).to_pandas().sort_values("doc_id")
+    assert got2.doc_id.tolist() == keep
 
 
 def test_cms_one_sided_error(ray_session):
