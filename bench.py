@@ -191,6 +191,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "agg_hll_by_type",
         "txt_cms_tokens",
         "mm_features",
+        "mm_frames",
         "rel_topk",
         "rel_sample",
         "rel_stratified",

@@ -103,3 +103,68 @@ def media_features(ds, *, concurrency: int = 4, batch_size: int = 64) -> rd.Data
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# video-style frame sampling over opaque binary payloads
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 48
+
+
+def sample_frames(ds, *, fractions=(0.0, 0.25, 0.5, 0.75, 1.0)) -> rd.Dataset:
+    """Treat each payload as a frame stream (``FRAME_BYTES`` bytes per
+    frame, trailing partial frame dropped) and deterministically sample
+    the frames at the given stream fractions — the video analog of the
+    image decode stage: chunk -> stride-sample -> per-frame fingerprint.
+    Output: (doc_id, frame_idx, frame_fp hex16, n_frames), one row per
+    distinct sampled frame.
+
+    Pure ``map_batches`` (no shuffle); per-payload chunking is the
+    decode-shaped work a real video pipeline does per row, with a small
+    batch size keeping batch x concurrency bounded for large payloads.
+    Because the synthetic payload is a tiled sha256 stream, each frame's
+    leading 16 bytes are a rotation of the digest — which is what makes
+    the stage SQL-mirrorable (substr over sha || sha)."""
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("frame_idx", pa.int64()),
+            ("frame_fp", pa.string()),
+            ("n_frames", pa.int64()),
+        ]
+    )
+
+    def frames(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_k, out_fp, out_n = [], [], [], []
+        for i, payload in enumerate(t.column("payload").to_pylist()):
+            n = len(payload) // FRAME_BYTES
+            if n == 0:
+                continue
+            ks = sorted({int(np.floor(q * (n - 1))) for q in fractions})
+            for k in ks:
+                frame = payload[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                out_id.append(int(ids[i]))
+                out_k.append(k)
+                out_fp.append(frame[:16].hex())
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_k, pa.int64()),
+                "frame_fp": pa.array(out_fp, pa.string()),
+                "n_frames": pa.array(out_n, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(frames, batch_size=64, batch_format="pyarrow")
+
+
+def media_frame_samples(ds) -> rd.Dataset:
+    """documents -> synthesized media -> frame sampling."""
+    return sample_frames(synthesize_media(ds))

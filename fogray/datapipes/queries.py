@@ -271,6 +271,15 @@ def _events(sf_dir: str) -> rd.Dataset:
     return read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
 
 
+def q_mm_frames(sf_dir: str) -> pa.Table:
+    """Video-style frame sampling over synthetic binary payloads
+    (fogray.datapipes.multimodal.sample_frames)."""
+    from ..util import sorted_table
+
+    t = _collect(multimodal.media_frame_samples(_docs(sf_dir)))
+    return sorted_table(t, ["doc_id", "frame_idx"])
+
+
 def q_rel_join_revenue(sf_dir: str) -> pa.Table:
     """Star-schema rollup (fogray.datapipes.relational.star_join_rollup):
     lineitem x orders shuffle hash join, customer/nation dims broadcast,
@@ -472,6 +481,7 @@ QUERIES = {
     "rel_stratified": q_rel_stratified,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
+    "mm_frames": q_mm_frames,
     "rel_quantiles": q_rel_quantiles,
     "agg_histogram": q_agg_histogram,
     "evt_window": q_evt_window,
@@ -1007,6 +1017,27 @@ ORACLE_SQL = {
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "agg_hll_by_type": _hll_group_oracle_sql("events", "event_type", "user_id"),
+    # frame k of the tiled-sha256 payload starts at byte k*48; its first
+    # 16 bytes are digest bytes ((k*48 % 32) .. +16) wrapping — i.e. a
+    # 32-hex-char substring of sha || sha.
+    "mm_frames": r"""
+        WITH m AS MATERIALIZED (
+            SELECT doc_id, sha256(text) AS sha,
+                   (256 + length(text) % 1024) // 48 AS n
+            FROM documents
+        ),
+        f AS (
+            SELECT DISTINCT doc_id, sha, n,
+                   CAST(FLOOR(t.q * (n - 1)) AS BIGINT) AS k
+            FROM m, (VALUES (0.0), (0.25), (0.5), (0.75), (1.0)) t(q)
+            WHERE n > 0
+        )
+        SELECT doc_id,
+               k AS frame_idx,
+               substr(sha || sha, 2 * ((k * 48) % 32) + 1, 32) AS frame_fp,
+               n AS n_frames
+        FROM f ORDER BY doc_id, frame_idx
+    """,
     # one CTE per pipeline stage: score+filter, keeper-per-text, sample
     "corpus_curate": r"""
         WITH s AS MATERIALIZED (
