@@ -198,6 +198,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "rel_join_revenue",
         "corpus_curate",
         "rel_quantiles",
+        "rel_group_quantiles",
         "agg_histogram",
         "evt_window",
         "evt_sliding",

@@ -305,6 +305,18 @@ def q_rel_join_revenue(sf_dir: str) -> pa.Table:
     return relational.star_join_rollup(li, orders, cust, nation)
 
 
+def q_rel_group_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-language length quantiles
+    (fogray.datapipes.relational.grouped_quantiles)."""
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.grouped_quantiles(_docs(sf_dir), "lang", "n_chars")
+    )
+    return sorted_table(t, ["lang", "q"])
+
+
 def q_rel_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed order statistics of o_totalprice
     (fogray.datapipes.relational.exact_quantiles)."""
@@ -483,6 +495,7 @@ QUERIES = {
     "corpus_curate": q_corpus_curate,
     "mm_frames": q_mm_frames,
     "rel_quantiles": q_rel_quantiles,
+    "rel_group_quantiles": q_rel_group_quantiles,
     "agg_histogram": q_agg_histogram,
     "evt_window": q_evt_window,
     "evt_sliding": q_evt_sliding,
@@ -1093,6 +1106,19 @@ ORACLE_SQL = {
         FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
         JOIN s ON s.rn = CAST(FLOOR(t.q * (s.n - 1)) AS BIGINT)
         ORDER BY t.q
+    """,
+    "rel_group_quantiles": r"""
+        WITH s AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) - 1
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT s.lang AS lang, t.q AS q, s.n_chars AS value
+        FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
+        JOIN s ON s.rn = CAST(FLOOR(t.q * (s.n - 1)) AS BIGINT)
+        ORDER BY lang, q
     """,
     "agg_histogram": r"""
         SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,

@@ -632,3 +632,46 @@ def fixed_width_histogram(ds, col: str, width: float) -> pa.Table:
             "n_rows": pa.array(tot, pa.int64()),
         }
     )
+
+
+def grouped_quantiles(
+    ds, group_col: str, col: str, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> rd.Dataset:
+    """Exact per-group order statistics: for each group, the value at
+    sorted index ``floor(q * (n_g - 1))``. ONE sort by (group, value)
+    makes every group's rows a contiguous sorted run inside
+    group-complete blocks, where the quantile pick is a pure offset
+    gather — no second pass, no per-group collect. Output is bounded by
+    |groups| x |qs| rows.
+
+    Same hot-group caveat as ``topk_per_group``: exact per-group order
+    statistics put each group in one task; a pathological single-group
+    corpus degenerates to one worker (pre-aggregation can't help —
+    quantiles aren't decomposable).
+
+    -> (group_col, q DOUBLE, value <col type>) sorted by (group, q).
+    """
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def block_quants(t: pa.Table) -> pa.Table:
+        gcol = t.column(group_col)
+        g = np.asarray(gcol.to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        rows, out_q = [], []
+        for s, e in zip(starts, ends):
+            # rows arrive sorted by (group, value): offset pick only
+            idx = s + np.floor(qarr * (e - s - 1)).astype(np.int64)
+            rows.extend(idx.tolist())
+            out_q.extend(qarr.tolist())
+        taken = t.take(pa.array(np.asarray(rows, dtype=np.int64)))
+        return pa.table(
+            {
+                group_col: taken.column(group_col),
+                "q": pa.array(out_q, pa.float64()),
+                "value": taken.column(col),
+            }
+        )
+
+    sorted_ds = ds.select_columns([group_col, col]).sort([group_col, col])
+    return key_grouped_block_map(sorted_ds, [group_col], block_quants)
