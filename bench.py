@@ -180,6 +180,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "dd_embed_cosine",
         "ann_topk",
         "ann_ivf",
+        "emb_kmeans",
         "txt_stats",
         "txt_langid",
         "txt_fingerprint",

@@ -227,6 +227,54 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def q_emb_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed k-means cluster profile over the embedding corpus:
+    the IVF coarse quantizer's Lloyd loop (partial-sum map_batches per
+    iteration) followed by one map-side (cell -> count, min id) partial
+    aggregation — the clustering surfaced as a first-class result rather
+    than an index-internal step."""
+    from . import similarity
+
+    emb = _embs(sf_dir)
+    idx = similarity.IVFIndex(nlist=16).fit(emb)
+    assigned = idx.assign(emb)
+    part_schema = pa.schema(
+        [("cid", pa.int64()), ("n", pa.int64()), ("mn", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        c = t.column("cell").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        u = np.unique(c)
+        pos = np.searchsorted(u, c)
+        n = np.bincount(pos).astype(np.int64)
+        mn = np.full(len(u), np.iinfo(np.int64).max)
+        np.minimum.at(mn, pos, ids)
+        return pa.table(
+            {"cid": pa.array(u, pa.int64()), "n": pa.array(n),
+             "mn": pa.array(mn, pa.int64())},
+            schema=part_schema,
+        )
+
+    parts = _collect(assigned.map_batches(partial, batch_format="pyarrow"))
+    cid = parts.column("cid").to_numpy(zero_copy_only=False)
+    u = np.unique(cid)
+    pos = np.searchsorted(u, cid)
+    n = np.zeros(len(u), dtype=np.int64)
+    np.add.at(n, pos, parts.column("n").to_numpy(zero_copy_only=False))
+    mn = np.full(len(u), np.iinfo(np.int64).max)
+    np.minimum.at(mn, pos, parts.column("mn").to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "cid": pa.array(u, pa.int64()),
+            "n_vectors": pa.array(n, pa.int64()),
+            "min_vec_id": pa.array(mn, pa.int64()),
+        }
+    )
+
+
 def q_mm_features(sf_dir: str) -> pa.Table:
     return _collect(multimodal.media_features(_docs(sf_dir)))
 
@@ -487,6 +535,7 @@ QUERIES = {
     "dd_embed_cosine": q_dd_embed_cosine,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "emb_kmeans": q_emb_kmeans,
     "mm_features": q_mm_features,
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
@@ -607,24 +656,18 @@ def _hll_group_oracle_sql(table: str, group_col: str, col: str) -> str:
     """
 
 
-def _ann_ivf_oracle_sql(
-    nlist: int = 16, iters: int = 3, nprobe: int = 4, k: int = 10,
-    seed_n: int = 256,
-) -> str:
-    """DuckDB mirror of :func:`fogray.datapipes.similarity.ann_topk_ivf`:
-    deterministic strided seed over the ``seed_n`` lowest vec_ids, the
-    Lloyd iterations unrolled as CTE chains (assignment = ROW_NUMBER over
-    squared distance with cid tie-break; new centroid = element-wise AVG
-    rounded to 6 decimals, matching the engine's per-iteration
-    ``sql_round``; empty cells keep the previous centroid via COALESCE),
-    then cell assignment, nprobe-cell probing, and per-query top-k."""
+def _sqd(v: str, c: str) -> str:
+    return (
+        f"list_dot_product({v}, {v}) + list_dot_product({c}, {c})"
+        f" - 2 * list_dot_product({v}, {c})"
+    )
 
-    def sqd(v: str, c: str) -> str:
-        return (
-            f"list_dot_product({v}, {v}) + list_dot_product({c}, {c})"
-            f" - 2 * list_dot_product({v}, {c})"
-        )
 
+def _ivf_cells_ctes(nlist: int, iters: int, seed_n: int) -> list[str]:
+    """The shared Lloyd-quantizer CTE chain (seed -> unrolled iterations
+    -> final ``cells`` assignment), used by both the ANN probe oracle and
+    the k-means cluster-profile oracle."""
+    sqd = _sqd
     parts = [
         f"""e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
         seed AS (
@@ -667,8 +710,27 @@ def _ann_ivf_oracle_sql(
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
                            ORDER BY {sqd('e.v', 'c.c')}, c.cid) AS rk
                 FROM e CROSS JOIN {fin} c) WHERE rk = 1
-        ),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        )"""
+    )
+    return parts
+
+
+def _ann_ivf_oracle_sql(
+    nlist: int = 16, iters: int = 3, nprobe: int = 4, k: int = 10,
+    seed_n: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`fogray.datapipes.similarity.ann_topk_ivf`:
+    deterministic strided seed over the ``seed_n`` lowest vec_ids, the
+    Lloyd iterations unrolled as CTE chains (assignment = ROW_NUMBER over
+    squared distance with cid tie-break; new centroid = element-wise AVG
+    rounded to 6 decimals, matching the engine's per-iteration
+    ``sql_round``; empty cells keep the previous centroid via COALESCE),
+    then cell assignment, nprobe-cell probing, and per-query top-k."""
+    sqd = _sqd
+    parts = _ivf_cells_ctes(nlist, iters, seed_n)
+    fin = f"c{iters}"
+    parts.append(
+        f"""q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         pr AS (
             SELECT qid, cid FROM (
                 SELECT q.qid, c.cid,
@@ -693,6 +755,17 @@ def _ann_ivf_oracle_sql(
     return f"""WITH {body}
         SELECT qid, nid, ROUND(sc, 6) AS score FROM r WHERE rn <= {k}
         ORDER BY qid, nid"""
+
+
+def _kmeans_oracle_sql(nlist: int = 16, iters: int = 3, seed_n: int = 256) -> str:
+    """Cluster-profile mirror of the shared Lloyd chain: per-cell size
+    and lowest member id from the final assignment."""
+    body = ",\n        ".join(_ivf_cells_ctes(nlist, iters, seed_n))
+    return f"""WITH {body}
+        SELECT cell AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+        FROM cells GROUP BY cell ORDER BY cell"""
 
 
 def _mm_features_oracle_sql() -> str:
@@ -1128,6 +1201,7 @@ ORACLE_SQL = {
         GROUP BY 1 ORDER BY 1
     """,
     "ann_ivf": _ann_ivf_oracle_sql(),
+    "emb_kmeans": _kmeans_oracle_sql(),
     "mm_features": _mm_features_oracle_sql(),
     "dd_minhash_lsh": _minhash_oracle_sql(),
     # dup-graph connected components: MIN over the transitive closure of

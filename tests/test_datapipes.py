@@ -30,7 +30,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     ["txt_stats", "txt_fingerprint", "txt_langid", "txt_quality",
      "txt_top_tokens", "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "agg_hll_by_type", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
-     "dd_embed_cosine", "ann_topk", "ann_ivf", "mm_features", "mm_frames",
+     "dd_embed_cosine", "ann_topk", "ann_ivf", "emb_kmeans", "mm_features",
+     "mm_frames",
      "rel_topk",
      "rel_sample", "rel_stratified", "rel_join_revenue", "rel_quantiles",
      "rel_group_quantiles", "corpus_curate",
