@@ -447,17 +447,31 @@ def star_join_rollup(
             schema=ord_schema,
         )
 
-    li_schema = pa.schema([("l_orderkey", pa.int64()), ("rev4", pa.int64())])
+    li_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("rev4", pa.int64()), ("n_li", pa.int64())]
+    )
 
     def lineitem_rev(t: pa.Table) -> pa.Table:
+        """Block-local partial per orderkey BEFORE the join: rev4 sums
+        are associative, so partials from different blocks of the same
+        order just join to the same orders row and re-sum downstream —
+        the shuffle ships ~|distinct orders per block| rows instead of
+        every line item."""
+        key = t.column("l_orderkey").to_numpy(zero_copy_only=False)
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
         cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
         bp = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        rev = cents * (100 - bp)
+        u, pos = np.unique(key, return_inverse=True)
+        hi = np.bincount(pos, weights=(rev >> 32).astype(np.float64))
+        lo = np.bincount(pos, weights=(rev & 0xFFFFFFFF).astype(np.float64))
+        tot = (hi.astype(np.int64) << 32) + lo.astype(np.int64)
         return pa.table(
             {
-                "l_orderkey": t.column("l_orderkey"),
-                "rev4": pa.array(cents * (100 - bp), pa.int64()),
+                "l_orderkey": pa.array(u, pa.int64()),
+                "rev4": pa.array(tot, pa.int64()),
+                "n_li": pa.array(np.bincount(pos).astype(np.int64), pa.int64()),
             },
             schema=li_schema,
         )
@@ -475,13 +489,16 @@ def star_join_rollup(
     def partial_agg(t: pa.Table) -> pa.Table:
         nk = t.column("nationkey").to_numpy(zero_copy_only=False)
         rv = t.column("rev4").to_numpy(zero_copy_only=False)
+        nl = t.column("n_li").to_numpy(zero_copy_only=False)
         m = int(nk.max()) + 1
         # int64-exact partial: bincount weights go through float64, which
         # is exact only below 2^53 — split high/low 32-bit halves.
         hi = np.bincount(nk, weights=(rv >> 32).astype(np.float64), minlength=m)
         lo = np.bincount(nk, weights=(rv & 0xFFFFFFFF).astype(np.float64), minlength=m)
         tot = (hi.astype(np.int64) << 32) + lo.astype(np.int64)
-        cnt = np.bincount(nk, minlength=m).astype(np.int64)
+        cnt = np.bincount(nk, weights=nl.astype(np.float64), minlength=m).astype(
+            np.int64
+        )
         nz = np.flatnonzero(cnt)
         return pa.table(
             {
