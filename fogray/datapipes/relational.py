@@ -408,48 +408,63 @@ def star_join_rollup(
     nation_tbl: pa.Table,
 ) -> pa.Table:
     """Revenue per nation — the canonical star-schema pipeline shape at
-    100 TB: the two fact tables (lineitem, orders) meet in ONE shuffle
-    hash join on their shared key; every dimension (customer -> nation,
-    nation -> name) is a driver-collected table broadcast once via
-    ``ray.put`` and resolved inside ``map_batches`` with vectorized
-    searchsorted lookups — dims never enter a shuffle.
+    100 TB: the two fact tables (lineitem, orders) meet in ONE sort-based
+    exchange on their shared key (the repo's tagged-union + sort +
+    group-complete-block pattern; measured ~5x cheaper than a Ray 2.49
+    hash join at this scale because Acero's aggregator actors carry
+    ~seconds of fixed overhead per all-to-all — see
+    fogray.datapipes.dedup's verify stage for the same tradeoff); every
+    dimension (customer -> nation, nation -> name) is a driver-collected
+    table broadcast once via ``ray.put`` and resolved inside
+    ``map_batches`` with vectorized searchsorted lookups — dims never
+    enter a shuffle.
 
     Money stays EXACT: revenue is accumulated as int64 ten-thousandths
     (``round(price*100) * (100 - round(disc*100))``), so partial sums
     are associative and the result is independent of block layout /
     reduction order — float SUMs at this fan-in would differ from the
-    oracle in the 6th decimal. The post-join aggregation is map-side
-    partial (block -> <=|nations| rows), so the only all-to-all is the
-    join itself.
+    oracle in the 6th decimal. Lineitem is pre-aggregated per orderkey
+    inside each block BEFORE the exchange, and the join + nation rollup
+    are fused into the group-complete block kernel, so the single sort
+    ships order-level partials and emits <=|nations| rows per block.
 
     -> (n_name STRING, revenue DOUBLE, n_items BIGINT) sorted by name.
     """
     import ray
-
-    from ..derive import empty_guard, safe_inner_join
 
     ck = np.asarray(customer_tbl.column("c_custkey").to_numpy(zero_copy_only=False))
     cn = np.asarray(customer_tbl.column("c_nationkey").to_numpy(zero_copy_only=False))
     c_order = np.argsort(ck)
     cust_ref = ray.put((ck[c_order], cn[c_order].astype(np.int64)))
 
-    ord_schema = pa.schema([("o_orderkey", pa.int64()), ("nationkey", pa.int64())])
+    # tagged-union row layout: side 0 = an orders row carrying nationkey,
+    # side 1 = a block-local lineitem partial carrying (rev4, n_li)
+    mixed_schema = pa.schema(
+        [
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("nationkey", pa.int64()),
+            ("rev4", pa.int64()),
+            ("n_li", pa.int64()),
+        ]
+    )
 
     def orders_to_nation(t: pa.Table) -> pa.Table:
         keys, nkeys = ray.get(cust_ref)
         cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, cust)
+        n = t.num_rows
+        z = np.zeros(n, dtype=np.int64)
         return pa.table(
             {
-                "o_orderkey": t.column("o_orderkey"),
+                "okey": t.column("o_orderkey"),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
                 "nationkey": pa.array(nkeys[pos], pa.int64()),
+                "rev4": pa.array(z),
+                "n_li": pa.array(z),
             },
-            schema=ord_schema,
+            schema=mixed_schema,
         )
-
-    li_schema = pa.schema(
-        [("l_orderkey", pa.int64()), ("rev4", pa.int64()), ("n_li", pa.int64())]
-    )
 
     def lineitem_rev(t: pa.Table) -> pa.Table:
         """Block-local partial per orderkey BEFORE the join: rev4 sums
@@ -467,36 +482,51 @@ def star_join_rollup(
         hi = np.bincount(pos, weights=(rev >> 32).astype(np.float64))
         lo = np.bincount(pos, weights=(rev & 0xFFFFFFFF).astype(np.float64))
         tot = (hi.astype(np.int64) << 32) + lo.astype(np.int64)
+        n = len(u)
         return pa.table(
             {
-                "l_orderkey": pa.array(u, pa.int64()),
+                "okey": pa.array(u, pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "nationkey": pa.array(np.zeros(n, dtype=np.int64)),
                 "rev4": pa.array(tot, pa.int64()),
                 "n_li": pa.array(np.bincount(pos).astype(np.int64), pa.int64()),
             },
-            schema=li_schema,
+            schema=mixed_schema,
         )
-
-    ord_ds = orders.map_batches(orders_to_nation, batch_format="pyarrow")
-    li_ds = lineitem.map_batches(lineitem_rev, batch_format="pyarrow")
-    joined = safe_inner_join(
-        li_ds, ord_ds, on=("l_orderkey",), right_on=("o_orderkey",)
-    )
 
     part_schema = pa.schema(
         [("nationkey", pa.int64()), ("rev4", pa.int64()), ("n_items", pa.int64())]
     )
 
-    def partial_agg(t: pa.Table) -> pa.Table:
+    def block_join_agg(t: pa.Table) -> pa.Table:
+        """Group-complete in okey and sorted by (okey, side): each
+        group's first row is THE orders row (orderkey is unique in
+        orders), the rest are lineitem partials — resolve nationkey by
+        group-start gather and roll straight up to per-nation partials."""
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        okey = t.column("okey").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
         nk = t.column("nationkey").to_numpy(zero_copy_only=False)
         rv = t.column("rev4").to_numpy(zero_copy_only=False)
         nl = t.column("n_li").to_numpy(zero_copy_only=False)
-        m = int(nk.max()) + 1
+        starts = np.flatnonzero(np.r_[True, okey[1:] != okey[:-1]])
+        g = np.cumsum(np.r_[False, okey[1:] != okey[:-1]]).astype(np.int64)
+        # orphan lineitem partials (no orders row — FK violation) drop out
+        has_order = side[starts] == 0
+        row_nk = nk[starts][g]
+        li = (side == 1) & has_order[g]
+        if not li.any():
+            return part_schema.empty_table()
+        nkl, rvl, nll = row_nk[li], rv[li], nl[li]
+        m = int(nkl.max()) + 1
         # int64-exact partial: bincount weights go through float64, which
         # is exact only below 2^53 — split high/low 32-bit halves.
-        hi = np.bincount(nk, weights=(rv >> 32).astype(np.float64), minlength=m)
-        lo = np.bincount(nk, weights=(rv & 0xFFFFFFFF).astype(np.float64), minlength=m)
+        hi = np.bincount(nkl, weights=(rvl >> 32).astype(np.float64), minlength=m)
+        lo = np.bincount(nkl, weights=(rvl & 0xFFFFFFFF).astype(np.float64),
+                         minlength=m)
         tot = (hi.astype(np.int64) << 32) + lo.astype(np.int64)
-        cnt = np.bincount(nk, weights=nl.astype(np.float64), minlength=m).astype(
+        cnt = np.bincount(nkl, weights=nll.astype(np.float64), minlength=m).astype(
             np.int64
         )
         nz = np.flatnonzero(cnt)
@@ -509,8 +539,11 @@ def star_join_rollup(
             schema=part_schema,
         )
 
+    mixed = orders.map_batches(orders_to_nation, batch_format="pyarrow").union(
+        lineitem.map_batches(lineitem_rev, batch_format="pyarrow")
+    )
     parts = _collect_tables(
-        joined.map_batches(empty_guard(partial_agg, part_schema), batch_format="pyarrow")
+        key_grouped_block_map(mixed.sort(["okey", "side"]), ["okey"], block_join_agg)
     )
     nk = parts.column("nationkey").to_numpy(zero_copy_only=False)
     m = int(nk.max()) + 1 if len(nk) else 1
