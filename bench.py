@@ -176,6 +176,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "dd_minhash_lsh",
         "dd_simhash",
         "dd_cluster",
+        "dd_incremental",
         "dd_ngram_jaccard",
         "dd_embed_cosine",
         "ann_topk",

@@ -387,6 +387,36 @@ def q_agg_histogram(sf_dir: str) -> pa.Table:
     return relational.fixed_width_histogram(orders, "o_totalprice", 20000.0)
 
 
+def q_dd_incremental(sf_dir: str) -> pa.Table:
+    """Incremental snapshot dedup via the distributed ANTI join
+    (fogray.datapipes.relational.key_anti_semi_join): split the corpus
+    into deterministic old/new snapshots (doc_id % 3) and keep only the
+    new-snapshot docs whose text does not appear in the old one."""
+    import pyarrow.compute as pc
+
+    from . import relational
+    from ..util import sorted_table
+
+    def _split(keep_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 3 == 0) == keep_new
+            return t.filter(pa.array(m))
+
+        return f
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+    new = docs.map_batches(_split(True), batch_format="pyarrow")
+    old = docs.map_batches(_split(False), batch_format="pyarrow")
+    out = relational.key_anti_semi_join(new, old, key_col="text")
+    t = _collect(
+        out.map_batches(
+            lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+        )
+    )
+    return sorted_table(t, ["doc_id"])
+
+
 def q_corpus_curate(sf_dir: str) -> pa.Table:
     """End-to-end curation pipeline (fogray.datapipes.curate): quality
     filter -> exact dedup of survivors -> deterministic hash sample, one
@@ -532,6 +562,7 @@ QUERIES = {
     "dd_minhash_lsh": q_dd_minhash_lsh,
     "dd_simhash": q_dd_simhash,
     "dd_cluster": q_dd_cluster,
+    "dd_incremental": q_dd_incremental,
     "dd_embed_cosine": q_dd_embed_cosine,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -1179,6 +1210,13 @@ ORACLE_SQL = {
         FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
         JOIN s ON s.rn = CAST(FLOOR(t.q * (s.n - 1)) AS BIGINT)
         ORDER BY t.q
+    """,
+    "dd_incremental": r"""
+        SELECT b.doc_id, b.source FROM documents b
+        WHERE b.doc_id % 3 = 0
+          AND NOT EXISTS (SELECT 1 FROM documents a
+                          WHERE a.doc_id % 3 <> 0 AND a.text = b.text)
+        ORDER BY b.doc_id
     """,
     "rel_group_quantiles": r"""
         WITH s AS (

@@ -725,3 +725,72 @@ def grouped_quantiles(
 
     sorted_ds = ds.select_columns([group_col, col]).sort([group_col, col])
     return key_grouped_block_map(sorted_ds, [group_col], block_quants)
+
+
+# ---------------------------------------------------------------------------
+# distributed anti/semi join: one sort-based exchange, no hash join
+# ---------------------------------------------------------------------------
+
+
+def key_anti_semi_join(
+    left, right, *, key_col: str, semi: bool = False
+) -> rd.Dataset:
+    """ANTI (default) or SEMI join of ``left`` against ``right`` on one
+    key column: keep a left row iff its key does NOT (anti) / DOES
+    (semi) appear in ``right``. The canonical incremental-corpus
+    primitive — "which new-snapshot documents are genuinely new" — and
+    the held-out-split complement.
+
+    Dataflow: the same tagged-union + ONE sort + group-complete pattern
+    as the star join and the as-of join (a Ray hash join would pay
+    seconds of aggregator fixed cost for the same single all-to-all).
+    Right rows are projected to the BARE KEY before the exchange (the
+    probe side ships keys, never payloads) and block-locally deduped, so
+    the sort carries |left| + |distinct right keys per block| rows.
+    Duplicate left keys all survive (or all drop) together, matching
+    SQL (NOT) EXISTS semantics."""
+    left_cols = list(left.schema().names)
+    if key_col not in left_cols:
+        raise ValueError("left side must carry key_col")
+    left_schema = left.schema().base_schema
+    mixed_schema = pa.schema(
+        [left_schema.field(c) for c in left_cols] + [("__side", pa.int8())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.select(left_cols).append_column(
+            "__side", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        ).cast(mixed_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        u = keys.unique()  # block-local probe dedup
+        cols = {}
+        for c in left_cols:
+            f = left_schema.field(c)
+            cols[c] = u.cast(f.type) if c == key_col else pa.nulls(len(u), f.type)
+        cols["__side"] = pa.array(np.zeros(len(u), dtype=np.int8))
+        return pa.table(cols, schema=mixed_schema)
+
+    out_schema = pa.schema([left_schema.field(c) for c in left_cols])
+
+    def block_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        key = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        order = np.lexsort((side, key))
+        ks, ss = key[order], side[order]
+        starts = np.r_[True, ks[1:] != ks[:-1]]
+        g = np.cumsum(starts).astype(np.int64) - 1
+        # group has a right row iff its first row (side sorts 0-first)
+        # is side 0
+        has_right = ss[np.flatnonzero(starts)] == 0
+        keep_left = (ss == 1) & (has_right[g] if semi else ~has_right[g])
+        rows = np.sort(order[keep_left])
+        return t.select(left_cols).take(pa.array(rows))
+
+    mixed = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return key_grouped_block_map(mixed.sort([key_col]), [key_col], block_filter)

@@ -30,6 +30,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     ["txt_stats", "txt_fingerprint", "txt_langid", "txt_quality",
      "txt_top_tokens", "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "agg_hll_by_type", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
+     "dd_incremental",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "emb_kmeans", "mm_features",
      "mm_frames",
      "rel_topk",
@@ -683,6 +684,38 @@ def test_star_join_rollup_brute_force(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_anti_semi_join_semantics(ray_session):
+    """ANTI keeps exactly the left rows whose key is absent from the
+    right (duplicates together); SEMI keeps the complement; the two
+    partition the left side. Checked against a pandas brute force over
+    a layout with duplicate keys on both sides."""
+    import ray.data as rd
+    from fogray.datapipes import relational as rel
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 40, 300)
+    rk = rng.integers(20, 60, 200)
+    left = pa.table({"k": lk.astype(str), "v": np.arange(300, dtype=np.int64)})
+    right = pa.table({"k": rk.astype(str), "w": np.arange(200, dtype=np.int64)})
+    lds = rd.from_arrow(left).repartition(5)
+    rds = rd.from_arrow(right).repartition(3)
+    import ray as _r
+
+    def collect(ds):
+        return pa.concat_tables(
+            _r.get(ds.materialize().to_arrow_refs()), promote_options="default"
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+
+    anti = collect(rel.key_anti_semi_join(lds, rds, key_col="k"))
+    semi = collect(rel.key_anti_semi_join(lds, rds, key_col="k", semi=True))
+    rset = set(rk.astype(str))
+    want_anti = [v for k, v in zip(lk.astype(str), range(300)) if k not in rset]
+    want_semi = [v for k, v in zip(lk.astype(str), range(300)) if k in rset]
+    assert anti.v.tolist() == want_anti
+    assert semi.v.tolist() == want_semi
+    assert len(anti) + len(semi) == 300
 
 
 def test_curate_corpus_semantics(ray_session):
