@@ -177,6 +177,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "dd_simhash",
         "dd_cluster",
         "dd_incremental",
+        "feat_assemble",
         "dd_ngram_jaccard",
         "dd_embed_cosine",
         "ann_topk",

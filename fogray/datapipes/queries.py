@@ -387,6 +387,43 @@ def q_agg_histogram(sf_dir: str) -> pa.Table:
     return relational.fixed_width_histogram(orders, "o_totalprice", 20000.0)
 
 
+def q_feat_assemble(sf_dir: str) -> pa.Table:
+    """Training-feature assembly: per-doc quality stats joined 1:1 to
+    embedding norms via the generic sort-exchange dimension join
+    (fogray.datapipes.relational.sorted_key_join). Both sides are
+    projected to tiny feature rows BEFORE the exchange — the list
+    embedding never ships."""
+    from . import relational
+    from .text import quality_score_batch
+    from ..util import sorted_table, sql_round
+
+    def doc_feats(t: pa.Table) -> pa.Table:
+        q = quality_score_batch(t)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "q_score": q.column("q_score"),
+            }
+        )
+
+    def emb_norm(t: pa.Table) -> pa.Table:
+        from ..util import list_col_matrix
+
+        v = list_col_matrix(t.column("embedding"), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("vec_id"),
+                "emb_norm": pa.array(sql_round(np.sqrt((v * v).sum(axis=1)))),
+            }
+        )
+
+    left = _docs(sf_dir).map_batches(doc_feats, batch_format="pyarrow")
+    right = _embs(sf_dir).map_batches(emb_norm, batch_format="pyarrow")
+    t = _collect(relational.sorted_key_join(left, right, key_col="doc_id"))
+    return sorted_table(t, ["doc_id"])
+
+
 def q_dd_incremental(sf_dir: str) -> pa.Table:
     """Incremental snapshot dedup via the distributed ANTI join
     (fogray.datapipes.relational.key_anti_semi_join): split the corpus
@@ -563,6 +600,7 @@ QUERIES = {
     "dd_simhash": q_dd_simhash,
     "dd_cluster": q_dd_cluster,
     "dd_incremental": q_dd_incremental,
+    "feat_assemble": q_feat_assemble,
     "dd_embed_cosine": q_dd_embed_cosine,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -1210,6 +1248,36 @@ ORACLE_SQL = {
         FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
         JOIN s ON s.rn = CAST(FLOOR(t.q * (s.n - 1)) AS BIGINT)
         ORDER BY t.q
+    """,
+    "feat_assemble": r"""
+        WITH s AS MATERIALIZED (
+            SELECT doc_id, n_chars,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                   length(regexp_split_to_array(text, '\s+')) AS nt,
+                   length(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       t -> t IN ('a','an','and','in','is','it','of','or',
+                                  'the','to'))) AS n_stop
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, n_chars,
+                   ROUND(LEAST(1.0, n_bpe / 200.0)
+                         * (1.0 - 0.5 * (n_stop / GREATEST(nt, 1))), 6)
+                       AS q_score
+            FROM s
+        ),
+        e AS (
+            SELECT vec_id,
+                   ROUND(sqrt(list_dot_product(v, v)), 6) AS emb_norm
+            FROM (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings)
+        )
+        SELECT d.doc_id, d.n_chars, d.q_score, e.emb_norm
+        FROM d JOIN e ON e.vec_id = d.doc_id
+        ORDER BY d.doc_id
     """,
     "dd_incremental": r"""
         SELECT b.doc_id, b.source FROM documents b

@@ -794,3 +794,79 @@ def key_anti_semi_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
     return key_grouped_block_map(mixed.sort([key_col]), [key_col], block_filter)
+
+
+def sorted_key_join(left, right, *, key_col: str) -> rd.Dataset:
+    """Generic INNER equi-join against a key-unique right side (the
+    dimension/feature-attach shape): every left row picks up the right
+    row sharing its key; left rows with no match drop. Right keys MUST
+    be unique — the group-complete kernel uses the group's first row as
+    THE right row (sort places side 0 first), which is exactly the
+    1:N dimension-join contract.
+
+    Same single-all-to-all dataflow as the star/asof/anti joins: tagged
+    union + ONE sort by (key, side) + group-complete attach — no Acero
+    hash-join aggregator costs. Project both sides to needed columns
+    BEFORE calling (the exchange ships whatever you pass).
+
+    Output: all left columns, then right's non-key columns."""
+    left_cols = list(left.schema().names)
+    right_cols = [c for c in right.schema().names if c != key_col]
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    mixed_schema = pa.schema(
+        [left_schema.field(c) for c in left_cols]
+        + [right_schema.field(c) for c in right_cols]
+        + [("__side", pa.int8())]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in left_cols}
+        for c in right_cols:
+            cols[c] = pa.nulls(t.num_rows, right_schema.field(c).type)
+        cols["__side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols, schema=mixed_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            f = left_schema.field(c)
+            cols[c] = (t.column(key_col).cast(f.type) if c == key_col
+                       else pa.nulls(t.num_rows, f.type))
+        for c in right_cols:
+            cols[c] = t.column(c)
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols, schema=mixed_schema)
+
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in left_cols]
+        + [right_schema.field(c) for c in right_cols]
+    )
+
+    def block_attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        ks, ss = key[order], side[order]
+        starts_mask = np.r_[True, ks[1:] != ks[:-1]]
+        g = np.cumsum(starts_mask).astype(np.int64) - 1
+        starts = np.flatnonzero(starts_mask)
+        has_right = ss[starts] == 0
+        is_left = ss == 1
+        valid = is_left & has_right[g]
+        lrows = order[valid]
+        rrows = order[starts[g[valid]]]
+        keep = np.argsort(lrows, kind="stable")  # original left order
+        lrows, rrows = lrows[keep], rrows[keep]
+        out = t.select(left_cols).take(pa.array(lrows))
+        for c in right_cols:
+            out = out.append_column(c, t.column(c).take(pa.array(rrows)))
+        return out.cast(out_schema)
+
+    mixed = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return key_grouped_block_map(mixed.sort([key_col, "__side"]), [key_col],
+                                 block_attach)

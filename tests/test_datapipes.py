@@ -30,7 +30,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     ["txt_stats", "txt_fingerprint", "txt_langid", "txt_quality",
      "txt_top_tokens", "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "agg_hll_by_type", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
-     "dd_incremental",
+     "dd_incremental", "feat_assemble",
      "dd_embed_cosine", "ann_topk", "ann_ivf", "emb_kmeans", "mm_features",
      "mm_frames",
      "rel_topk",
@@ -716,6 +716,33 @@ def test_anti_semi_join_semantics(ray_session):
     assert anti.v.tolist() == want_anti
     assert semi.v.tolist() == want_semi
     assert len(anti) + len(semi) == 300
+
+
+def test_sorted_key_join_semantics(ray_session):
+    """Dimension join: duplicate left keys all attach the same right
+    row, unmatched left rows drop, payload dtypes survive."""
+    import ray as _r
+    import ray.data as rd
+    from fogray.datapipes import relational as rel
+
+    left = pa.table({
+        "k": np.array([3, 1, 3, 7, 5], dtype=np.int64),
+        "v": np.arange(5, dtype=np.int64),
+    })
+    right = pa.table({
+        "k": np.array([1, 3, 5], dtype=np.int64),
+        "name": ["one", "three", "five"],
+        "w": np.array([0.5, 1.5, 2.5]),
+    })
+    out = rel.sorted_key_join(
+        rd.from_arrow(left).repartition(2), rd.from_arrow(right), key_col="k"
+    )
+    got = pa.concat_tables(
+        _r.get(out.materialize().to_arrow_refs()), promote_options="default"
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    assert got.v.tolist() == [0, 1, 2, 4]  # k=7 dropped
+    assert got.name.tolist() == ["three", "one", "three", "five"]
+    assert got.w.tolist() == [1.5, 0.5, 1.5, 2.5]
 
 
 def test_curate_corpus_semantics(ray_session):
