@@ -163,6 +163,8 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "scc",
         "out_degrees",
         "src_adjlist",
+        "src_csv",
+        "src_jsonl",
         "det_weights",
         "graph_meta",
         "repo_derive_edges",

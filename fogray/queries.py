@@ -551,6 +551,73 @@ def _edgelist_fixture(sf_dir: str) -> str:
     return base
 
 
+@functools.lru_cache(maxsize=4)
+def _csv_fixture(sf_dir: str) -> str:
+    """Sharded CSV fixture (src,dst with header per shard) of the
+    co-occurrence graph — scratch under /tmp, atomic, cached."""
+    import pyarrow.csv as pacsv
+
+    t = sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"]).select(["src", "dst"])
+    base = f"/tmp/fogray_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    tmp = f"{base}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    shards = max(1, min(16, t.num_rows // 50_000))
+    for i in range(shards):
+        a = (t.num_rows * i) // shards
+        b = (t.num_rows * (i + 1)) // shards
+        pacsv.write_csv(t.slice(a, b - a), os.path.join(tmp, f"part-{i:05d}.csv"))
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base)
+    os.replace(tmp, base)
+    return base
+
+
+@functools.lru_cache(maxsize=4)
+def _jsonl_fixture(sf_dir: str) -> str:
+    """Sharded JSONL fixture of the co-occurrence graph — scratch under
+    /tmp, atomic, cached. Serialized via pandas to_json(lines=True)."""
+    t = sorted_table(cooccurrence_edges(sf_dir), ["src", "dst"]).select(["src", "dst"])
+    base = f"/tmp/fogray_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    tmp = f"{base}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    df = t.to_pandas()
+    shards = max(1, min(16, len(df) // 50_000))
+    for i in range(shards):
+        a = (len(df) * i) // shards
+        b = (len(df) * (i + 1)) // shards
+        df.iloc[a:b].to_json(
+            os.path.join(tmp, f"part-{i:05d}.json"), orient="records", lines=True
+        )
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base)
+    os.replace(tmp, base)
+    return base
+
+
+def q_src_csv(sf_dir: str) -> pa.Table:
+    """Round-trip conformance for the CSV edge source
+    (fogray.sources.read_edges_csv)."""
+    from . import sources
+
+    parsed = pa.concat_tables(_collect(sources.read_edges_csv(_csv_fixture(sf_dir))))
+    return sorted_table(parsed.select(["src", "dst"]), ["src", "dst"])
+
+
+def q_src_jsonl(sf_dir: str) -> pa.Table:
+    """Round-trip conformance for the JSONL edge source
+    (fogray.sources.read_edges_jsonl)."""
+    from . import sources
+
+    parsed = pa.concat_tables(
+        _collect(sources.read_edges_jsonl(_jsonl_fixture(sf_dir)))
+    )
+    return sorted_table(parsed.select(["src", "dst"]), ["src", "dst"])
+
+
 def q_src_adjlist(sf_dir: str) -> pa.Table:
     """Round-trip conformance for the adjacency-list reader
     (fogray.sources.read_adjlist, convert/process_adjlist.cpp:32-271):
@@ -787,6 +854,8 @@ ORACLE_SQL: dict[str, str] = {
     "derive_edges": f"SELECT src, dst, weight FROM ({_COOC_SQL}) ORDER BY src, dst",
     "src_edgelist": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
     "src_adjlist": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
+    "src_csv": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
+    "src_jsonl": f"SELECT src, dst FROM ({_COOC_SQL}) ORDER BY src, dst",
     "det_weights": _DET_W_SQL.replace(
         "__EDGES__", f"(SELECT src, dst FROM ({_COOC_SQL}))"
     )
@@ -1029,6 +1098,8 @@ QUERIES = {
     "derive_edges": q_derive_edges,
     "src_edgelist": q_src_edgelist,
     "src_adjlist": q_src_adjlist,
+    "src_csv": q_src_csv,
+    "src_jsonl": q_src_jsonl,
     "det_weights": q_det_weights,
     "graph_meta": q_graph_meta,
     "out_degrees": q_out_degrees,

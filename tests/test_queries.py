@@ -47,7 +47,7 @@ def _compare(name, con):
     "derive_edges", "out_degrees", "pagerank", "ppr", "hits", "kcore",
     "connected_components", "label_propagation", "bfs", "sssp_tree",
     "spmv", "triangle_count", "clustering", "scan_similarity", "ktruss",
-    "graph_walks", "scc",
+    "graph_walks", "scc", "src_csv", "src_jsonl",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)

@@ -115,3 +115,32 @@ def test_engine_over_text_source(ray_session, edge_file):
     np.testing.assert_allclose(
         res.state["rank"], orc.pagerank_fog(src, dst, n, 5), rtol=1e-6
     )
+
+
+def test_read_edges_csv_and_jsonl(ray_session, tmp_path):
+    """CSV and JSONL edge sources parse to the same (src, dst) set as
+    the text edge-list, with deterministic weights matching."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import ray
+
+    t = pa.table({"src": np.array([0, 0, 1, 3, 2], dtype=np.int64),
+                  "dst": np.array([1, 2, 2, 0, 2], dtype=np.int64)})
+    csv_dir = tmp_path / "csv"; csv_dir.mkdir()
+    pacsv.write_csv(t, str(csv_dir / "part-0.csv"))
+    jl_dir = tmp_path / "jl"; jl_dir.mkdir()
+    t.to_pandas().to_json(str(jl_dir / "part-0.json"), orient="records",
+                          lines=True)
+
+    def collect(ds):
+        tt = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()),
+                              promote_options="default")
+        df = tt.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        return df
+
+    c = collect(sources.read_edges_csv(str(csv_dir), weighted=True))
+    j = collect(sources.read_edges_jsonl(str(jl_dir), weighted=True))
+    assert c[["src", "dst"]].values.tolist() == sorted(
+        [[0, 1], [0, 2], [1, 2], [3, 0], [2, 2]]
+    )
+    assert c.values.tolist() == j.values.tolist()  # incl. det weights
