@@ -434,18 +434,33 @@ def q_dd_incremental(sf_dir: str) -> pa.Table:
     from . import relational
     from ..util import sorted_table
 
+    import hashlib
+
     def _split(keep_new: bool):
         def f(t: pa.Table) -> pa.Table:
+            """Snapshot filter + sha256 content key: the anti join then
+            exchanges 64-hex keys, never document bodies."""
             ids = t.column("doc_id").to_numpy(zero_copy_only=False)
             m = (ids % 3 == 0) == keep_new
-            return t.filter(pa.array(m))
+            t = t.filter(pa.array(m))
+            shas = [
+                hashlib.sha256(c.encode()).hexdigest()
+                for c in t.column("text").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "sha": pa.array(shas, pa.string()),
+                    "source": t.column("source"),
+                }
+            )
 
         return f
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
     new = docs.map_batches(_split(True), batch_format="pyarrow")
     old = docs.map_batches(_split(False), batch_format="pyarrow")
-    out = relational.key_anti_semi_join(new, old, key_col="text")
+    out = relational.key_anti_semi_join(new, old, key_col="sha")
     t = _collect(
         out.map_batches(
             lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
