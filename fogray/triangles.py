@@ -33,6 +33,28 @@ from .engine import expand_ranges
 from .util import from_arrow_chunked
 
 
+def _apex_wedges(ids: np.ndarray, offs: np.ndarray, nb: np.ndarray):
+    """Wedge enumeration for an ARBITRARY apex-rank id set: returns
+    (apexes, firsts, seconds), one entry per wedge (first < second in
+    CSR order under the apex). Derives every position from ``ids``
+    itself — NO contiguity assumption: Ray Data may bundle
+    non-adjacent `range` blocks into one map task under memory
+    pressure, and the previous ``[ids[0], ids[-1]]`` span would then
+    enumerate apexes the batch does not own (double-counting across
+    tasks, the same executor-layout trap as the round-1 evt_sessions
+    flake in derive.key_grouped_block_map)."""
+    ids = ids.astype(np.int64, copy=False)
+    sizes = offs[ids + 1] - offs[ids]
+    pos = expand_ranges(offs[ids], offs[ids + 1])
+    apex_per_pos = np.repeat(ids, sizes)
+    end_per_pos = np.repeat(offs[ids + 1], sizes)
+    wedge_n = end_per_pos - pos - 1
+    firsts = np.repeat(nb[pos], wedge_n)
+    apexes = np.repeat(apex_per_pos, wedge_n)
+    seconds = nb[expand_ranges(pos + 1, end_per_pos)]
+    return apexes, firsts, seconds
+
+
 def _normalize(batch: pa.Table) -> pa.Table:
     s = batch.column("src").to_numpy(zero_copy_only=False)
     d = batch.column("dst").to_numpy(zero_copy_only=False)
@@ -127,15 +149,7 @@ def triangle_count(edges, n: int, closure: str = "auto") -> int:
             (nbrs[p], nbrs[p+1 .. end-of-apex])."""
             offs, nb = ray.get(csr_ref)
             ids = t.column("id").to_numpy(zero_copy_only=False)
-            lo, hi = int(ids[0]), int(ids[-1]) + 1
-            p0, p1 = offs[lo], offs[hi]
-            if p1 - p0 < 2:
-                return pa.table({"tri": np.array([0], dtype=np.int64)})
-            pos = np.arange(p0, p1, dtype=np.int64)
-            apex_sizes = offs[lo + 1 : hi + 1] - offs[lo:hi]
-            apex_end = np.repeat(offs[lo + 1 : hi + 1], apex_sizes)
-            firsts = np.repeat(nb[pos], apex_end - pos - 1)
-            seconds = nb[expand_ranges(pos + 1, apex_end)]
+            _, firsts, seconds = _apex_wedges(ids, offs, nb)
             if len(firsts) == 0:
                 return pa.table({"tri": np.array([0], dtype=np.int64)})
             nn = np.int64(len(offs) - 1)
@@ -231,24 +245,12 @@ def triangle_per_vertex(edges, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarr
     def count_block(t: pa.Table) -> pa.Table:
         offs, nb = ray.get(csr_ref)
         ids = t.column("id").to_numpy(zero_copy_only=False)
-        lo, hi = int(ids[0]), int(ids[-1]) + 1
-        p0, p1 = offs[lo], offs[hi]
         empty = pa.table(
             {"rank": pa.array([], pa.int64()), "tri": pa.array([], pa.int64())}
         )
-        if p1 - p0 < 2:
-            return empty
-        pos = np.arange(p0, p1, dtype=np.int64)
-        apex_sizes = offs[lo + 1 : hi + 1] - offs[lo:hi]
-        apex_end = np.repeat(offs[lo + 1 : hi + 1], apex_sizes)
-        wedge_n = apex_end - pos - 1
-        firsts = np.repeat(nb[pos], wedge_n)
+        apexes, firsts, seconds = _apex_wedges(ids, offs, nb)
         if len(firsts) == 0:
             return empty
-        apexes = np.repeat(
-            np.repeat(np.arange(lo, hi, dtype=np.int64), apex_sizes), wedge_n
-        )
-        seconds = nb[expand_ranges(pos + 1, apex_end)]
         nn = np.int64(len(offs) - 1)
         wk = firsts * nn + seconds
         m = ray.get(member_ref)
@@ -367,24 +369,12 @@ def triangle_per_edge(edges, n: int):
     def count_block(t: pa.Table) -> pa.Table:
         offs, nb = ray.get(csr_ref)
         ids = t.column("id").to_numpy(zero_copy_only=False)
-        lo, hi = int(ids[0]), int(ids[-1]) + 1
-        p0, p1 = offs[lo], offs[hi]
         empty = pa.table(
             {"ek": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
         )
-        if p1 - p0 < 2:
-            return empty
-        pos = np.arange(p0, p1, dtype=np.int64)
-        apex_sizes = offs[lo + 1 : hi + 1] - offs[lo:hi]
-        apex_end = np.repeat(offs[lo + 1 : hi + 1], apex_sizes)
-        wedge_n = apex_end - pos - 1
-        firsts = np.repeat(nb[pos], wedge_n)
+        apexes, firsts, seconds = _apex_wedges(ids, offs, nb)
         if len(firsts) == 0:
             return empty
-        apexes = np.repeat(
-            np.repeat(np.arange(lo, hi, dtype=np.int64), apex_sizes), wedge_n
-        )
-        seconds = nb[expand_ranges(pos + 1, apex_end)]
         nn = np.int64(len(offs) - 1)
         wk = firsts * nn + seconds
         m = ray.get(member_ref)
@@ -425,8 +415,11 @@ def triangle_per_edge(edges, n: int):
     if parts.num_rows:
         pk = parts.column("ek").to_numpy(zero_copy_only=False)
         pc_ = parts.column("c").to_numpy(zero_copy_only=False)
-        at = np.searchsorted(sorted_keys, pk)
-        # every attributed key IS an edge of the simple graph
+        at = np.minimum(np.searchsorted(sorted_keys, pk), len(sorted_keys) - 1)
+        # every attributed key IS an edge of the simple graph — fail
+        # LOUDLY if attribution ever drifts rather than mis-adding
+        if not (sorted_keys[at] == pk).all():
+            raise AssertionError("triangle attribution produced a non-edge key")
         np.add.at(common, eorder[at], pc_)
     return a, b, common, deg
 

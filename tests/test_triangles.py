@@ -90,3 +90,30 @@ def test_ktruss_matches_bruteforce(ray_session):
         a, b = ktruss_edges((src, dst), n, k=k, rounds=4)
         got = sorted(zip(a.tolist(), b.tolist()))
         assert got == brute(src, dst, n, k, 4), (seed, k)
+
+
+def test_apex_wedges_noncontiguous_ids(ray_session):
+    """_apex_wedges must enumerate exactly the wedges OWNED by the given
+    apex ids, for any (non-contiguous) id set — Ray can bundle
+    non-adjacent range blocks into one map task, and the old
+    [ids[0], ids[-1]] span double-counted apexes it did not own."""
+    import numpy as np
+    from fogray.triangles import _apex_wedges
+
+    # CSR over 6 ranks: rank r's neighbors (ascending)
+    adj = {0: [1, 2, 3], 1: [2, 4], 2: [5], 3: [], 4: [5], 5: []}
+    offs = np.cumsum([0] + [len(adj[r]) for r in range(6)]).astype(np.int64)
+    nb = np.concatenate([np.array(adj[r], dtype=np.int64) for r in range(6)])
+
+    def brute(ids):
+        out = []
+        for u in ids:
+            ns = adj[u]
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    out.append((u, ns[i], ns[j]))
+        return sorted(out)
+
+    for ids in ([0, 1, 2, 3, 4, 5], [0, 4], [5], [1, 3, 5], [2]):
+        a, f, s = _apex_wedges(np.array(ids, dtype=np.int64), offs, nb)
+        assert sorted(zip(a.tolist(), f.tolist(), s.tolist())) == brute(ids), ids
