@@ -194,6 +194,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "txt_tfidf",
         "agg_hll_users",
         "agg_hll_by_type",
+        "agg_window_hll",
         "txt_cms_tokens",
         "mm_features",
         "mm_frames",

@@ -112,6 +112,42 @@ def q_agg_hll_by_type(sf_dir: str) -> pa.Table:
     return sketches.hll_distinct_by(_events(sf_dir), "event_type", "user_id")
 
 
+def q_agg_window_hll(sf_dir: str) -> pa.Table:
+    """Distinct users per 1-hour tumbling window — the classic
+    streaming-analytics metric, composed from two existing primitives:
+    vectorized window assignment (fogray.datapipes.streams) feeding the
+    grouped HLL sketch (fogray.datapipes.sketches.hll_distinct_by), so
+    the exchange stays |blocks| x windows x <=257 register rows at any
+    event volume."""
+    from . import sketches
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        width_us = 3_600_000_000
+        return pa.table(
+            {
+                "w": pa.array(ts - (ts % width_us), pa.int64()),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(add_window, batch_format="pyarrow")
+    out = sketches.hll_distinct_by(ds, "w", "user_id")
+    w_us = pa.compute.cast(
+        pa.compute.cast(out.column("w"), pa.int64()), pa.timestamp("us")
+    )
+    t = pa.table(
+        {
+            "window_start": w_us,
+            "est_distinct": out.column("est_distinct"),
+            "n_rows": out.column("n_rows"),
+        }
+    )
+    from ..util import sorted_table
+
+    return sorted_table(t, ["window_start"])
+
+
 def q_txt_unigram_nll(sf_dir: str) -> pa.Table:
     return _collect(text.unigram_nll(_docs(sf_dir)))
 
@@ -609,6 +645,7 @@ QUERIES = {
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
     "agg_hll_by_type": q_agg_hll_by_type,
+    "agg_window_hll": q_agg_window_hll,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
     "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -1187,6 +1224,17 @@ ORACLE_SQL = {
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "agg_hll_by_type": _hll_group_oracle_sql("events", "event_type", "user_id"),
+    "agg_window_hll": (
+        "SELECT make_timestamp(CAST(w AS BIGINT)) AS window_start, "
+        "est_distinct, n_rows FROM ("
+        + _hll_group_oracle_sql(
+            "(SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS w, user_id"
+            " FROM events) ev",
+            "w",
+            "user_id",
+        )
+        + ") ORDER BY window_start"
+    ),
     # frame k of the tiled-sha256 payload starts at byte k*48; its first
     # 16 bytes are digest bytes ((k*48 % 32) .. +16) wrapping — i.e. a
     # 32-hex-char substring of sha || sha.
