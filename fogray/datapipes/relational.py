@@ -604,11 +604,14 @@ def exact_quantiles(ds, col: str, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) -> p
     starts = np.cumsum(counts) - counts
     targets = np.array([int(np.floor(q * (n - 1))) for q in qs], dtype=np.int64)
     # blocks from ds.sort are returned in global order (fogray.derive
-    # hardening note) — but do not trust it: verify via first-value keys.
-    firsts = ray.get([_block_first.remote(r, col) for r in refs])
-    order = np.argsort(
-        np.array([f if f is not None else np.inf for f in firsts]), kind="stable"
-    )
+    # hardening note) — but do not trust it: re-derive the order from
+    # each block's (first, last) values. The LAST value breaks ties
+    # when an equal-value run spans blocks (a pure [v..v] block must
+    # precede a mixed [v..x] block for positional indexing to hold).
+    bounds = ray.get([_block_bounds.remote(r, col) for r in refs])
+    firsts = np.array([b[0] if b[0] is not None else np.inf for b in bounds])
+    lasts = np.array([b[1] if b[1] is not None else np.inf for b in bounds])
+    order = np.lexsort((lasts, firsts))
     counts = counts[order]
     starts = np.cumsum(counts) - counts
     refs = [refs[i] for i in order]
@@ -632,8 +635,11 @@ def _block_count(t: pa.Table) -> int:
 
 
 @_ray.remote
-def _block_first(t: pa.Table, col: str):
-    return t.column(col)[0].as_py() if t.num_rows else None
+def _block_bounds(t: pa.Table, col: str):
+    if t.num_rows == 0:
+        return (None, None)
+    c = t.column(col)
+    return (c[0].as_py(), c[-1].as_py())
 
 
 @_ray.remote
@@ -704,17 +710,21 @@ def grouped_quantiles(
     qarr = np.asarray(qs, dtype=np.float64)
 
     def block_quants(t: pa.Table) -> pa.Table:
-        gcol = t.column(group_col)
-        g = np.asarray(gcol.to_pylist(), dtype=object)
+        g = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        v = np.asarray(t.column(col).to_pylist(), dtype=object)
+        # re-sort by (group, value): the planner guarantees each group is
+        # COMPLETE in this block but (like every group-complete kernel
+        # here) cross-block value order inside a group is not trusted
+        order = np.lexsort((v, g))
+        g = g[order]
         starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         ends = np.r_[starts[1:], len(g)]
         rows, out_q = [], []
         for s, e in zip(starts, ends):
-            # rows arrive sorted by (group, value): offset pick only
             idx = s + np.floor(qarr * (e - s - 1)).astype(np.int64)
             rows.extend(idx.tolist())
             out_q.extend(qarr.tolist())
-        taken = t.take(pa.array(np.asarray(rows, dtype=np.int64)))
+        taken = t.take(pa.array(order[np.asarray(rows, dtype=np.int64)]))
         return pa.table(
             {
                 group_col: taken.column(group_col),
