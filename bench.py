@@ -205,6 +205,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "corpus_curate",
         "rel_quantiles",
         "rel_group_quantiles",
+        "rel_pivot",
         "agg_histogram",
         "evt_window",
         "evt_sliding",

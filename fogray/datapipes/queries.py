@@ -528,6 +528,25 @@ def q_rel_stratified(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["source", "rk"])
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_rel_pivot(sf_dir: str) -> pa.Table:
+    """Pivoted per-user event-type counts
+    (fogray.datapipes.relational.pivot_counts) — the one-hot feature
+    table shape."""
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.pivot_counts(
+            _events(sf_dir), group_col="user_id", pivot_col="event_type",
+            values=_EVENT_TYPES,
+        )
+    )
+    return sorted_table(t, ["user_id"])
+
+
 def q_evt_window(sf_dir: str) -> pa.Table:
     from . import streams
     from ..util import sorted_table
@@ -666,6 +685,7 @@ QUERIES = {
     "mm_frames": q_mm_frames,
     "rel_quantiles": q_rel_quantiles,
     "rel_group_quantiles": q_rel_group_quantiles,
+    "rel_pivot": q_rel_pivot,
     "agg_histogram": q_agg_histogram,
     "evt_window": q_evt_window,
     "evt_sliding": q_evt_sliding,
@@ -1348,6 +1368,16 @@ ORACLE_SQL = {
           AND NOT EXISTS (SELECT 1 FROM documents a
                           WHERE a.doc_id % 3 <> 0 AND a.text = b.text)
         ORDER BY b.doc_id
+    """,
+    "rel_pivot": r"""
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
     "rel_group_quantiles": r"""
         WITH s AS (

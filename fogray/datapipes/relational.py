@@ -880,3 +880,67 @@ def sorted_key_join(left, right, *, key_col: str) -> rd.Dataset:
     )
     return key_grouped_block_map(mixed.sort([key_col, "__side"]), [key_col],
                                  block_attach)
+
+
+def pivot_counts(
+    ds, *, group_col: str, pivot_col: str, values: tuple
+) -> rd.Dataset:
+    """Pivot ``pivot_col``'s (known, enumerated) values into count
+    columns per group — the one-hot / feature-engineering shape. Fully
+    decomposable: each block emits one partial row per group present
+    (counts vectorized via a fused group x value bincount), then ONE
+    sort by group + group-complete summation folds partials. The
+    exchange carries |blocks| x groups-per-block rows of |values|+1
+    ints, never raw events.
+
+    -> (group_col, n_<value>... BIGINT, n_total BIGINT) one row/group."""
+    vlist = list(values)
+    cols = [f"n_{v}" for v in vlist]
+    part_schema = pa.schema(
+        [(group_col, pa.int64())]
+        + [(c, pa.int64()) for c in cols]
+        + [("n_total", pa.int64())]
+    )
+    val_arr = pa.array(vlist, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        code = pc.index_in(
+            t.column(pivot_col).cast(pa.string()), value_set=val_arr
+        ).to_numpy(zero_copy_only=False)
+        u, pos = np.unique(g, return_inverse=True)
+        k = len(vlist)
+        known = ~np.isnan(code.astype(np.float64)) if code.dtype.kind == "f" else (
+            code != -1
+        )
+        code_i = np.where(known, code, 0).astype(np.int64)
+        fused = np.bincount(
+            pos[known] * k + code_i[known], minlength=len(u) * k
+        ).reshape(len(u), k)
+        total = np.bincount(pos, minlength=len(u)).astype(np.int64)
+        out = {group_col: pa.array(u.astype(np.int64))}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(fused[:, j].astype(np.int64))
+        out["n_total"] = pa.array(total)
+        return pa.table(out, schema=part_schema)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        u, pos = np.unique(g, return_inverse=True)
+        out = {group_col: pa.array(u.astype(np.int64))}
+        for c in cols + ["n_total"]:
+            w = t.column(c).to_numpy(zero_copy_only=False)
+            out[c] = pa.array(
+                np.bincount(pos, weights=w.astype(np.float64),
+                            minlength=len(u)).astype(np.int64)
+            )
+        return pa.table(out, schema=part_schema)
+
+    parts = ds.select_columns([group_col, pivot_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return key_grouped_block_map(parts.sort(group_col), [group_col], fold)

@@ -35,7 +35,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "mm_frames",
      "rel_topk",
      "rel_sample", "rel_stratified", "rel_join_revenue", "rel_quantiles",
-     "rel_group_quantiles", "corpus_curate",
+     "rel_group_quantiles", "rel_pivot", "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions"],
 )
