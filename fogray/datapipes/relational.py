@@ -1,22 +1,28 @@
-"""Generic relational operators for corpus pipelines: grouped top-k and
-deterministic hash sampling.
+"""Generic relational operators for corpus pipelines.
 
 The reference has no relational surface at all (SURVEY.md section 2.6:
 its only "top-k" is printing the first 100 attribute slots,
-application/pagerank.hpp:123-124, and it has no sampling); both ops are
-rebuild-defined, built on the repo's two scale primitives:
+application/pagerank.hpp:123-124, and it has no sampling); everything
+here is rebuild-defined on two scale primitives:
 
-- **top-k per group**: ONE sort by the group key, then group-complete
-  blocks (fogray.derive.key_grouped_block_map) rank within each group
-  with a vectorized lexsort and keep ``rank <= k`` — no window-function
-  shuffle beyond the sort, and block output size is bounded by
-  k x groups-per-block.
-- **hash sample**: keep a row iff a hex prefix of ``md5(key)`` falls
-  under a threshold — embarrassingly parallel ``map_batches`` filter,
-  no shuffle, deterministic across runs/engines (the property random
-  sampling lacks), and stable under repartitioning because the decision
-  depends only on the key. This is the standard split-by-hash recipe
-  for carving held-out sets out of a 100 TB corpus.
+- **ONE sort + group-complete blocks**
+  (fogray.derive.key_grouped_block_map): the single all-to-all behind
+  grouped top-k (`topk_per_group`), stratified sampling, as-of joins,
+  banded range joins, the star-schema rollup (`star_join_rollup`),
+  anti/semi joins (`key_anti_semi_join`), the generic dimension join
+  (`sorted_key_join`), grouped exact quantiles, and pivoted count
+  features. Two-input ops enter the sort as a tagged union; join +
+  aggregation fuse into the block kernel where possible. Chosen over
+  Ray 2.49 hash joins, whose Acero aggregators cost ~seconds of fixed
+  overhead per exchange.
+- **shuffle-free map_batches filters/partials**: the md5-prefix hash
+  sample (`hash_sample` — deterministic, repartition-stable corpus
+  splits), fixed-width histograms, and per-block pre-aggregation
+  before every exchange.
+
+Every block kernel re-sorts the rows it needs ordered — group
+COMPLETENESS comes from the planner; cross-block row order inside a
+group is never trusted (the round-1 evt_sessions lesson).
 """
 
 from __future__ import annotations
