@@ -200,7 +200,11 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "mm_frames",
         "rel_topk",
         "rel_sample",
+        "rel_rate_sample",
         "rel_stratified",
+        "corpus_shuffle",
+        "corpus_pack",
+        "txt_decontaminate",
         "rel_join_revenue",
         "corpus_curate",
         "rel_quantiles",

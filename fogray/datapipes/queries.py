@@ -346,6 +346,69 @@ def q_rel_sample(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id"])
 
 
+#: domain-mixing rates for rel_rate_sample — srcN keeps ((N % 4) + 1)/4
+#: of its rows (0.25 / 0.5 / 0.75 / 1.0); the oracle embeds the same
+#: dict as HUGEINT thresholds.
+_MIX_RATES = {f"src{i}": ((i % 4) + 1) / 4.0 for i in range(20)}
+_MIX_DEFAULT = 0.25
+
+
+def q_rel_rate_sample(sf_dir: str) -> pa.Table:
+    """Per-group rate-based deterministic subsampling
+    (fogray.datapipes.relational.rate_sample) — the domain-mixing step
+    of a pretraining pipeline."""
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.rate_sample(
+            _docs(sf_dir),
+            group_col="source",
+            key_col="doc_id",
+            rates=_MIX_RATES,
+            default=_MIX_DEFAULT,
+        )
+    )
+    return sorted_table(t, ["doc_id"])
+
+
+def q_corpus_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic global shuffle + round-robin shard assignment
+    (fogray.datapipes.packing.global_shuffle)."""
+    from . import packing
+    from ..util import sorted_table
+
+    t = _collect(
+        packing.global_shuffle(_docs(sf_dir), key_col="doc_id", seed=7, num_shards=8)
+    )
+    return sorted_table(t, ["doc_id"])
+
+
+def q_corpus_pack(sf_dir: str) -> pa.Table:
+    """Token-budget sequence packing (fogray.datapipes.packing.
+    pack_sequences): concat-and-chop layout at budget=256."""
+    from . import packing
+    from ..util import sorted_table
+
+    t = _collect(packing.pack_sequences(_docs(sf_dir), budget=256))
+    return sorted_table(t, ["doc_id"])
+
+
+def q_txt_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (fogray.datapipes.packing.
+    benchmark_overlap): distinct 3-gram overlap of every corpus doc
+    against the doc_id % 37 == 0 eval carve-out."""
+    from . import packing
+    from ..util import sorted_table
+
+    t = _collect(
+        packing.benchmark_overlap(
+            _docs(sf_dir), bench_mod=37, n_words=3, flag_frac=0.5
+        )
+    )
+    return sorted_table(t, ["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # windowed / sessionized stream operators (events table)
 # ---------------------------------------------------------------------------
@@ -679,7 +742,11 @@ QUERIES = {
     "mm_features": q_mm_features,
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
+    "rel_rate_sample": q_rel_rate_sample,
     "rel_stratified": q_rel_stratified,
+    "corpus_shuffle": q_corpus_shuffle,
+    "corpus_pack": q_corpus_pack,
+    "txt_decontaminate": q_txt_decontaminate,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
     "mm_frames": q_mm_frames,
@@ -995,6 +1062,45 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def _shingle_sh_d_ctes() -> str:
+    """The ``toks -> th -> shing -> sh_d`` CTE chain mirroring
+    :func:`fogray.datapipes.dedup._batch_shingle_hashes` at n_words=3:
+    md5-u64 token hashes rolled through the Karp-Rabin polynomial with
+    every numpy uint64 wraparound replicated as an explicit ``% 2^64``
+    in HUGEINT. ``sh_d`` = per-doc DISTINCT shingle hashes. Shared by
+    the MinHash-LSH and decontamination oracles."""
+    m64 = "18446744073709551616::HUGEINT"
+    return rf"""toks AS (
+            SELECT doc_id,
+                   unnest(arr) AS tok,
+                   unnest(range(length(arr))) AS pos,
+                   length(arr) AS len
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS arr
+                  FROM documents)
+        ),
+        th AS (
+            SELECT doc_id, pos, len,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h
+            FROM toks
+        ),
+        shing AS (
+            SELECT a.doc_id,
+                   CASE WHEN c.h IS NOT NULL THEN
+                            ((((((a.h * 1099511628211) % {m64} + b.h) % {m64})
+                               * 1099511628211) % {m64}) + c.h) % {m64}
+                        WHEN b.h IS NOT NULL THEN
+                            ((a.h * 1099511628211) % {m64} + b.h) % {m64}
+                        ELSE a.h END AS sh
+            FROM th a
+            LEFT JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            LEFT JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            WHERE a.pos <= GREATEST(a.len - 3, 0)
+        ),
+        sh_d AS (SELECT DISTINCT doc_id, sh FROM shing)"""
+
+
 def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8, seed: int = 7) -> str:
     """DuckDB mirror of :func:`fogray.datapipes.dedup.minhash_lsh_pairs`
     (num_perm=32, bands=8, shingle_words=3, threshold=0.5). Exactness
@@ -1023,35 +1129,7 @@ def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8, seed: int = 7) -> st
     return rf"""
         WITH perms(i, pa, pb) AS (VALUES
             {perms}),
-        toks AS (
-            SELECT doc_id,
-                   unnest(arr) AS tok,
-                   unnest(range(length(arr))) AS pos,
-                   length(arr) AS len
-            FROM (SELECT doc_id,
-                         list_filter(regexp_split_to_array(text, '\s+'),
-                                     x -> x <> '') AS arr
-                  FROM documents)
-        ),
-        th AS (
-            SELECT doc_id, pos, len,
-                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h
-            FROM toks
-        ),
-        shing AS (
-            SELECT a.doc_id,
-                   CASE WHEN c.h IS NOT NULL THEN
-                            ((((((a.h * 1099511628211) % {m64} + b.h) % {m64})
-                               * 1099511628211) % {m64}) + c.h) % {m64}
-                        WHEN b.h IS NOT NULL THEN
-                            ((a.h * 1099511628211) % {m64} + b.h) % {m64}
-                        ELSE a.h END AS sh
-            FROM th a
-            LEFT JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-            LEFT JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-            WHERE a.pos <= GREATEST(a.len - 3, 0)
-        ),
-        sh_d AS (SELECT DISTINCT doc_id, sh FROM shing),
+        {_shingle_sh_d_ctes()},
         sig AS (
             SELECT doc_id, i,
                    MIN((((pa * sh) % {m64} + pb) % {m64})
@@ -1488,6 +1566,76 @@ ORACLE_SQL = {
         SELECT doc_id, source, n_chars FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         ORDER BY doc_id
+    """,
+    "rel_rate_sample": (
+        "\n        WITH rates(source, thr) AS (VALUES\n            "
+        + ",\n            ".join(
+            f"('{s}', {int(r * (1 << 64))}::HUGEINT)"
+            for s, r in sorted(_MIX_RATES.items())
+        )
+        + f"""),
+        h AS (SELECT doc_id, source,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                         ::UBIGINT::HUGEINT AS hv
+              FROM documents)
+        SELECT h.doc_id, h.source FROM h
+        LEFT JOIN rates r ON r.source = h.source
+        WHERE h.hv < COALESCE(r.thr, {int(_MIX_DEFAULT * (1 << 64))}::HUGEINT)
+        ORDER BY doc_id
+    """
+    ),
+    "corpus_shuffle": """
+        WITH k AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 16))
+                       ::UBIGINT AS sk
+            FROM documents
+        ),
+        r AS (SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS pos
+              FROM k)
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               CAST(pos % 8 AS BIGINT) AS shard
+        FROM r ORDER BY doc_id
+    """,
+    "corpus_pack": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   length(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS st
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(st // 256 AS BIGINT) AS seq_id,
+               CAST(st % 256 AS BIGINT) AS seq_off
+        FROM c ORDER BY doc_id
+    """,
+    "txt_decontaminate": f"""
+        WITH {_shingle_sh_d_ctes()},
+        bench AS (SELECT DISTINCT sh FROM sh_d WHERE doc_id % 37 = 0),
+        corp AS (SELECT doc_id, sh FROM sh_d WHERE doc_id % 37 <> 0),
+        cnt AS (
+            SELECT c.doc_id,
+                   COUNT(*) AS n_ngrams,
+                   COUNT(b.sh) AS n_overlap
+            FROM corp c LEFT JOIN bench b ON b.sh = c.sh
+            GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(n_ngrams AS BIGINT) AS n_ngrams,
+               CAST(n_overlap AS BIGINT) AS n_overlap,
+               ROUND(n_overlap / n_ngrams, 6) AS overlap_frac,
+               CAST(CASE WHEN n_overlap >= 0.5 * n_ngrams THEN 1 ELSE 0 END
+                    AS BIGINT) AS contaminated
+        FROM cnt ORDER BY doc_id
     """,
     "rel_stratified": """
         SELECT source, doc_id, rk FROM (

@@ -574,6 +574,42 @@ def star_join_rollup(
     )
 
 
+def rate_sample(
+    ds,
+    *,
+    group_col: str,
+    key_col: str,
+    rates: dict,
+    default: float = 1.0,
+) -> rd.Dataset:
+    """Per-group deterministic subsampling at a RATE — the domain-mixing
+    step of a pretraining pipeline (keep 25% of crawl, 100% of books,
+    ...): a row survives iff ``md5_u64(str(key)) < rate(group) * 2^64``.
+    Shuffle-free and repartition-stable like :func:`hash_sample`, but
+    the threshold varies by group; rates >= 1.0 keep everything. The
+    comparison is exact integer (thresholds are exact for dyadic rates
+    and DuckDB mirrors them as HUGEINT literals)."""
+    from .dedup import _md5_u64
+
+    def block_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([key_col, group_col])
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = _md5_u64([str(x) for x in k.tolist()])
+        uq, inv = np.unique(g, return_inverse=True)
+        r = np.array([float(rates.get(x, default)) for x in uq.tolist()])
+        full = r >= 1.0
+        thr = np.zeros(len(uq), dtype=np.uint64)
+        thr[~full] = np.array(
+            [int(x * (1 << 64)) for x in r[~full]], dtype=np.uint64
+        )
+        keep = full[inv] | (h < thr[inv])
+        return t.select([key_col, group_col]).filter(pa.array(keep))
+
+    return ds.map_batches(block_filter, batch_format="pyarrow")
+
+
 def _collect_tables(ds) -> pa.Table:
     import ray
 

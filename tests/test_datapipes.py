@@ -794,3 +794,157 @@ def test_cms_one_sided_error(ray_session):
     t = dq.QUERIES["txt_cms_tokens"](SF_DIR).to_pandas()
     assert len(t) == 20
     assert (t.est_count >= t.n_occ).all()
+
+
+def test_global_shuffle_permutation_and_determinism(ray_session):
+    """Positions are a 0..n-1 permutation, shards balanced to within one
+    row, the order equals the local md5-rank recompute, and the result
+    is block-layout invariant (1 vs 11 blocks)."""
+    import hashlib
+
+    import ray.data as rd
+    from fogray.datapipes import packing
+
+    ids = np.arange(1000, dtype=np.int64) * 3 + 1
+    t = pa.table({"doc_id": ids, "junk": ids * 2})
+    want_order = np.array(
+        sorted(ids.tolist(), key=lambda k: (hashlib.md5(f"{k}:7".encode()).digest()[:8], k))
+    )
+    for parts in (1, 11):
+        ds = rd.from_arrow(t).repartition(parts) if parts > 1 else rd.from_arrow(t)
+        out = (
+            packing.global_shuffle(ds, key_col="doc_id", seed=7, num_shards=8)
+            .to_pandas()
+            .sort_values("pos")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(out.pos.to_numpy(), np.arange(1000))
+        assert np.array_equal(out.doc_id.to_numpy(), want_order)
+        assert np.array_equal(out.shard.to_numpy(), np.arange(1000) % 8)
+        counts = out.shard.value_counts()
+        assert counts.max() - counts.min() <= 1
+
+
+def test_pack_sequences_prefix_exact(ray_session):
+    """seq_id/seq_off equal the local concat-and-chop recompute in
+    doc_id order, regardless of block layout."""
+    import ray.data as rd
+    from fogray.datapipes import packing
+
+    rng = np.random.default_rng(5)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    texts = [" ".join(["tok"] * int(k)) for k in rng.integers(1, 40, n)]
+    t = pa.table({"doc_id": ids, "text": texts})
+    nt = np.array([len(s.split()) for s in texts], dtype=np.int64)
+    start = np.cumsum(nt) - nt
+    for parts in (1, 9):
+        ds = rd.from_arrow(t).repartition(parts) if parts > 1 else rd.from_arrow(t)
+        out = (
+            packing.pack_sequences(ds, budget=64)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(out.n_tokens.to_numpy(), nt)
+        assert np.array_equal(out.seq_id.to_numpy(), start // 64)
+        assert np.array_equal(out.seq_off.to_numpy(), start % 64)
+
+
+def test_ntokens_matches_filtered_split():
+    """The arrow token-count kernel subtracts the empty tokens arrow
+    emits at leading/trailing whitespace (DuckDB's filtered regexp
+    split has none)."""
+    from fogray.datapipes.packing import _ntokens_batch
+
+    t = pa.table(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "text": ["a  b c", " x y ", "", "one"]}
+    )
+    out = _ntokens_batch(t, "doc_id", "text")
+    assert out.column("n_tokens").to_pylist() == [3, 2, 0, 1]
+
+
+def test_benchmark_overlap_brute_force(ray_session):
+    """n_ngrams / n_overlap / flag equal the python-set brute force over
+    the same shingle hashes; benchmark docs are excluded."""
+    import ray.data as rd
+    from fogray.datapipes import packing
+    from fogray.datapipes.dedup import _doc_shingles
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 25))) for _ in range(n)]
+    t = pa.table({"doc_id": ids, "text": texts})
+    bench = set()
+    for i in range(n):
+        if i % 7 == 0:
+            bench.update(_doc_shingles(texts[i], 3).tolist())
+    out = (
+        packing.benchmark_overlap(
+            rd.from_arrow(t).repartition(5), bench_mod=7, n_words=3, flag_frac=0.5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out.doc_id % 7 != 0).all()
+    for row in out.itertuples():
+        sh = set(_doc_shingles(texts[int(row.doc_id)], 3).tolist())
+        assert row.n_ngrams == len(sh)
+        assert row.n_overlap == len(sh & bench)
+        assert row.contaminated == int(row.n_overlap >= 0.5 * row.n_ngrams)
+
+
+def test_rate_sample_thresholds(ray_session):
+    """Survivors match the per-key md5-u64 threshold rule exactly; a
+    rate of 1.0 keeps everything; unknown groups use the default."""
+    import hashlib
+
+    import ray.data as rd
+    from fogray.datapipes import relational as rel
+
+    n = 800
+    ids = np.arange(n, dtype=np.int64)
+    groups = np.array(["a", "b", "c", "zzz"])[ids % 4]
+    t = pa.table({"doc_id": ids, "source": groups})
+    rates = {"a": 0.25, "b": 1.0, "c": 0.5}
+    out = rel.rate_sample(
+        rd.from_arrow(t).repartition(6),
+        group_col="source",
+        key_col="doc_id",
+        rates=rates,
+        default=0.125,
+    ).to_pandas()
+    kept = set(out.doc_id.tolist())
+    for k, g in zip(ids.tolist(), groups.tolist()):
+        h = int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8], "big")
+        r = rates.get(g, 0.125)
+        assert (k in kept) == (r >= 1.0 or h < int(r * (1 << 64)))
+
+
+def test_ordered_block_prefix_rejects_overlap(ray_session):
+    """Out-of-order blocks are re-ordered by boundary keys; overlapping
+    key ranges (non-unique sort keys) raise instead of mis-ranking."""
+    import ray
+    import ray.data as rd
+    import pytest
+
+    from fogray.datapipes.packing import ordered_block_prefix
+
+    # disjoint but yielded out of order: bases must follow key order
+    t1 = pa.table({"k": np.array([10, 11, 12], dtype=np.int64)})
+    t2 = pa.table({"k": np.array([1, 2], dtype=np.int64)})
+    refs, row_base, _ = ordered_block_prefix(rd.from_arrow([t1, t2]), ["k"])
+    firsts = [ray.get(r).column("k")[0].as_py() for r in refs]
+    assert firsts == [1, 10]
+    assert row_base.tolist() == [0, 2]
+
+    bad = rd.from_arrow(
+        [pa.table({"k": np.array([1, 5], dtype=np.int64)}),
+         pa.table({"k": np.array([5, 9], dtype=np.int64)})]
+    )
+    with pytest.raises(ValueError):
+        ordered_block_prefix(bad, ["k"])
