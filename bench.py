@@ -205,6 +205,8 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "corpus_shuffle",
         "corpus_pack",
         "txt_decontaminate",
+        "txt_repetition",
+        "evt_funnel",
         "rel_join_revenue",
         "corpus_curate",
         "rel_quantiles",

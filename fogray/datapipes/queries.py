@@ -394,6 +394,26 @@ def q_corpus_pack(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id"])
 
 
+def q_txt_repetition(sf_dir: str) -> pa.Table:
+    """Duplicate-bigram repetition signal
+    (fogray.datapipes.text.repetition)."""
+    from ..util import sorted_table
+
+    t = _collect(text.repetition(_docs(sf_dir)))
+    return sorted_table(t, ["doc_id"])
+
+
+def q_evt_funnel(sf_dir: str) -> pa.Table:
+    """Per-user ordered conversion funnel
+    (fogray.datapipes.streams.funnel): first view, first click strictly
+    after it, first purchase strictly after that."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.funnel(_events(sf_dir)))
+    return sorted_table(t, ["user_id"])
+
+
 def q_txt_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination (fogray.datapipes.packing.
     benchmark_overlap): distinct 3-gram overlap of every corpus doc
@@ -747,6 +767,8 @@ QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "corpus_pack": q_corpus_pack,
     "txt_decontaminate": q_txt_decontaminate,
+    "txt_repetition": q_txt_repetition,
+    "evt_funnel": q_evt_funnel,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
     "mm_frames": q_mm_frames,
@@ -1062,14 +1084,36 @@ def _langid_oracle_sql() -> str:
     """
 
 
-def _shingle_sh_d_ctes() -> str:
+def _shingle_sh_d_ctes(n_words: int = 3) -> str:
     """The ``toks -> th -> shing -> sh_d`` CTE chain mirroring
-    :func:`fogray.datapipes.dedup._batch_shingle_hashes` at n_words=3:
-    md5-u64 token hashes rolled through the Karp-Rabin polynomial with
-    every numpy uint64 wraparound replicated as an explicit ``% 2^64``
-    in HUGEINT. ``sh_d`` = per-doc DISTINCT shingle hashes. Shared by
-    the MinHash-LSH and decontamination oracles."""
+    :func:`fogray.datapipes.dedup._batch_shingle_hashes` at ``n_words``
+    in (2, 3): md5-u64 token hashes rolled through the Karp-Rabin
+    polynomial with every numpy uint64 wraparound replicated as an
+    explicit ``% 2^64`` in HUGEINT. Docs shorter than ``n_words``
+    tokens yield ONE shortened shingle, like the numpy kernel. ``sh_d``
+    = per-doc DISTINCT shingle hashes. Shared by the MinHash-LSH,
+    decontamination, and repetition oracles."""
     m64 = "18446744073709551616::HUGEINT"
+    if n_words == 2:
+        shing_case = rf"""CASE WHEN b.h IS NOT NULL THEN
+                            ((a.h * 1099511628211) % {m64} + b.h) % {m64}
+                        ELSE a.h END AS sh
+            FROM th a
+            LEFT JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.pos <= GREATEST(a.len - 2, 0)"""
+    elif n_words == 3:
+        shing_case = rf"""CASE WHEN c.h IS NOT NULL THEN
+                            ((((((a.h * 1099511628211) % {m64} + b.h) % {m64})
+                               * 1099511628211) % {m64}) + c.h) % {m64}
+                        WHEN b.h IS NOT NULL THEN
+                            ((a.h * 1099511628211) % {m64} + b.h) % {m64}
+                        ELSE a.h END AS sh
+            FROM th a
+            LEFT JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            LEFT JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+            WHERE a.pos <= GREATEST(a.len - 3, 0)"""
+    else:  # pragma: no cover - only 2/3 are used by oracles
+        raise ValueError("n_words must be 2 or 3")
     return rf"""toks AS (
             SELECT doc_id,
                    unnest(arr) AS tok,
@@ -1087,16 +1131,7 @@ def _shingle_sh_d_ctes() -> str:
         ),
         shing AS (
             SELECT a.doc_id,
-                   CASE WHEN c.h IS NOT NULL THEN
-                            ((((((a.h * 1099511628211) % {m64} + b.h) % {m64})
-                               * 1099511628211) % {m64}) + c.h) % {m64}
-                        WHEN b.h IS NOT NULL THEN
-                            ((a.h * 1099511628211) % {m64} + b.h) % {m64}
-                        ELSE a.h END AS sh
-            FROM th a
-            LEFT JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-            LEFT JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-            WHERE a.pos <= GREATEST(a.len - 3, 0)
+                   {shing_case}
         ),
         sh_d AS (SELECT DISTINCT doc_id, sh FROM shing)"""
 
@@ -1636,6 +1671,38 @@ ORACLE_SQL = {
                CAST(CASE WHEN n_overlap >= 0.5 * n_ngrams THEN 1 ELSE 0 END
                     AS BIGINT) AS contaminated
         FROM cnt ORDER BY doc_id
+    """,
+    "txt_repetition": f"""
+        WITH {_shingle_sh_d_ctes(2)},
+        cnt AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   COUNT(DISTINCT sh) AS n_distinct
+            FROM shing GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               ROUND(1 - n_distinct / n_bigrams, 6) AS rep_ratio
+        FROM cnt ORDER BY doc_id
+    """,
+    "evt_funnel": """
+        WITH v AS (SELECT user_id, MIN(ts) AS ts_view FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS ts_click
+              FROM events e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.ts_view
+              GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS ts_purchase
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+              GROUP BY 1)
+        SELECT v.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+               CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS depth
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id
+        ORDER BY v.user_id
     """,
     "rel_stratified": """
         SELECT source, doc_id, rk FROM (

@@ -253,3 +253,73 @@ def sessionize(ds, *, gap_minutes: int = 30) -> rd.Dataset:
         ["user_id"],
         sessions_block,
     )
+
+
+def funnel(ds, *, stages: tuple = ("view", "click", "purchase")) -> rd.Dataset:
+    """Ordered conversion funnel per user: the first ``stages[0]`` event,
+    the first ``stages[1]`` event STRICTLY after it, and the first
+    ``stages[2]`` strictly after that; ``depth`` counts the stages
+    reached. Users with no stage-0 event are dropped.
+
+    Same skew contract as :func:`sessionize`: stage matching is not
+    decomposable (stage k's anchor depends on stage k-1's time), so one
+    task sees a user's whole (user_id, ts)-projected history — three
+    columns only, vectorized min-reductions inside the block.
+
+    -> (user_id, ts_view, ts_click, ts_purchase, depth).
+    """
+    s1, s2, s3 = stages
+
+    def funnel_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts_view": pa.array([], pa.timestamp("us")),
+                "ts_click": pa.array([], pa.timestamp("us")),
+                "ts_purchase": pa.array([], pa.timestamp("us")),
+                "depth": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gi = np.cumsum(new_user) - 1
+        n = int(gi[-1]) + 1
+        users = u[new_user]
+        inf = np.iinfo(np.int64).max
+        t1 = np.full(n, inf, dtype=np.int64)
+        m1 = et == s1
+        np.minimum.at(t1, gi[m1], ts[m1])
+        t2 = np.full(n, inf, dtype=np.int64)
+        m2 = (et == s2) & (ts > t1[gi])
+        np.minimum.at(t2, gi[m2], ts[m2])
+        t3 = np.full(n, inf, dtype=np.int64)
+        m3 = (et == s3) & (ts > t2[gi])
+        np.minimum.at(t3, gi[m3], ts[m3])
+        keep = t1 < inf
+        t1, t2, t3, users = t1[keep], t2[keep], t3[keep], users[keep]
+        depth = 1 + (t2 < inf).astype(np.int64) + (t3 < inf).astype(np.int64)
+
+        def ts_col(x):
+            return pa.array(x, mask=(x == inf)).cast(pa.timestamp("us"))
+
+        return pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64)),
+                "ts_view": ts_col(t1),
+                "ts_click": ts_col(t2),
+                "ts_purchase": ts_col(t3),
+                "depth": pa.array(depth, pa.int64()),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["user_id", "ts", "event_type"]).sort(["user_id", "ts"]),
+        ["user_id"],
+        funnel_block,
+    )

@@ -490,3 +490,47 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition signal (duplicate-bigram fraction)
+# ---------------------------------------------------------------------------
+
+
+def repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-doc repetition signal: the fraction of word
+    bigrams that are duplicates of an earlier bigram in the same doc
+    (``1 - distinct/total``). Reuses dedup's vectorized Karp-Rabin
+    shingle kernel at n_words=2, so the DuckDB oracle reproduces it
+    bit-for-bit; docs with zero tokens are dropped (they have no
+    bigrams on either side)."""
+    from .dedup import _batch_shingle_hashes
+
+    texts = t.column(text_col).to_pylist()
+    flat, offs = _batch_shingle_hashes(texts, 2)
+    n_bigrams = np.diff(offs)
+    d = np.repeat(np.arange(len(texts), dtype=np.int64), n_bigrams)
+    if len(flat):
+        order = np.lexsort((flat, d))
+        f, dd = flat[order], d[order]
+        keep_d = np.r_[True, (f[1:] != f[:-1]) | (dd[1:] != dd[:-1])]
+        n_distinct = np.bincount(dd[keep_d], minlength=len(texts))
+    else:
+        n_distinct = np.zeros(len(texts), dtype=np.int64)
+    m = n_bigrams > 0
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[m]
+    rep = sql_round(1.0 - n_distinct[m] / n_bigrams[m])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "n_bigrams": pa.array(n_bigrams[m], pa.int64()),
+            "n_distinct": pa.array(n_distinct[m], pa.int64()),
+            "rep_ratio": pa.array(rep, pa.float64()),
+        }
+    )
+
+
+def repetition(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: repetition_batch(t, text_col), batch_format="pyarrow"
+    )

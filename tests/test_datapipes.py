@@ -948,3 +948,84 @@ def test_ordered_block_prefix_rejects_overlap(ray_session):
     )
     with pytest.raises(ValueError):
         ordered_block_prefix(bad, ["k"])
+
+
+def test_funnel_strict_ordering(ray_session):
+    """Funnel stage semantics: stage k anchors STRICTLY after stage
+    k-1's first hit; users with no stage-0 event are dropped; a click
+    preceding the first view does not count; equal timestamps do not
+    advance the funnel."""
+    import ray.data as rd
+
+    from fogray.datapipes import streams
+
+    def tt(us):
+        return pa.array(np.asarray(us, dtype=np.int64)).cast(pa.timestamp("us"))
+
+    rows = [
+        # u1: full funnel in order -> depth 3
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE first view; later click missing -> depth 1
+        (2, 5, "click"), (2, 10, "view"),
+        # u3: purchase before click -> depth 2 (view, click only)
+        (3, 10, "view"), (3, 15, "purchase"), (3, 20, "click"),
+        # u4: click AT the view timestamp (not strictly after) -> depth 1
+        (4, 10, "view"), (4, 10, "click"),
+        # u5: no view at all -> dropped
+        (5, 10, "click"), (5, 20, "purchase"),
+        # u6: two views; click between them counts (after FIRST view)
+        (6, 10, "view"), (6, 15, "click"), (6, 50, "view"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": tt([r[1] for r in rows]),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = (
+        streams.funnel(rd.from_arrow(t).repartition(4))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [1, 2, 3, 4, 6]
+    assert out.depth.tolist() == [3, 1, 2, 1, 2]
+    assert out.loc[1, "ts_click"].value == 20_000 and out.loc[1, "ts_purchase"].value == 30_000
+    assert pd.isna(out.loc[2, "ts_click"]) and pd.isna(out.loc[2, "ts_purchase"])
+    assert out.loc[3, "ts_click"].value == 20_000 and pd.isna(out.loc[3, "ts_purchase"])
+    assert pd.isna(out.loc[4, "ts_click"])
+    assert out.loc[6, "ts_view"].value == 10_000 and out.loc[6, "ts_click"].value == 15_000
+
+
+def test_repetition_ratio(ray_session):
+    """Duplicate-bigram repetition: hand-counted ratios, short docs
+    (one shortened shingle), and empty docs dropped."""
+    import ray.data as rd
+
+    from fogray.datapipes import text as txt
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a b",   # bigrams ab ba ab ba ab -> 5 total 2 distinct
+                    "x y z",          # xy yz -> 0 repetition
+                    "solo",           # one shortened shingle -> 0
+                    "",               # no tokens -> dropped
+                ]
+            ),
+        }
+    )
+    out = (
+        txt.repetition(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [0, 1, 2]
+    assert out.loc[0, "n_bigrams"] == 5 and out.loc[0, "n_distinct"] == 2
+    assert out.loc[0, "rep_ratio"] == 0.6
+    assert out.loc[1, "rep_ratio"] == 0.0 and out.loc[1, "n_bigrams"] == 2
+    assert out.loc[2, "n_bigrams"] == 1 and out.loc[2, "rep_ratio"] == 0.0
