@@ -693,6 +693,17 @@ def q_evt_sessions(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "session_id"])
 
 
+def q_evt_user_stats(sf_dir: str) -> pa.Table:
+    """Per-event sequence features for training-data assembly
+    (fogray.datapipes.streams.user_sequence_stats): 1-based per-user
+    event index, gap to the previous event, money-exact running value."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.user_sequence_stats(_events(sf_dir)))
+    return sorted_table(t, ["event_id"])
+
+
 def q_txt_cms_tokens(sf_dir: str) -> pa.Table:
     """Count-min-sketch frequency estimates for the exact top-20 tokens
     (fogray.datapipes.sketches.cms_token_estimates) — the second
@@ -781,6 +792,7 @@ QUERIES = {
     "evt_asof": q_evt_asof,
     "evt_range": q_evt_range,
     "evt_sessions": q_evt_sessions,
+    "evt_user_stats": q_evt_user_stats,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1764,6 +1776,17 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_user_stats": """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER w AS seq,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_s,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
     """,
     "evt_range": """
         SELECT l.user_id, l.event_id AS event_id_l, r.event_id AS event_id_r,

@@ -323,3 +323,76 @@ def funnel(ds, *, stages: tuple = ("view", "click", "purchase")) -> rd.Dataset:
         ["user_id"],
         funnel_block,
     )
+
+
+def user_sequence_stats(ds) -> rd.Dataset:
+    """Per-event sequence features for training-data assembly: 1-based
+    event index per user (``seq``, ordered by ts with event_id
+    tie-break), seconds since the user's previous event (``gap_s``,
+    null on the first), and the running cumulative ``value``
+    (``cum_value``).
+
+    Money-exact running sum: ``value`` carries 2 decimals, so the
+    cumulative is an int64 cents cumsum divided by 100.0 at the end —
+    bit-identical to the oracle's BIGINT window SUM regardless of
+    summation order (float cumsum association would drift from DuckDB's
+    segment-tree window aggregation).
+
+    One sort by (user_id, ts, event_id) is the only shuffle; each
+    group-complete user block vectorizes with cumsum/diff (same skew
+    contract as :func:`sessionize` — running features are inherently
+    sequential per user, but only three narrow columns ship).
+
+    -> (event_id, user_id, seq, gap_s, cum_value).
+    """
+
+    def stats_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.float64()),
+                "cum_value": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        # intra-group order from the executor is untrusted: re-sort
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, v = u[order], ts[order], eid[order], v[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_user)
+        seq = np.arange(len(u), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(u)])
+        ) + 1
+        gap = np.empty(len(u), dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = (ts[1:] - ts[:-1]) / 1e6
+        gap[new_user] = np.nan
+        cents = np.round(v * 100.0).astype(np.int64)
+        cum = np.cumsum(cents)
+        base = np.repeat(np.r_[np.int64(0), cum[starts[1:] - 1]],
+                         np.diff(np.r_[starts, len(u)]))
+        cum_value = (cum - base) / 100.0
+        return pa.table(
+            {
+                "event_id": pa.array(eid.astype(np.int64)),
+                "user_id": pa.array(u.astype(np.int64)),
+                "seq": pa.array(seq),
+                "gap_s": pa.array(gap, pa.float64(), from_pandas=True),
+                "cum_value": pa.array(cum_value, pa.float64()),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["event_id", "ts", "user_id", "value"]).sort(
+            ["user_id", "ts", "event_id"]
+        ),
+        ["user_id"],
+        stats_block,
+    )

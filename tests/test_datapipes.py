@@ -1029,3 +1029,46 @@ def test_repetition_ratio(ray_session):
     assert out.loc[0, "rep_ratio"] == 0.6
     assert out.loc[1, "rep_ratio"] == 0.0 and out.loc[1, "n_bigrams"] == 2
     assert out.loc[2, "n_bigrams"] == 1 and out.loc[2, "rep_ratio"] == 0.0
+
+
+def test_user_sequence_stats(ray_session):
+    """Per-user sequence features: 1-based seq ordered by (ts,
+    event_id), null gap on each user's first event, and a money-exact
+    running sum (0.10+0.20 must be exactly 0.30, not 0.30000000000004)."""
+    import ray.data as rd
+
+    from fogray.datapipes import streams
+
+    def tt(us):
+        return pa.array(np.asarray(us, dtype=np.int64)).cast(pa.timestamp("us"))
+
+    # (event_id, user_id, ts_us, value); u1 has a ts tie broken by event_id
+    rows = [
+        (10, 1, 1_000_000, 0.10),
+        (12, 1, 3_000_000, 0.20),
+        (11, 1, 3_000_000, 0.30),   # same ts as eid 12 -> eid 11 comes first
+        (20, 2, 5_000_000, 185.22),
+        (21, 2, 5_500_000, 0.07),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": tt([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    out = (
+        streams.user_sequence_stats(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[[10, 11, 12], "seq"].tolist() == [1, 2, 3]
+    assert out.loc[[20, 21], "seq"].tolist() == [1, 2]
+    assert pd.isna(out.loc[10, "gap_s"]) and pd.isna(out.loc[20, "gap_s"])
+    assert out.loc[11, "gap_s"] == 2.0 and out.loc[12, "gap_s"] == 0.0
+    assert out.loc[21, "gap_s"] == 0.5
+    # money exactness: int64-cents cumsum, not float accumulation
+    assert out.loc[11, "cum_value"] == 0.4 and out.loc[12, "cum_value"] == 0.6
+    assert out.loc[21, "cum_value"] == 185.29
