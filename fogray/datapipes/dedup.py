@@ -880,3 +880,78 @@ def hyperplane_buckets(emb_ds, *, num_planes: int = 12, seed: int = 11,
             )
 
     return emb_ds.map_batches(Bucketer, concurrency=(1, 2), batch_format="pyarrow")
+
+
+def span_overlap(ds, *, n_words: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> rd.Dataset:
+    """Cross-doc n-gram duplication signal: for each doc, the fraction
+    of its DISTINCT word ``n_words``-grams that appear in at least one
+    OTHER document. Complements the within-doc repetition ratio
+    (:func:`fogray.datapipes.text.repetition`) — high ``shared_frac``
+    flags boilerplate / mirrored spans the exact-dedup pass misses.
+
+    Scale shape: docs never meet each other — stage 1 ships only
+    distinct (shingle-hash, doc_id) pairs (16 bytes/row); stage 2 is a
+    group-complete pass over the sh-sorted pairs that counts docs per
+    shingle AND pre-aggregates per-doc partials inside the block, so
+    the second exchange carries one row per (block, doc), not per
+    shingle; stage 3 sums partials per doc. Two narrow sorts total, no
+    joins. Shingle hash = the md5-seeded Karp-Rabin roll, so DuckDB
+    reproduces it exactly (oracle `dd_span_overlap`).
+
+    -> (id_col, n_shingles, n_shared, shared_frac) for docs with >= 1
+    shingle.
+    """
+    from .packing import _doc_distinct_shingles
+
+    proj = ds.select_columns([id_col, text_col])
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(text_col).to_pylist()
+        f, d = _doc_distinct_shingles(texts, n_words)
+        return pa.table(
+            {
+                "sh": pa.array(f, pa.uint64()),
+                id_col: pa.array(ids[d].astype(np.int64)),
+            }
+        )
+
+    pairs = proj.map_batches(pairs_block, batch_format="pyarrow")
+
+    def per_sh_block(t: pa.Table) -> pa.Table:
+        sh = t.column("sh").to_numpy(zero_copy_only=False)
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        # group size per shingle ((sh, doc) rows are already distinct)
+        _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        shared = cnt[inv] >= 2
+        udoc, dinv = np.unique(doc, return_inverse=True)
+        return pa.table(
+            {
+                id_col: pa.array(udoc),
+                "n_sh": pa.array(np.bincount(dinv, minlength=len(udoc)).astype(np.int64)),
+                "n_shared": pa.array(
+                    np.bincount(dinv, weights=shared, minlength=len(udoc)).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = key_grouped_block_map(pairs.sort("sh"), ["sh"], per_sh_block)
+
+    def per_doc_block(t: pa.Table) -> pa.Table:
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        n_sh = t.column("n_sh").to_numpy(zero_copy_only=False)
+        n_shared = t.column("n_shared").to_numpy(zero_copy_only=False)
+        udoc, dinv = np.unique(doc, return_inverse=True)
+        tot = np.bincount(dinv, weights=n_sh, minlength=len(udoc)).astype(np.int64)
+        shr = np.bincount(dinv, weights=n_shared, minlength=len(udoc)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(udoc),
+                "n_shingles": pa.array(tot),
+                "n_shared": pa.array(shr),
+                "shared_frac": pa.array(sql_round(shr / tot), pa.float64()),
+            }
+        )
+
+    return key_grouped_block_map(partials.sort(id_col), [id_col], per_doc_block)

@@ -693,6 +693,16 @@ def q_evt_sessions(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "session_id"])
 
 
+def q_dd_span_overlap(sf_dir: str) -> pa.Table:
+    """Cross-doc shared n-gram fraction
+    (fogray.datapipes.dedup.span_overlap): per doc, the share of its
+    distinct 3-word shingles appearing in at least one other doc."""
+    from ..util import sorted_table
+
+    t = _collect(dedup.span_overlap(_docs(sf_dir)))
+    return sorted_table(t, ["doc_id"])
+
+
 def q_evt_user_stats(sf_dir: str) -> pa.Table:
     """Per-event sequence features for training-data assembly
     (fogray.datapipes.streams.user_sequence_stats): 1-based per-user
@@ -793,6 +803,7 @@ QUERIES = {
     "evt_range": q_evt_range,
     "evt_sessions": q_evt_sessions,
     "evt_user_stats": q_evt_user_stats,
+    "dd_span_overlap": q_dd_span_overlap,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1776,6 +1787,20 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dd_span_overlap": f"""
+        WITH {_shingle_sh_d_ctes(3)},
+        cnt AS (SELECT sh, COUNT(*) AS nd FROM sh_d GROUP BY 1),
+        per AS (
+            SELECT d.doc_id, COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+            FROM sh_d d JOIN cnt c ON c.sh = d.sh GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               ROUND(n_shared / n_shingles, 6) AS shared_frac
+        FROM per ORDER BY doc_id
     """,
     "evt_user_stats": """
         SELECT event_id, user_id,

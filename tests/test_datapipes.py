@@ -37,7 +37,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_sample", "rel_stratified", "rel_join_revenue", "rel_quantiles",
      "rel_group_quantiles", "rel_pivot", "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
-     "evt_range", "evt_sessions"],
+     "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
+     "txt_repetition", "dd_span_overlap"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1072,3 +1073,39 @@ def test_user_sequence_stats(ray_session):
     # money exactness: int64-cents cumsum, not float accumulation
     assert out.loc[11, "cum_value"] == 0.4 and out.loc[12, "cum_value"] == 0.6
     assert out.loc[21, "cum_value"] == 185.29
+
+
+def test_span_overlap(ray_session):
+    """Cross-doc shared-shingle fraction: hand-built corpus where docs
+    0 and 1 share one 3-gram, doc 2 is disjoint, the empty doc is
+    dropped, and a short doc's single shortened shingle still counts."""
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d",      # shingles: abc bcd (2 distinct)
+                    "x a b c",      # xab abc  -> shares abc with doc 0
+                    "p q r",        # pqr      -> unshared
+                    "",             # dropped
+                    "p q",          # one shortened shingle 'p q' -> unshared
+                ]
+            ),
+        }
+    )
+    out = (
+        dedup.span_overlap(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [0, 1, 2, 4]
+    assert out.loc[0, "n_shingles"] == 2 and out.loc[0, "n_shared"] == 1
+    assert out.loc[0, "shared_frac"] == 0.5
+    assert out.loc[1, "n_shingles"] == 2 and out.loc[1, "n_shared"] == 1
+    assert out.loc[2, "n_shared"] == 0 and out.loc[4, "n_shared"] == 0
+    assert out.loc[4, "n_shingles"] == 1
