@@ -693,6 +693,24 @@ def q_evt_sessions(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "session_id"])
 
 
+def q_rel_zscore(sf_dir: str) -> pa.Table:
+    """Shuffle-free grouped z-score normalization
+    (fogray.datapipes.relational.grouped_zscore): per-event z of value
+    within its event_type population, exact broadcast moments."""
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.grouped_zscore(
+            _events(sf_dir),
+            group_col="event_type",
+            id_col="event_id",
+            value_col="value",
+        )
+    )
+    return sorted_table(t, ["event_id"])
+
+
 def q_dd_span_overlap(sf_dir: str) -> pa.Table:
     """Cross-doc shared n-gram fraction
     (fogray.datapipes.dedup.span_overlap): per doc, the share of its
@@ -804,6 +822,7 @@ QUERIES = {
     "evt_sessions": q_evt_sessions,
     "evt_user_stats": q_evt_user_stats,
     "dd_span_overlap": q_dd_span_overlap,
+    "rel_zscore": q_rel_zscore,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1787,6 +1806,30 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rel_zscore": """
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(cents) AS s, SUM(cents * cents) AS q
+            FROM c GROUP BY 1
+        )
+        SELECT c.event_id, c.event_type,
+               CASE WHEN (CAST(q AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) <= 0
+                    THEN NULL
+                    ELSE ROUND(
+                        (cents - CAST(s AS DOUBLE) / n)
+                        / sqrt(CAST(q AS DOUBLE) / n
+                               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                        6)
+               END AS zscore
+        FROM c JOIN g USING (event_type)
+        ORDER BY event_id
     """,
     "dd_span_overlap": f"""
         WITH {_shingle_sh_d_ctes(3)},

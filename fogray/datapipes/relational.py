@@ -986,3 +986,97 @@ def pivot_counts(
         partial, batch_format="pyarrow"
     )
     return key_grouped_block_map(parts.sort(group_col), [group_col], fold)
+
+
+def grouped_zscore(
+    ds,
+    *,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> rd.Dataset:
+    """Per-row z-score of ``value_col`` within its ``group_col``
+    population — the feature-normalization step of a training-data
+    assembly pass, built shuffle-FREE: stage 1 pre-aggregates exact
+    per-(block, group) moment partials (n, sum, sum-of-squares over
+    int64 hundredths — ``value_col`` carries 2 decimals, so the sums
+    are integer-exact in any combine order), the driver folds the tiny
+    partial table and broadcasts {group: (n, s, q)}; stage 2 normalizes
+    each batch against the broadcast. No sort, no groupby exchange —
+    only the moment rows (one per block x group) ever move.
+
+    Zero-variance groups (n == 1 or constant value) yield NULL. The
+    mean/variance floats are computed with the exact expression the
+    DuckDB oracle uses (``q/n - (s/n)**2`` over integer-exact s, q), so
+    z-scores match bit-for-bit.
+
+    -> (id_col, group_col, zscore)
+    """
+    import ray
+
+    from ..util import sql_round
+
+    proj = ds.select_columns([id_col, group_col, value_col])
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        return pa.table(
+            {
+                group_col: pa.array(ug),
+                "n": pa.array(np.bincount(inv, minlength=len(ug)).astype(np.int64)),
+                "s": pa.array(
+                    np.bincount(inv, weights=cents, minlength=len(ug)).astype(np.int64)
+                ),
+                "q": pa.array(
+                    np.bincount(inv, weights=cents * cents, minlength=len(ug)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            proj.map_batches(partial_block, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    g = parts.column(group_col).to_numpy(zero_copy_only=False)
+    ug, inv = np.unique(g, return_inverse=True)
+    n = np.bincount(inv, weights=parts.column("n").to_numpy(zero_copy_only=False),
+                    minlength=len(ug)).astype(np.int64)
+    s = np.bincount(inv, weights=parts.column("s").to_numpy(zero_copy_only=False),
+                    minlength=len(ug)).astype(np.int64)
+    q = np.bincount(inv, weights=parts.column("q").to_numpy(zero_copy_only=False),
+                    minlength=len(ug)).astype(np.int64)
+    # the oracle's exact float expression over integer-exact sums
+    mean = s.astype(np.float64) / n
+    var = q.astype(np.float64) / n - mean * mean
+    stats_ref = ray.put({k: (m, v) for k, m, v in zip(ug.tolist(), mean, var)})
+
+    def normalize(t: pa.Table) -> pa.Table:
+        stats = ray.get(stats_ref)
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ugb, invb = np.unique(grp, return_inverse=True)
+        m = np.array([stats[k][0] for k in ugb.tolist()], np.float64)[invb]
+        v = np.array([stats[k][1] for k in ugb.tolist()], np.float64)[invb]
+        ok = v > 0
+        z = np.full(len(grp), np.nan)
+        z[ok] = sql_round((cents[ok] - m[ok]) / np.sqrt(v[ok]))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                "zscore": pa.array(z, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return proj.map_batches(normalize, batch_format="pyarrow")

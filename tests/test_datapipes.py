@@ -38,7 +38,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_group_quantiles", "rel_pivot", "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
-     "txt_repetition", "dd_span_overlap"],
+     "txt_repetition", "dd_span_overlap", "rel_zscore"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1109,3 +1109,40 @@ def test_span_overlap(ray_session):
     assert out.loc[1, "n_shingles"] == 2 and out.loc[1, "n_shared"] == 1
     assert out.loc[2, "n_shared"] == 0 and out.loc[4, "n_shared"] == 0
     assert out.loc[4, "n_shingles"] == 1
+
+
+def test_grouped_zscore(ray_session):
+    """Grouped z-score: numpy-oracle values, NULL for zero-variance
+    groups (singleton and constant), broadcast moments exact across
+    block layouts."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    vals = {"a": [1.00, 2.00, 3.00, 6.00], "b": [5.25], "c": [2.00, 2.00]}
+    ids, grps, vs = [], [], []
+    i = 0
+    for g, xs in vals.items():
+        for x in xs:
+            ids.append(i); grps.append(g); vs.append(x); i += 1
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "event_type": pa.array(grps),
+            "value": pa.array(vs, pa.float64()),
+        }
+    )
+    out = (
+        relational.grouped_zscore(
+            rd.from_arrow(t).repartition(3),
+            group_col="event_type", id_col="event_id", value_col="value",
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    a = np.array([100, 200, 300, 600], dtype=np.float64)
+    want = np.round((a - a.mean()) / a.std(), 6)
+    assert out.loc[[0, 1, 2, 3], "zscore"].tolist() == want.tolist()
+    assert pd.isna(out.loc[4, "zscore"])          # singleton group
+    assert pd.isna(out.loc[5, "zscore"]) and pd.isna(out.loc[6, "zscore"])
