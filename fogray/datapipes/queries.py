@@ -711,6 +711,42 @@ def q_rel_zscore(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_rel_diff(sf_dir: str) -> pa.Table:
+    """Snapshot diff (fogray.datapipes.relational.snapshot_diff):
+    old = docs with doc_id % 5 != 4; new = docs with doc_id % 7 != 0,
+    where doc_id % 3 == 0 texts carry a ' v2' edit. Reports
+    added/removed/changed keys via the tagged-union sort exchange."""
+    import pyarrow.compute as pc
+
+    from . import relational
+    from ..util import sorted_table
+
+    def _old(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 5 != 4))
+
+    def _new(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 != 0))
+        edited = pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 3 == 0
+        )
+        text = pc.if_else(
+            edited,
+            pc.binary_join_element_wise(t.column("text"), " v2", ""),
+            t.column("text"),
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    old = docs.map_batches(_old, batch_format="pyarrow")
+    new = docs.map_batches(_new, batch_format="pyarrow")
+    t = _collect(
+        relational.snapshot_diff(old, new, key_col="doc_id", content_col="text")
+    )
+    return sorted_table(t, ["doc_id"])
+
+
 def q_dd_span_overlap(sf_dir: str) -> pa.Table:
     """Cross-doc shared n-gram fraction
     (fogray.datapipes.dedup.span_overlap): per doc, the share of its
@@ -823,6 +859,7 @@ QUERIES = {
     "evt_user_stats": q_evt_user_stats,
     "dd_span_overlap": q_dd_span_overlap,
     "rel_zscore": q_rel_zscore,
+    "rel_diff": q_rel_diff,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1806,6 +1843,21 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rel_diff": """
+        WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+                   WHERE doc_id % 5 <> 4),
+        n AS (SELECT doc_id,
+                     md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                              ELSE text END) AS h
+              FROM documents WHERE doc_id % 7 <> 0)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+        ORDER BY 1
     """,
     "rel_zscore": """
         WITH c AS (

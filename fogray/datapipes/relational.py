@@ -1080,3 +1080,94 @@ def grouped_zscore(
         )
 
     return proj.map_batches(normalize, batch_format="pyarrow")
+
+
+def snapshot_diff(old, new, *, key_col: str, content_col: str) -> rd.Dataset:
+    """Diff two snapshot versions of a keyed corpus: which keys were
+    ``added`` (new only), ``removed`` (old only), or ``changed``
+    (present in both with different content)? Unchanged keys are
+    dropped. Keys must be unique within each snapshot.
+
+    The dataflow is the repo's tagged-union + ONE sort + group-complete
+    pattern (:func:`key_anti_semi_join`): each side maps to (key,
+    md5(content), side) — content bodies never enter the exchange, only
+    16-byte digests — the union sorts by key, and each key group (1 or
+    2 rows) resolves its status vectorized in the block kernel.
+
+    -> (key_col, status)
+    """
+    import hashlib
+
+    mixed_schema = pa.schema(
+        [
+            old.schema().base_schema.field(key_col),
+            ("__h", pa.binary()),
+            ("__side", pa.int8()),
+        ]
+    )
+
+    def tagger(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            h = [
+                hashlib.md5(s.encode()).digest()
+                for s in t.column(content_col).to_pylist()
+            ]
+            return pa.table(
+                {
+                    key_col: t.column(key_col),
+                    "__h": pa.array(h, pa.binary()),
+                    "__side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+                },
+                schema=mixed_schema,
+            )
+
+        return tag
+
+    out_schema = pa.schema(
+        [old.schema().base_schema.field(key_col), ("status", pa.string())]
+    )
+
+    def block_diff(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        key = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        h = np.asarray(t.column("__h").to_pylist(), dtype=object)
+        order = np.lexsort((side, key))
+        ks, ss, hs = key[order], side[order], h[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sizes = np.diff(np.r_[starts, len(ks)])
+        if sizes.max(initial=0) > 2:
+            raise ValueError("snapshot_diff: duplicate key within one snapshot")
+        lone = sizes == 1
+        # singletons: side 0 -> removed, side 1 -> added
+        lone_idx = starts[lone]
+        lone_status = np.where(ss[lone_idx] == 0, "removed", "added")
+        # pairs (old sorts first): changed iff digests differ
+        pair_idx = starts[~lone]
+        if len(pair_idx) and (
+            (ss[pair_idx] != 0).any() or (ss[pair_idx + 1] != 1).any()
+        ):
+            raise ValueError("snapshot_diff: duplicate key within one snapshot")
+        chg = pair_idx[hs[pair_idx] != hs[pair_idx + 1]]
+        out_keys = np.concatenate([ks[lone_idx], ks[chg]])
+        out_status = np.concatenate([lone_status, np.full(len(chg), "changed")])
+        o = np.argsort(out_keys, kind="stable")
+        return pa.table(
+            {
+                key_col: pa.array(
+                    out_keys[o].tolist(), mixed_schema.field(key_col).type
+                ),
+                "status": pa.array(out_status[o].tolist(), pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    mixed = old.select_columns([key_col, content_col]).map_batches(
+        tagger(0), batch_format="pyarrow"
+    ).union(
+        new.select_columns([key_col, content_col]).map_batches(
+            tagger(1), batch_format="pyarrow"
+        )
+    )
+    return key_grouped_block_map(mixed.sort([key_col]), [key_col], block_diff)

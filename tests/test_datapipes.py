@@ -38,7 +38,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_group_quantiles", "rel_pivot", "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
-     "txt_repetition", "dd_span_overlap", "rel_zscore"],
+     "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1146,3 +1146,45 @@ def test_grouped_zscore(ray_session):
     assert out.loc[[0, 1, 2, 3], "zscore"].tolist() == want.tolist()
     assert pd.isna(out.loc[4, "zscore"])          # singleton group
     assert pd.isna(out.loc[5, "zscore"]) and pd.isna(out.loc[6, "zscore"])
+
+
+def test_snapshot_diff(ray_session):
+    """Snapshot diff statuses: added / removed / changed, unchanged
+    dropped; duplicate key within one snapshot raises."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    old = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["b", "c CHANGED", "d", "e"]),
+        }
+    )
+    out = (
+        relational.snapshot_diff(
+            rd.from_arrow(old).repartition(2),
+            rd.from_arrow(new).repartition(2),
+            key_col="doc_id",
+            content_col="text",
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["status"].to_dict() == {1: "removed", 3: "changed", 5: "added"}
+
+    dup = pa.table(
+        {"doc_id": pa.array([7, 7], pa.int64()), "text": pa.array(["x", "y"])}
+    )
+    with pytest.raises(Exception):
+        relational.snapshot_diff(
+            rd.from_arrow(dup), rd.from_arrow(new),
+            key_col="doc_id", content_col="text",
+        ).materialize()
