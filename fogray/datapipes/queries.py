@@ -711,6 +711,36 @@ def q_rel_zscore(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_txt_bigram_lm(sf_dir: str) -> pa.Table:
+    """Corpus bigram LM table (fogray.datapipes.text.bigram_lm): top-3
+    next tokens per preceding token, count DESC / token ASC ties."""
+    from ..util import sorted_table
+
+    t = _collect(text.bigram_lm(_docs(sf_dir), k=3))
+    return sorted_table(t, ["w1", "rk"])
+
+
+def q_evt_transitions(sf_dir: str) -> pa.Table:
+    """Event-type transition counts / behavioral bigrams
+    (fogray.datapipes.streams.event_transitions)."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.event_transitions(_events(sf_dir)))
+    return sorted_table(t, ["from_type", "to_type"])
+
+
+def q_evt_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix
+    (fogray.datapipes.streams.cohort_retention): users by first active
+    epoch day, counted per later active-day offset."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.cohort_retention(_events(sf_dir)))
+    return sorted_table(t, ["cohort_day", "day_offset"])
+
+
 def q_rel_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff (fogray.datapipes.relational.snapshot_diff):
     old = docs with doc_id % 5 != 4; new = docs with doc_id % 7 != 0,
@@ -860,6 +890,9 @@ QUERIES = {
     "dd_span_overlap": q_dd_span_overlap,
     "rel_zscore": q_rel_zscore,
     "rel_diff": q_rel_diff,
+    "evt_transitions": q_evt_transitions,
+    "evt_retention": q_evt_retention,
+    "txt_bigram_lm": q_txt_bigram_lm,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1843,6 +1876,55 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "txt_bigram_lm": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(length(arr))) AS pos
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS arr
+                  FROM documents)
+        ),
+        pairs AS (
+            SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT w1, w2, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY w1 ORDER BY n DESC, w2) AS rk
+            FROM pairs
+        )
+        SELECT w1, w2, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 3 ORDER BY w1, rk
+    """,
+    "evt_transitions": """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT prev AS from_type, event_type AS to_type,
+               COUNT(*) AS n
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_retention": """
+        WITH d AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events
+        ),
+        c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1),
+        a AS (SELECT DISTINCT d.user_id, c.cohort, d.day - c.cohort AS off
+              FROM d JOIN c USING (user_id))
+        SELECT cohort AS cohort_day, off AS day_offset,
+               COUNT(*) AS n_users
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "rel_diff": """
         WITH o AS (SELECT doc_id, md5(text) AS h FROM documents

@@ -39,6 +39,7 @@ every driver events table satisfies.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -395,4 +396,139 @@ def user_sequence_stats(ds) -> rd.Dataset:
         ),
         ["user_id"],
         stats_block,
+    )
+
+
+def event_transitions(ds) -> rd.Dataset:
+    """Global event-type transition counts (the behavioral "bigram
+    table"): for every adjacent pair of one user's events in (ts,
+    event_id) order, count (from_type -> to_type). One sort ships three
+    narrow columns; each group-complete block emits pre-aggregated
+    (from, to, n) partials, and the final fold touches only
+    #types^2-sized partial rows (tiny), folded in a single reduce
+    block.
+
+    -> (from_type, to_type, n)
+    """
+
+    def trans_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        codes, uniq = pd.factorize(et, use_na_sentinel=False)
+        order = np.lexsort((eid, ts, u))
+        uo, co = u[order], codes[order]
+        same_user = uo[1:] == uo[:-1]
+        frm, to = co[:-1][same_user], co[1:][same_user]
+        if not len(frm):
+            return empty
+        k = len(uniq)
+        cnt = np.bincount(frm * k + to, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "from_type": pa.array(uniq[nz // k].tolist(), pa.string()),
+                "to_type": pa.array(uniq[nz % k].tolist(), pa.string()),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    partials = key_grouped_block_map(
+        ds.select_columns(["event_id", "ts", "user_id", "event_type"]).sort(
+            ["user_id", "ts", "event_id"]
+        ),
+        ["user_id"],
+        trans_block,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["from_type", "to_type"], as_index=False)["n"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # partials are #types^2 rows per block — repartition(1) is a tiny
+    # tree-reduce, not a data funnel
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+def cohort_retention(ds) -> rd.Dataset:
+    """Cohort retention matrix: users grouped by their first active day
+    (``cohort_day`` = epoch days of MIN ts), counted on each later
+    active-day offset. One sort by user_id; each group-complete block
+    reduces a user's whole history to its distinct (cohort_day,
+    day_offset) rows — already deduped per user — then pre-aggregates
+    per block, so the final fold sees #days^2-sized partials only.
+
+    Timestamps are assumed non-negative (see the module note on
+    floor-mod vs SQL %).
+
+    -> (cohort_day, day_offset, n_users)
+    """
+    _DAY_US = 86_400_000_000
+
+    def cohort_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        order = np.lexsort((day, u))
+        uo, do = u[order], day[order]
+        starts = np.flatnonzero(np.r_[True, uo[1:] != uo[:-1]])
+        cohort = np.repeat(do[starts], np.diff(np.r_[starts, len(uo)]))
+        off = do - cohort
+        # distinct (user, offset): sorted, so adjacent-dedup
+        keep = np.r_[True, (uo[1:] != uo[:-1]) | (off[1:] != off[:-1])]
+        ck, ok = cohort[keep], off[keep]
+        # fused int64 pair key (avoids np.unique(axis=0)'s void-view sort)
+        span = int(ok.max()) + 1
+        ukey, cnt = np.unique(ck * span + ok, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array((ukey // span).astype(np.int64)),
+                "day_offset": pa.array((ukey % span).astype(np.int64)),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = key_grouped_block_map(
+        ds.select_columns(["user_id", "ts"]).sort(["user_id"]),
+        ["user_id"],
+        cohort_block,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["cohort_day", "day_offset"], as_index=False)["n_users"]
+            .sum()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
     )

@@ -534,3 +534,98 @@ def repetition(ds, text_col: str = "text"):
     return ds.map_batches(
         lambda t: repetition_batch(t, text_col), batch_format="pyarrow"
     )
+
+
+def bigram_lm(ds, *, k: int = 3, text_col: str = "text"):
+    """Distributed bigram language-model table: the top-``k`` next
+    tokens per preceding token across the corpus, ranked by count DESC
+    with token ASC tie-break — the count-based n-gram LM build step of
+    a data pipeline (quality filtering, perplexity priors).
+
+    ONE exchange: each input block pre-aggregates its adjacent-token
+    pair counts (factorize to int codes, fused-key bincount — no string
+    sorting, the perf-playbook rule), so the sort by ``w1`` ships
+    (w1, w2, partial n) rows, already collapsed per block; each
+    group-complete block then folds partials and ranks per w1. The rank
+    kernel never trusts intra-block row order.
+
+    -> (w1, w2, n, rk) with rk in 1..k.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..derive import key_grouped_block_map
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        token_lists = [s.split() for s in t.column(text_col).to_pylist()]
+        lens = np.fromiter(
+            (len(x) for x in token_lists), dtype=np.int64, count=len(token_lists)
+        )
+        flat = [w for lst in token_lists for w in lst]
+        if not flat:
+            return empty
+        toks = np.asarray(flat, dtype=object)
+        T = len(toks)
+        if T < 2:
+            return empty
+        offs = np.r_[0, np.cumsum(lens)]
+        # a pair starts at every position except a doc's last token
+        valid = np.ones(T - 1, dtype=bool)
+        last = offs[1:][lens > 0] - 1
+        valid[last[last < T - 1]] = False
+        a_idx = np.flatnonzero(valid)
+        if not len(a_idx):
+            return empty
+        codes, uniq = pd.factorize(toks, use_na_sentinel=False)
+        c1, c2 = codes[a_idx], codes[a_idx + 1]
+        nu = len(uniq)
+        key = c1.astype(np.int64) * nu + c2
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "w1": pa.array(uniq[ukey // nu].tolist(), pa.string()),
+                "w2": pa.array(uniq[ukey % nu].tolist(), pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        pair_partials, batch_format="pyarrow"
+    )
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = (
+            t.to_pandas()
+            .groupby(["w1", "w2"], as_index=False)["n"]
+            .sum()
+            .sort_values(["w1", "n", "w2"], ascending=[True, False, True])
+        )
+        g = df["w1"].to_numpy()
+        starts = np.r_[True, g[1:] != g[:-1]]
+        sidx = np.flatnonzero(starts)
+        rk = (
+            np.arange(len(g), dtype=np.int64)
+            - np.repeat(sidx, np.diff(np.r_[sidx, len(g)]))
+            + 1
+        )
+        df = df.assign(rk=rk)
+        return pa.Table.from_pandas(df[rk <= k], preserve_index=False)
+
+    return key_grouped_block_map(partials.sort(["w1"]), ["w1"], rank_block)

@@ -38,7 +38,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_group_quantiles", "rel_pivot", "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
-     "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff"],
+     "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff",
+     "evt_transitions", "evt_retention", "txt_bigram_lm"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1188,3 +1189,104 @@ def test_snapshot_diff(ray_session):
             rd.from_arrow(dup), rd.from_arrow(new),
             key_col="doc_id", content_col="text",
         ).materialize()
+
+
+def test_event_transitions(ray_session):
+    """Behavioral bigram counts: per-user adjacency only, ts order with
+    event_id tie-break, no cross-user pairs."""
+    import ray.data as rd
+
+    from fogray.datapipes import streams
+
+    def tt(us):
+        return pa.array(np.asarray(us, dtype=np.int64)).cast(pa.timestamp("us"))
+
+    rows = [  # (event_id, user_id, ts, type)
+        (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "view"),
+        (4, 2, 10, "view"), (5, 2, 20, "view"),
+        (7, 3, 10, "click"), (6, 3, 10, "view"),  # tie: eid 6 first
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": tt([r[2] for r in rows]),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    out = (
+        streams.event_transitions(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index(["from_type", "to_type"])["n"]
+        .to_dict()
+    )
+    assert out == {
+        ("view", "click"): 2,   # u1 + u3 (tie-break puts view@eid6 first)
+        ("click", "view"): 1,   # u1
+        ("view", "view"): 1,    # u2
+    }
+
+
+def test_cohort_retention(ray_session):
+    """Cohort matrix: first active day anchors the cohort; a user
+    counts once per distinct active day offset."""
+    import ray.data as rd
+
+    from fogray.datapipes import streams
+
+    DAY = 86_400_000_000
+
+    def tt(us):
+        return pa.array(np.asarray(us, dtype=np.int64)).cast(pa.timestamp("us"))
+
+    rows = [  # (user, day, intra-day repeats)
+        (1, 0), (1, 0), (1, 2),         # cohort 0: offsets 0, 2
+        (2, 0), (2, 1),                 # cohort 0: offsets 0, 1
+        (3, 2), (3, 2), (3, 3),         # cohort 2: offsets 0, 1
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": tt([r[1] * DAY + 5 for r in rows]),
+        }
+    )
+    out = (
+        streams.cohort_retention(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index(["cohort_day", "day_offset"])["n_users"]
+        .to_dict()
+    )
+    assert out == {
+        (0, 0): 2, (0, 1): 1, (0, 2): 1,
+        (2, 0): 1, (2, 1): 1,
+    }
+
+
+def test_bigram_lm(ray_session):
+    """Bigram LM table: adjacent pairs never cross docs; rank is count
+    DESC with w2 ASC tie-break; top-k cut."""
+    import ray.data as rd
+
+    from fogray.datapipes import text as txt
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(
+                ["a b c", "a b d", "a c", "c a", "b"]  # 'c a' crosses docs only
+            ),
+        }
+    )
+    out = (
+        txt.bigram_lm(rd.from_arrow(t).repartition(3), k=2)
+        .to_pandas()
+        .sort_values(["w1", "rk"])
+        .reset_index(drop=True)
+    )
+    recs = list(out.itertuples(index=False, name=None))
+    # a: b(2) rk1, c(1) rk2; b: c(1) rk1 (tie w2 asc), d(1) rk2; c: a(1) rk1
+    assert recs == [
+        ("a", "b", 2, 1), ("a", "c", 1, 2),
+        ("b", "c", 1, 1), ("b", "d", 1, 2),
+        ("c", "a", 1, 1),
+    ]
