@@ -711,6 +711,16 @@ def q_rel_zscore(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_rel_split(sf_dir: str) -> pa.Table:
+    """Deterministic md5-prefix train/val/test split
+    (fogray.datapipes.relational.train_split), ~80/10/10."""
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(relational.train_split(_docs(sf_dir), key_col="doc_id"))
+    return sorted_table(t, ["doc_id"])
+
+
 def q_txt_bigram_lm(sf_dir: str) -> pa.Table:
     """Corpus bigram LM table (fogray.datapipes.text.bigram_lm): top-3
     next tokens per preceding token, count DESC / token ASC ties."""
@@ -893,6 +903,7 @@ QUERIES = {
     "evt_transitions": q_evt_transitions,
     "evt_retention": q_evt_retention,
     "txt_bigram_lm": q_txt_bigram_lm,
+    "rel_split": q_rel_split,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1876,6 +1887,15 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rel_split": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
     """,
     "txt_bigram_lm": r"""
         WITH toks AS (

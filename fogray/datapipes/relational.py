@@ -1171,3 +1171,38 @@ def snapshot_diff(old, new, *, key_col: str, content_col: str) -> rd.Dataset:
         )
     )
     return key_grouped_block_map(mixed.sort([key_col]), [key_col], block_diff)
+
+
+def train_split(
+    ds,
+    *,
+    key_col: str,
+    bounds: tuple = (("train", "cb"), ("val", "e5")),
+    rest: str = "test",
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment by md5 2-hex prefix of
+    ``key_col``: split = first label whose bound the prefix is <=, else
+    ``rest`` (defaults approximate 80/10/10). Shuffle-free and
+    repartition-stable like :func:`hash_sample` — the assignment
+    depends only on the key, so re-runs, resumes, and re-partitions
+    produce the identical split, and adding documents never moves an
+    existing one between splits.
+
+    -> (key_col, split)
+    """
+    labels = [b[0] for b in bounds] + [rest]
+    cuts = np.array([b[1] for b in bounds])
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        pref = md5_prefix_batch(keys, len(cuts[0]) if len(cuts) else 2)
+        idx = np.searchsorted(cuts, pref, side="left")
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "split": pa.array(np.array(labels, dtype=object)[idx].tolist(),
+                                  pa.string()),
+            }
+        )
+
+    return ds.select_columns([key_col]).map_batches(assign, batch_format="pyarrow")

@@ -39,7 +39,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
      "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff",
-     "evt_transitions", "evt_retention", "txt_bigram_lm"],
+     "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1290,3 +1290,35 @@ def test_bigram_lm(ray_session):
         ("b", "c", 1, 1), ("b", "d", 1, 2),
         ("c", "a", 1, 1),
     ]
+
+
+def test_train_split(ray_session):
+    """Deterministic split: matches a hand md5 oracle, stable across
+    repartitions, roughly 80/10/10 at 3k keys."""
+    import hashlib
+
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    t = pa.table({"doc_id": pa.array(range(3000), pa.int64())})
+    out = (
+        relational.train_split(rd.from_arrow(t).repartition(4), key_col="doc_id")
+        .to_pandas()
+        .set_index("doc_id")["split"]
+    )
+
+    def want(k):
+        p = hashlib.md5(str(k).encode()).hexdigest()[:2]
+        return "train" if p <= "cb" else ("val" if p <= "e5" else "test")
+
+    assert all(out[k] == want(k) for k in range(3000))
+    frac = out.value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85 and frac["val"] < 0.15
+
+    out2 = (
+        relational.train_split(rd.from_arrow(t).repartition(11), key_col="doc_id")
+        .to_pandas()
+        .set_index("doc_id")["split"]
+    )
+    assert (out.sort_index() == out2.sort_index()).all()
