@@ -711,6 +711,34 @@ def q_rel_zscore(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_rel_ntile(sf_dir: str) -> pa.Table:
+    """Equal-count decile binning (fogray.datapipes.relational.
+    ntile_bins): NTILE(10) of value within event_type, event_id ties."""
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.ntile_bins(
+            _events(sf_dir),
+            group_col="event_type",
+            order_col="value",
+            id_col="event_id",
+            n_bins=10,
+        )
+    )
+    return sorted_table(t, ["event_id"])
+
+
+def q_evt_rolling(sf_dir: str) -> pa.Table:
+    """Trailing 3-event per-user rolling mean
+    (fogray.datapipes.streams.rolling_mean), money-exact."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.rolling_mean(_events(sf_dir), window=3))
+    return sorted_table(t, ["event_id"])
+
+
 def q_rel_split(sf_dir: str) -> pa.Table:
     """Deterministic md5-prefix train/val/test split
     (fogray.datapipes.relational.train_split), ~80/10/10."""
@@ -904,6 +932,8 @@ QUERIES = {
     "evt_retention": q_evt_retention,
     "txt_bigram_lm": q_txt_bigram_lm,
     "rel_split": q_rel_split,
+    "rel_ntile": q_rel_ntile,
+    "evt_rolling": q_evt_rolling,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1887,6 +1917,21 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "rel_ntile": """
+        SELECT event_id, event_type,
+               CAST(ntile(10) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS BIGINT) AS bin
+        FROM events ORDER BY event_id
+    """,
+    "evt_rolling": """
+        SELECT event_id, user_id,
+               ROUND(AVG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) / 100.0, 6) AS roll_mean
+        FROM events ORDER BY event_id
     """,
     "rel_split": """
         SELECT doc_id,

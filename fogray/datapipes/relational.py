@@ -1206,3 +1206,61 @@ def train_split(
         )
 
     return ds.select_columns([key_col]).map_batches(assign, batch_format="pyarrow")
+
+
+def ntile_bins(
+    ds,
+    *,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> rd.Dataset:
+    """Equal-count quantile binning (SQL ``NTILE(n)`` semantics): each
+    row's 1-based bin within its group, ordered by (order_col, id_col)
+    — the feature-bucketing step before embedding-table lookups or
+    calibration. ONE sort by group; each group-complete block ranks its
+    groups vectorized and applies NTILE's exact fill rule (the first
+    ``n_rows % n_bins`` bins get the extra row).
+
+    -> (id_col, group_col, bin)
+    """
+    proj = ds.select_columns([group_col, id_col, order_col])
+
+    def bin_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], t.schema.field(id_col).type),
+                group_col: pa.array([], t.schema.field(group_col).type),
+                "bin": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, o, g))
+        gs, is_ = g[order], i[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sizes = np.diff(np.r_[starts, len(gs)])
+        rank = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, sizes)
+        n = np.repeat(sizes, sizes)
+        # NTILE: base rows per bin = n // nb; first (n % nb) bins hold
+        # base+1. rank r -> bin via the two-regime split.
+        base, extra = n // n_bins, n % n_bins
+        cut = (base + 1) * extra  # rows covered by the wide bins
+        wide = rank < cut
+        b = np.empty(len(gs), dtype=np.int64)
+        b[wide] = rank[wide] // (base[wide] + 1)
+        nw = ~wide
+        b[nw] = extra[nw] + (rank[nw] - cut[nw]) // np.maximum(base[nw], 1)
+        return pa.table(
+            {
+                id_col: pa.array(is_),
+                group_col: pa.array(gs),
+                "bin": pa.array(b + 1),
+            }
+        )
+
+    return key_grouped_block_map(proj.sort([group_col]), [group_col], bin_block)

@@ -532,3 +532,61 @@ def cohort_retention(ds) -> rd.Dataset:
     return partials.repartition(1).map_batches(
         fold, batch_format="pyarrow", batch_size=None
     )
+
+
+def rolling_mean(ds, *, window: int = 3) -> rd.Dataset:
+    """Trailing per-user rolling mean of ``value`` over the last
+    ``window`` events (SQL ``ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW``), ordered by (ts, event_id) — the smoothed-feature
+    companion to :func:`user_sequence_stats`. Money-exact: the window
+    sum runs over int64 hundredths (cumsum difference, one vector op
+    per block), and the mean divides exactly like the oracle
+    (``AVG(cents) / 100``).
+
+    -> (event_id, user_id, roll_mean)
+    """
+
+    def roll_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "roll_mean": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, v = u[order], eid[order], v[order]
+        cents = np.round(v * 100.0).astype(np.int64)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])
+        )
+        cum = np.cumsum(cents)
+        lo = np.arange(n) - np.minimum(rank, window - 1)  # window start idx
+        ws = cum - np.where(lo > 0, cum[lo - 1], 0)
+        cnt = np.minimum(rank + 1, window)
+        from ..util import sql_round
+
+        rm = sql_round((ws / cnt) / 100.0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid.astype(np.int64)),
+                "user_id": pa.array(u.astype(np.int64)),
+                "roll_mean": pa.array(rm, pa.float64()),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["event_id", "ts", "user_id", "value"]).sort(
+            ["user_id", "ts", "event_id"]
+        ),
+        ["user_id"],
+        roll_block,
+    )

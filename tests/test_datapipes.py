@@ -39,7 +39,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
      "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff",
-     "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split"],
+     "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split",
+     "rel_ntile", "evt_rolling"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1322,3 +1323,67 @@ def test_train_split(ray_session):
         .set_index("doc_id")["split"]
     )
     assert (out.sort_index() == out2.sort_index()).all()
+
+
+def test_ntile_bins(ray_session):
+    """NTILE semantics: first n%nb bins get the extra row; ordering by
+    (value, id); groups independent."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    # group a: 7 rows -> NTILE(3) sizes 3,2,2; group b: 2 rows -> 1,2
+    t = pa.table(
+        {
+            "event_id": pa.array(range(9), pa.int64()),
+            "event_type": pa.array(["a"] * 7 + ["b"] * 2),
+            "value": pa.array([5.0, 1.0, 3.0, 2.0, 4.0, 7.0, 6.0, 9.0, 8.0]),
+        }
+    )
+    out = (
+        relational.ntile_bins(
+            rd.from_arrow(t).repartition(3),
+            group_col="event_type", order_col="value",
+            id_col="event_id", n_bins=3,
+        )
+        .to_pandas()
+        .set_index("event_id")["bin"]
+        .to_dict()
+    )
+    # group a value order: 1(e1) 2(e3) 3(e2) | 4(e4) 5(e0) | 6(e6) 7(e5)
+    assert out == {1: 1, 3: 1, 2: 1, 4: 2, 0: 2, 6: 3, 5: 3, 8: 1, 7: 2}
+
+
+def test_rolling_mean(ray_session):
+    """Trailing 3-event rolling mean: warm-up windows shrink, money
+    exactness (0.10/0.20/0.40 -> exact 0.15 and 7/30-free arithmetic),
+    per-user isolation."""
+    import ray.data as rd
+
+    from fogray.datapipes import streams
+
+    def tt(us):
+        return pa.array(np.asarray(us, dtype=np.int64)).cast(pa.timestamp("us"))
+
+    rows = [  # (eid, user, ts, value)
+        (1, 1, 10, 0.10), (2, 1, 20, 0.20), (3, 1, 30, 0.40), (4, 1, 40, 0.10),
+        (5, 2, 10, 9.00),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": tt([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    out = (
+        streams.rolling_mean(rd.from_arrow(t).repartition(2), window=3)
+        .to_pandas()
+        .set_index("event_id")["roll_mean"]
+        .to_dict()
+    )
+    assert out == {
+        1: 0.10, 2: 0.15, 3: round((10 + 20 + 40) / 3 / 100, 6),
+        4: round((20 + 40 + 10) / 3 / 100, 6), 5: 9.00,
+    }
