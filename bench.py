@@ -219,7 +219,11 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str] | None = None) -> dic
         "evt_range",
         "evt_sessions",
     ]
-    names = names or [k for k in default if k in qs]
+    # curated order first, then ANY newer registered query not yet
+    # listed — a freshly added operator is always benched
+    names = names or (
+        [k for k in default if k in qs] + sorted(k for k in qs if k not in default)
+    )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:

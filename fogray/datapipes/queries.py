@@ -27,6 +27,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -711,6 +712,66 @@ def q_rel_zscore(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_sink_partitioned(sf_dir: str) -> pa.Table:
+    """Resumable partitioned-parquet round-trip
+    (fogray.datapipes.sink.write_partitioned / read_partitioned): write
+    documents hash-partitioned into 8 dirs with _DONE markers, read the
+    sink back, and report per-partition (n_docs, n_chars sum, md5-xor
+    fold of doc ids via min/max) so the oracle checks CONTENT, not just
+    counts."""
+    import shutil
+    import tempfile
+
+    from . import sink
+    from ..util import sorted_table
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "fogray_sink_rt_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = sink.write_partitioned(
+        _docs(sf_dir), out_dir, key_col="doc_id", num_partitions=8
+    )
+    assert int(pc.sum(manifest.column("skipped")).as_py() or 0) == 0
+
+    back = sink.read_partitioned(out_dir)
+
+    def agg(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        p = sink.partition_ids(ids, 8)
+        up, inv = np.unique(p, return_inverse=True)
+        return pa.table(
+            {
+                "part": pa.array(up),
+                "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+                "sum_chars": pa.array(
+                    np.bincount(inv, weights=nc).astype(np.int64)
+                ),
+                "min_doc": pa.array(
+                    np.minimum.reduceat(ids[np.argsort(inv, kind="stable")],
+                                        np.r_[0, np.cumsum(np.bincount(inv))[:-1]])
+                    .astype(np.int64)
+                ),
+                "max_doc": pa.array(
+                    np.maximum.reduceat(ids[np.argsort(inv, kind="stable")],
+                                        np.r_[0, np.cumsum(np.bincount(inv))[:-1]])
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    parts = _collect(back.map_batches(agg, batch_format="pyarrow"))
+    df = parts.to_pandas().groupby("part", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        min_doc=("min_doc", "min"),
+        max_doc=("max_doc", "max"),
+    )
+    return sorted_table(pa.Table.from_pandas(df, preserve_index=False), ["part"])
+
+
 def q_rel_ntile(sf_dir: str) -> pa.Table:
     """Equal-count decile binning (fogray.datapipes.relational.
     ntile_bins): NTILE(10) of value within event_type, event_id ties."""
@@ -934,6 +995,7 @@ QUERIES = {
     "rel_split": q_rel_split,
     "rel_ntile": q_rel_ntile,
     "evt_rolling": q_evt_rolling,
+    "sink_partitioned": q_sink_partitioned,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1917,6 +1979,15 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "sink_partitioned": """
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INT) % 8 AS part,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM documents GROUP BY 1 ORDER BY 1
     """,
     "rel_ntile": """
         SELECT event_id, event_type,

@@ -40,7 +40,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
      "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff",
      "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split",
-     "rel_ntile", "evt_rolling"],
+     "rel_ntile", "evt_rolling", "sink_partitioned"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1387,3 +1387,54 @@ def test_rolling_mean(ray_session):
         1: 0.10, 2: 0.15, 3: round((10 + 20 + 40) / 3 / 100, 6),
         4: round((20 + 40 + 10) / 3 / 100, 6), 5: 9.00,
     }
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Resumable sink: all partitions written with _DONE markers; a
+    re-run after one partition is wiped rewrites ONLY that partition
+    (others report skipped and keep their bytes); read_partitioned
+    round-trips and refuses partial partitions."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from fogray.datapipes import sink
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(200)]),
+        }
+    )
+    out = str(tmp_path / "sink")
+    m1 = sink.write_partitioned(
+        rd.from_arrow(t).repartition(4), out, key_col="doc_id", num_partitions=4
+    ).to_pandas()
+    assert m1["skipped"].sum() == 0 and m1["rows"].sum() == 200
+    assert sorted(m1["part"]) == [0, 1, 2, 3]
+
+    back = sink.read_partitioned(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == list(range(200))
+
+    # wipe partition 2, keep the rest; record surviving mtimes
+    shutil.rmtree(os.path.join(out, "part=2"))
+    keep_mtime = {
+        p: os.path.getmtime(os.path.join(out, f"part={p}", "data.parquet"))
+        for p in (0, 1, 3)
+    }
+    m2 = sink.write_partitioned(
+        rd.from_arrow(t).repartition(4), out, key_col="doc_id", num_partitions=4
+    ).to_pandas().set_index("part")
+    assert m2.loc[2, "skipped"] == 0
+    assert all(m2.loc[p, "skipped"] == 1 for p in (0, 1, 3))
+    for p in (0, 1, 3):
+        assert os.path.getmtime(os.path.join(out, f"part={p}", "data.parquet")) == keep_mtime[p]
+
+    back2 = sink.read_partitioned(out).to_pandas().sort_values("doc_id")
+    assert back2["doc_id"].tolist() == list(range(200))
+
+    # a partition without its marker is a partial write -> loud failure
+    os.remove(os.path.join(out, "part=1", "_DONE"))
+    with pytest.raises(ValueError):
+        sink.read_partitioned(out)
