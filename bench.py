@@ -62,6 +62,9 @@ def _init_ray(num_cpus: int) -> None:
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
+            # keep stdout to exactly ONE JSON line: raylet/worker log
+            # forwarding otherwise interleaves warnings into stdout
+            log_to_driver=False,
         )
 
 
@@ -394,6 +397,26 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8, e2e: bool = False) -> dic
 
 
 def main(argv: list[str]) -> None:
+    # Guarantee stdout carries EXACTLY one JSON line: Ray's log monitor
+    # writes raylet warnings straight to fd 1 (log_to_driver=False does
+    # not cover raylet messages), so park fd 1 on stderr for the whole
+    # run and restore it just for the final print.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        out = _dispatch(argv)
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout, 1)
+        os.close(real_stdout)
+    print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+def _dispatch(argv: list[str]) -> dict:
     if "--worker" in argv:
         k = int(argv[argv.index("--worker") + 1])
         out = run_worker(
@@ -412,11 +435,7 @@ def main(argv: list[str]) -> None:
             out["e2e"] = run_scaling(SF_DIR, e2e=True)
     else:
         out = run_suite(SF_DIR, NUM_CPUS)
-    print(json.dumps(out))
-    import ray
-
-    if ray.is_initialized():
-        ray.shutdown()
+    return out
 
 
 if __name__ == "__main__":
