@@ -712,6 +712,44 @@ def q_rel_zscore(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_txt_pmi(sf_dir: str) -> pa.Table:
+    """Top-50 adjacent-token collocations with PMI
+    (fogray.datapipes.text.token_pmi)."""
+    from ..util import sorted_table
+
+    t = text.token_pmi(_docs(sf_dir), k=50)
+    return sorted_table(t, ["rk"])
+
+
+def q_rel_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(event_type, day) with money-exact sums
+    (fogray.datapipes.relational.rollup_stats)."""
+    from . import relational
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pa.array(day.astype(np.int64)),
+                "value": t.column("value"),
+            }
+        )
+
+    t = relational.rollup_stats(
+        _events(sf_dir).map_batches(add_day, batch_format="pyarrow"),
+        col_a="event_type",
+        col_b="day",
+        value_col="value",
+    )
+    # subtotal rows carry NULL keys — numpy lexsort can't order them;
+    # pyarrow sorts NULLS LAST like DuckDB's default ASC ordering
+    return t.sort_by([("event_type", "ascending"), ("day", "ascending")])
+
+
 def q_sink_partitioned(sf_dir: str) -> pa.Table:
     """Resumable partitioned-parquet round-trip
     (fogray.datapipes.sink.write_partitioned / read_partitioned): write
@@ -996,6 +1034,8 @@ QUERIES = {
     "rel_ntile": q_rel_ntile,
     "evt_rolling": q_evt_rolling,
     "sink_partitioned": q_sink_partitioned,
+    "txt_pmi": q_txt_pmi,
+    "rel_rollup": q_rel_rollup,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1979,6 +2019,49 @@ ORACLE_SQL = {
                COUNT(*) AS n_events,
                ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6, 6) AS duration_s
         FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "txt_pmi": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(length(arr))) AS pos
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS arr
+                  FROM documents)
+        ),
+        pairs AS (
+            SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM pairs),
+        l AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+        r AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS c2 FROM pairs GROUP BY 1),
+        ranked AS (
+            SELECT p.w1, p.w2, p.n,
+                   ROUND(ln((CAST(p.n AS DOUBLE) * CAST(tot.nn AS DOUBLE))
+                            / (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))),
+                         6) AS pmi,
+                   ROW_NUMBER() OVER (ORDER BY p.n DESC, p.w1, p.w2) AS rk
+            FROM pairs p
+            CROSS JOIN tot
+            JOIN l ON l.w1 = p.w1
+            JOIN r ON r.w2 = p.w2
+        )
+        SELECT w1, w2, CAST(n AS BIGINT) AS n, pmi, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 50 ORDER BY rk
+    """,
+    "rel_rollup": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_type, day, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_value
+        FROM e GROUP BY ROLLUP(event_type, day) ORDER BY 1, 2
     """,
     "sink_partitioned": """
         SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))

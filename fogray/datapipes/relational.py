@@ -1264,3 +1264,59 @@ def ntile_bins(
         )
 
     return key_grouped_block_map(proj.sort([group_col]), [group_col], bin_block)
+
+
+def rollup_stats(
+    ds,
+    *,
+    col_a: str,
+    col_b: str,
+    value_col: str,
+) -> pa.Table:
+    """``GROUP BY ROLLUP(col_a, col_b)`` with COUNT and a money-exact
+    SUM: detail rows per (a, b), subtotals per a (b NULL), and the
+    grand total (both NULL). ``value_col`` carries 2 decimals, so sums
+    accumulate as int64 hundredths — exact in every combine order.
+
+    Shuffle-free: per-block (a, b) partials only (the rollup key space
+    is small by construction — this is the reporting aggregate, not the
+    detail table); the driver folds partials and derives all three
+    levels from the same exact integers.
+
+    -> pa.Table (col_a, col_b, n, sum_value) — subtotal rows carry
+    NULLs like SQL ROLLUP.
+    """
+    import pandas as pd
+    import ray
+
+    proj = ds.select_columns([col_a, col_b, value_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["__c"] = np.round(df[value_col].to_numpy() * 100.0).astype(np.int64)
+        g = df.groupby([col_a, col_b], as_index=False).agg(
+            n=(value_col, "size"), s=("__c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pa.concat_tables(
+        ray.get(
+            proj.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    df = parts.to_pandas().groupby([col_a, col_b], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    lvl1 = df.groupby(col_a, as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    lvl1[col_b] = None
+    total = pd.DataFrame(
+        {col_a: [None], col_b: [None], "n": [df["n"].sum()], "s": [df["s"].sum()]}
+    )
+    out = pd.concat([df, lvl1, total], ignore_index=True)
+    out["sum_value"] = out["s"].astype(np.int64) / 100.0
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[[col_a, col_b, "n", "sum_value"]], preserve_index=False
+    )

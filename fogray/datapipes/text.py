@@ -536,6 +536,53 @@ def repetition(ds, text_col: str = "text"):
     )
 
 
+def _pair_partial_batch(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch adjacent-token pair counts -> (w1, w2, n) partials:
+    factorize to int codes, fused-key bincount — no string sorting (the
+    perf-playbook rule), no cross-doc pairs. Shared by
+    :func:`bigram_lm` and :func:`token_pmi`."""
+    import pandas as pd
+
+    empty = pa.table(
+        {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    token_lists = [s.split() for s in t.column(text_col).to_pylist()]
+    lens = np.fromiter(
+        (len(x) for x in token_lists), dtype=np.int64, count=len(token_lists)
+    )
+    flat = [w for lst in token_lists for w in lst]
+    if not flat:
+        return empty
+    toks = np.asarray(flat, dtype=object)
+    T = len(toks)
+    if T < 2:
+        return empty
+    offs = np.r_[0, np.cumsum(lens)]
+    # a pair starts at every position except a doc's last token
+    valid = np.ones(T - 1, dtype=bool)
+    last = offs[1:][lens > 0] - 1
+    valid[last[last < T - 1]] = False
+    a_idx = np.flatnonzero(valid)
+    if not len(a_idx):
+        return empty
+    codes, uniq = pd.factorize(toks, use_na_sentinel=False)
+    c1, c2 = codes[a_idx], codes[a_idx + 1]
+    nu = len(uniq)
+    key = c1.astype(np.int64) * nu + c2
+    ukey, cnt = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "w1": pa.array(uniq[ukey // nu].tolist(), pa.string()),
+            "w2": pa.array(uniq[ukey % nu].tolist(), pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
 def bigram_lm(ds, *, k: int = 3, text_col: str = "text"):
     """Distributed bigram language-model table: the top-``k`` next
     tokens per preceding token across the corpus, ranked by count DESC
@@ -556,48 +603,8 @@ def bigram_lm(ds, *, k: int = 3, text_col: str = "text"):
 
     from ..derive import key_grouped_block_map
 
-    def pair_partials(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "w1": pa.array([], pa.string()),
-                "w2": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-        token_lists = [s.split() for s in t.column(text_col).to_pylist()]
-        lens = np.fromiter(
-            (len(x) for x in token_lists), dtype=np.int64, count=len(token_lists)
-        )
-        flat = [w for lst in token_lists for w in lst]
-        if not flat:
-            return empty
-        toks = np.asarray(flat, dtype=object)
-        T = len(toks)
-        if T < 2:
-            return empty
-        offs = np.r_[0, np.cumsum(lens)]
-        # a pair starts at every position except a doc's last token
-        valid = np.ones(T - 1, dtype=bool)
-        last = offs[1:][lens > 0] - 1
-        valid[last[last < T - 1]] = False
-        a_idx = np.flatnonzero(valid)
-        if not len(a_idx):
-            return empty
-        codes, uniq = pd.factorize(toks, use_na_sentinel=False)
-        c1, c2 = codes[a_idx], codes[a_idx + 1]
-        nu = len(uniq)
-        key = c1.astype(np.int64) * nu + c2
-        ukey, cnt = np.unique(key, return_counts=True)
-        return pa.table(
-            {
-                "w1": pa.array(uniq[ukey // nu].tolist(), pa.string()),
-                "w2": pa.array(uniq[ukey % nu].tolist(), pa.string()),
-                "n": pa.array(cnt.astype(np.int64)),
-            }
-        )
-
     partials = ds.select_columns([text_col]).map_batches(
-        pair_partials, batch_format="pyarrow"
+        lambda t: _pair_partial_batch(t, text_col), batch_format="pyarrow"
     )
 
     def rank_block(t: pa.Table) -> pa.Table:
@@ -629,3 +636,106 @@ def bigram_lm(ds, *, k: int = 3, text_col: str = "text"):
         return pa.Table.from_pandas(df[rk <= k], preserve_index=False)
 
     return key_grouped_block_map(partials.sort(["w1"]), ["w1"], rank_block)
+
+
+def token_pmi(ds, *, k: int = 50, text_col: str = "text") -> pa.Table:
+    """Top-``k`` adjacent-token pairs by count, with pointwise mutual
+    information — the collocation / vocab-merge-candidate table of a
+    tokenizer-construction pipeline. ``pmi = ln(n * N / (c1 * c2))``
+    where n = pair count, N = total pairs, c1 = count of w1 as a LEFT
+    pair element, c2 = count of w2 as a RIGHT element (all corpus-wide
+    exact counts).
+
+    Dataflow: per-batch pair partials (:func:`_pair_partial_batch`),
+    sort by w1 (group-complete fold -> final n + per-w1 left totals),
+    then sort the already-aggregated pair table by w2 (per-w2 right
+    totals + per-block partial top-k); the driver merges k-sized
+    partials and computes pmi on k rows. Raw tokens are never shuffled
+    twice — the second exchange moves the aggregated pair table.
+
+    -> pa.Table (w1, w2, n, pmi, rk), rk 1..k by (n DESC, w1, w2).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..derive import key_grouped_block_map
+
+    partials = ds.select_columns([text_col]).map_batches(
+        lambda t: _pair_partial_batch(t, text_col), batch_format="pyarrow"
+    )
+
+    def fold_w1(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "c1": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().groupby(["w1", "w2"], as_index=False)["n"].sum()
+        df["c1"] = df.groupby("w1")["n"].transform("sum")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = key_grouped_block_map(partials.sort(["w1"]), ["w1"], fold_w1)
+
+    def topk_w2(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "c1": pa.array([], pa.int64()),
+                "c2": pa.array([], pa.int64()),
+                "bn": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        df["c2"] = df.groupby("w2")["n"].transform("sum")
+        df["bn"] = df["n"].sum()  # block partial of N on every row
+        df = df.sort_values(["n", "w1", "w2"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    tops = key_grouped_block_map(pairs.sort(["w2"]), ["w2"], topk_w2)
+
+    # N needs ALL blocks' partial sums, not just surviving top-k rows:
+    # each block reports its bn once (constant per block); sum distinct
+    # block contributions via one tiny per-block count pass
+    blocks = ray.get(tops.materialize().to_arrow_refs())
+    total = 0
+    rows = []
+    for b in blocks:
+        if b.num_rows:
+            total += int(b.column("bn")[0].as_py())
+            rows.append(b)
+    if not rows:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "pmi": pa.array([], pa.float64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(rows).to_pandas()
+    merged = merged.sort_values(
+        ["n", "w1", "w2"], ascending=[False, True, True]
+    ).head(k)
+    n = merged["n"].to_numpy().astype(np.float64)
+    c1 = merged["c1"].to_numpy().astype(np.float64)
+    c2 = merged["c2"].to_numpy().astype(np.float64)
+    pmi = sql_round(np.log((n * float(total)) / (c1 * c2)))
+    return pa.table(
+        {
+            "w1": pa.array(merged["w1"].tolist(), pa.string()),
+            "w2": pa.array(merged["w2"].tolist(), pa.string()),
+            "n": pa.array(merged["n"].to_numpy().astype(np.int64)),
+            "pmi": pa.array(pmi, pa.float64()),
+            "rk": pa.array(np.arange(1, len(merged) + 1, dtype=np.int64)),
+        }
+    )

@@ -40,7 +40,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel",
      "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff",
      "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split",
-     "rel_ntile", "evt_rolling", "sink_partitioned"],
+     "rel_ntile", "evt_rolling", "sink_partitioned", "txt_pmi", "rel_rollup"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1438,3 +1438,55 @@ def test_write_partitioned_resume(ray_session, tmp_path):
     os.remove(os.path.join(out, "part=1", "_DONE"))
     with pytest.raises(ValueError):
         sink.read_partitioned(out)
+
+
+def test_token_pmi(ray_session):
+    """PMI collocations: exact counts, pmi formula vs hand oracle,
+    deterministic ranking."""
+    import math
+
+    import ray.data as rd
+
+    from fogray.datapipes import text as txt
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(["a b", "a b", "a c", "b a"]),
+        }
+    )
+    out = txt.token_pmi(rd.from_arrow(t).repartition(3), k=10).to_pandas()
+    recs = {(r.w1, r.w2): r for r in out.itertuples()}
+    # pairs: (a,b) n=2, (a,c) n=1, (b,a) n=1; N=4
+    # left counts: a->3, b->1; right: b->2, c->1, a->1
+    assert recs[("a", "b")].n == 2 and recs[("a", "b")].rk == 1
+    assert recs[("a", "b")].pmi == round(math.log(2 * 4 / (3 * 2)), 6)
+    assert recs[("a", "c")].pmi == round(math.log(1 * 4 / (3 * 1)), 6)
+    assert recs[("b", "a")].pmi == round(math.log(1 * 4 / (1 * 1)), 6)
+    assert out["rk"].tolist() == [1, 2, 3]
+
+
+def test_rollup_stats(ray_session):
+    """ROLLUP levels: detail, per-a subtotal (b NULL), grand total
+    (both NULL); money-exact sums."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([0.10, 0.20, 0.30], pa.float64()),
+        }
+    )
+    out = relational.rollup_stats(
+        rd.from_arrow(t).repartition(2), col_a="a", col_b="b", value_col="v"
+    ).to_pandas()
+    key = out.set_index(["a", "b"])  # NaN keys for subtotals
+    assert key.loc[("x", 1), "sum_value"] == 0.10
+    assert key.loc[("x", 2), "sum_value"] == 0.20
+    sub = out[(out["a"] == "x") & (out["b"].isna())]
+    assert len(sub) == 1 and sub.iloc[0]["sum_value"] == 0.30 and sub.iloc[0]["n"] == 2
+    tot = out[out["a"].isna() & out["b"].isna()]
+    assert len(tot) == 1 and tot.iloc[0]["sum_value"] == 0.60 and tot.iloc[0]["n"] == 3
