@@ -750,6 +750,24 @@ def q_rel_rollup(sf_dir: str) -> pa.Table:
     return t.sort_by([("event_type", "ascending"), ("day", "ascending")])
 
 
+def q_rel_weighted(sf_dir: str) -> pa.Table:
+    """Deterministic A-ES weighted sample without replacement, k=100,
+    weight = n_chars + 1 (fogray.datapipes.relational.weighted_sample).
+    """
+    from . import relational
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = t.column("n_chars").cast(pa.int64())
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "w": pc.add(w, pa.scalar(1, pa.int64()))}
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"]).map_batches(
+        add_w, batch_format="pyarrow"
+    )
+    return relational.weighted_sample(ds, key_col="doc_id", weight_col="w", k=100)
+
+
 def q_sink_partitioned(sf_dir: str) -> pa.Table:
     """Resumable partitioned-parquet round-trip
     (fogray.datapipes.sink.write_partitioned / read_partitioned): write
@@ -1036,6 +1054,7 @@ QUERIES = {
     "sink_partitioned": q_sink_partitioned,
     "txt_pmi": q_txt_pmi,
     "rel_rollup": q_rel_rollup,
+    "rel_weighted": q_rel_weighted,
 }
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -2062,6 +2081,27 @@ ORACLE_SQL = {
         SELECT event_type, day, COUNT(*) AS n,
                CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_value
         FROM e GROUP BY ROLLUP(event_type, day) ORDER BY 1, 2
+    """,
+    # A-ES weighted sample: rank key ln(u)/w mirrors the kernel exactly
+    # (same md5-u64 uniform, same double expression); output is the
+    # selected SET ordered by doc_id — rank order is internal
+    "rel_weighted": """
+        WITH h AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) + 1 AS w,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':aes'),
+                                   1, 16))::UBIGINT AS hv
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, w,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ln((CAST(hv AS DOUBLE) + 0.5)
+                                   / 18446744073709551616.0)
+                                / CAST(w AS DOUBLE) DESC,
+                                doc_id) AS rn
+            FROM h
+        )
+        SELECT doc_id, w FROM r WHERE rn <= 100 ORDER BY doc_id
     """,
     "sink_partitioned": """
         SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))

@@ -1320,3 +1320,84 @@ def rollup_stats(
     return pa.Table.from_pandas(
         out[[col_a, col_b, "n", "sum_value"]], preserve_index=False
     )
+
+
+def weighted_sample(
+    ds,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes",
+) -> pa.Table:
+    """Deterministic weighted sample WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Process. Lett. 2006, public
+    algorithm): each row gets rank key ``u^(1/w)`` with u a
+    deterministic md5-derived uniform in (0, 1) and w its positive
+    weight; the k largest keys are an exact weighted
+    without-replacement sample. Replaces ``rand()`` with the repo's
+    reproducible-hash discipline (the det_weight rule), so the sample
+    is stable across runs, engines, and repartitioning.
+
+    Distributed shape: shuffle-FREE — selection keys are pure per-row
+    functions, each block keeps only its local top-k (argpartition),
+    and the driver merges P×k candidate rows. At 100 TB the exchange is
+    #blocks × k tiny rows, never the corpus.
+
+    Comparisons happen on ``ln(u)/w`` (monotone in u^(1/w), no
+    underflow at huge weights). u = (md5_u64(key:salt) + 0.5) / 2^64 —
+    exactly ``('0x' || substr(md5(key || ':salt'), 1, 16))::UBIGINT``
+    in DuckDB, which is what makes the oracle SQL-expressible. Weights
+    must be strictly positive (callers shift count-like weights by +1).
+
+    Output: the SELECTED rows (key, weight), sorted by ``key_col`` —
+    set semantics; rank order is internal (two keys straddling the k
+    boundary within 1 ulp of libm ln() is the only cross-engine risk,
+    vanishingly unlikely and checked by the gate).
+    """
+    from .dedup import _md5_u64
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                weight_col: pa.array([], pa.int64()),
+                "__sk": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = _md5_u64([f"{x}:{salt}" for x in keys.tolist()])
+        u = (h.astype(np.float64) + 0.5) / float(1 << 64)
+        sk = np.log(u) / w  # maximize (less negative = larger u^(1/w))
+        if len(sk) > k:
+            top = np.argpartition(-sk, k - 1)[:k]
+        else:
+            top = np.arange(len(sk))
+        return pa.table(
+            {
+                key_col: pa.array(keys[top].astype(np.int64)),
+                weight_col: pa.array(
+                    t.column(weight_col).take(pa.array(top)).cast(pa.int64())
+                ),
+                "__sk": pa.array(sk[top], pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        _ray.get(
+            ds.select_columns([key_col, weight_col])
+            .map_batches(block_topk, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    if parts.num_rows == 0:
+        return parts.select([key_col, weight_col])
+    sk = parts.column("__sk").to_numpy(zero_copy_only=False)
+    kk = parts.column(key_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((kk, -sk))[:k]  # key ASC tiebreak (unreachable)
+    sel = parts.take(pa.array(np.sort(order)))
+    return sel.select([key_col, weight_col]).sort_by(key_col)

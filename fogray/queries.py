@@ -446,6 +446,38 @@ def q_scan_similarity(sf_dir: str) -> pa.Table:
     )
 
 
+def q_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the directed co-occurrence graph —
+    Pearson r of (outdeg[src], indeg[dst]) across edges
+    (fogray.metrics.degree_assortativity): shuffle-free exact-int
+    moment partials over the edge Dataset, degree arrays reused from
+    the session engine's distributed build."""
+    from .metrics import degree_assortativity
+
+    eng, n = _cooc_engine(sf_dir)
+    ds, _ = cooccurrence_edges_ds(sf_dir)
+    r = degree_assortativity(
+        ds.select_columns(["src", "dst"]), eng.outdeg, eng.indeg
+    )
+    val = pa.array(
+        [None] if r is None else [float(sql_round(r))], pa.float64()
+    )
+    return pa.table({"assortativity": val})
+
+
+def q_adamic_adar(sf_dir: str) -> pa.Table:
+    """Link prediction over the simple co-occurrence graph: top-100
+    non-adjacent pairs by common-neighbor count with Adamic-Adar scores
+    (fogray.metrics.adamic_adar; exact — no apex cap at gate scale)."""
+    from .metrics import adamic_adar
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return adamic_adar(ds.select_columns(["src", "dst"]), n, k=_AA_K)
+
+
+_AA_K = 100
+
+
 def q_ktruss(sf_dir: str) -> pa.Table:
     """Bounded k-truss peeling over the simple co-occurrence graph
     (k=10, 4 fixed rounds — fogray.triangles.ktruss_edges): the
@@ -1047,6 +1079,53 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ktruss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ROUNDS),
     "graph_walks": _walks_oracle_sql(_WALK_STEPS),
+    # assortativity: exact HUGEINT moment sums, then ONE double
+    # expression — term-for-term the kernel's float(int) arithmetic
+    "assortativity": f"""
+        WITH e AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        od AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        idg AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        xy AS (SELECT od.c AS x, idg.c AS y
+               FROM e JOIN od ON od.v = e.src JOIN idg ON idg.v = e.dst),
+        s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM xy)
+        SELECT CASE WHEN n = 0 OR n * sxx - sx * sx = 0
+                      OR n * syy - sy * sy = 0 THEN NULL
+               ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               END AS assortativity
+        FROM s
+    """,
+    # adamic-adar: wedges at EVERY common neighbor of a non-adjacent
+    # pair; ranking is the all-integer (cn DESC, u, v) total order
+    "adamic_adar": f"""
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        ),
+        sym AS MATERIALIZED (
+            SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        ),
+        deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY 1),
+        wedge AS (
+            SELECT s1.b AS u, s2.b AS v, s1.a AS apex
+            FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s1.b < s2.b
+        ),
+        agg AS (
+            SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS cn,
+                   SUM(1.0 / ln(CAST(deg.c AS DOUBLE))) AS aa
+            FROM wedge w
+            JOIN deg ON deg.v = w.apex
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.a = w.u AND und.b = w.v)
+            GROUP BY w.u, w.v
+        )
+        SELECT u, v, cn, ROUND(aa, 6) AS aa,
+               CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, u, v) AS BIGINT) AS rk
+        FROM agg QUALIFY rk <= {_AA_K} ORDER BY rk
+    """,
     "scan_similarity": f"""
         WITH und AS MATERIALIZED (
             SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -1116,6 +1195,8 @@ QUERIES = {
     "clustering": q_clustering,
     "scan_similarity": q_scan_similarity,
     "ktruss": q_ktruss,
+    "assortativity": q_assortativity,
+    "adamic_adar": q_adamic_adar,
     "graph_walks": q_graph_walks,
     "scc": q_scc,
 }

@@ -1,0 +1,157 @@
+"""Unit oracles for fogray.metrics (assortativity, Adamic-Adar) and
+the A-ES weighted sample — independent numpy/brute-force checks on
+small hand graphs plus layout-invariance under repartitioning."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from fogray.metrics import adamic_adar, degree_assortativity
+
+
+def _edges_ds(src, dst, parts=3):
+    t = pa.table(
+        {
+            "src": pa.array(np.asarray(src, dtype=np.int64)),
+            "dst": pa.array(np.asarray(dst, dtype=np.int64)),
+        }
+    )
+    return rd.from_arrow(t).repartition(parts)
+
+
+def test_assortativity_matches_corrcoef(ray_session):
+    rng = np.random.default_rng(7)
+    n = 50
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    od = np.bincount(src, minlength=n)
+    idg = np.bincount(dst, minlength=n)
+    r = degree_assortativity(_edges_ds(src, dst), od, idg)
+    want = np.corrcoef(od[src], idg[dst])[0, 1]
+    assert r == pytest.approx(want, rel=1e-12)
+    # layout invariance: exact same float at a different block count
+    assert degree_assortativity(_edges_ds(src, dst, parts=7), od, idg) == r
+
+
+def test_assortativity_degenerate(ray_session):
+    # regular graph: zero variance on both marginals -> None (SQL NULL)
+    src = [0, 1, 2, 3]
+    dst = [1, 2, 3, 0]
+    od = np.bincount(src, minlength=4)
+    idg = np.bincount(dst, minlength=4)
+    assert degree_assortativity(_edges_ds(src, dst), od, idg) is None
+
+
+def _brute_aa(src, dst, n, k):
+    """Brute-force common-neighbor / Adamic-Adar oracle."""
+    adj = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = [len(a) for a in adj]
+    rows = []
+    for u in range(n):
+        for v in range(u + 1, n):
+            if v in adj[u]:
+                continue
+            common = adj[u] & adj[v]
+            if not common:
+                continue
+            aa = sum(1.0 / math.log(deg[w]) for w in sorted(common))
+            rows.append((u, v, len(common), aa))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+def test_adamic_adar_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(3)
+    n = 30
+    src = rng.integers(0, n, 120)
+    dst = rng.integers(0, n, 120)
+    out = adamic_adar(_edges_ds(src, dst), n, k=15).to_pandas()
+    want = _brute_aa(src, dst, n, 15)
+    assert len(out) == len(want)
+    for i, (u, v, cn, aa) in enumerate(want):
+        row = out.iloc[i]
+        assert (row.u, row.v, row.cn, row.rk) == (u, v, cn, i + 1)
+        assert row.aa == pytest.approx(aa, abs=2e-6)
+
+
+def test_adamic_adar_apex_cap(ray_session):
+    # star + one extra edge: hub 0 has degree 4; capping below that
+    # removes every wedge through the hub
+    src = [0, 0, 0, 0, 1]
+    dst = [1, 2, 3, 4, 2]
+    full = adamic_adar(_edges_ds(src, dst), 5, k=20).to_pandas()
+    assert len(full) > 0
+    capped = adamic_adar(
+        _edges_ds(src, dst), 5, k=20, max_apex_degree=3
+    ).to_pandas()
+    # only wedges at apexes 1 / 2 (degree 2) survive; pairs through the
+    # hub with no other common neighbor vanish
+    assert set(map(tuple, capped[["u", "v"]].values)) <= set(
+        map(tuple, full[["u", "v"]].values)
+    )
+    assert len(capped) < len(full)
+
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    from fogray.datapipes.relational import weighted_sample
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    keys = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 500, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(keys), "w": pa.array(w)})
+
+    def brute(k):
+        h = np.array(
+            [
+                int(hashlib.md5(f"{x}:aes".encode()).hexdigest()[:16], 16)
+                for x in keys
+            ],
+            dtype=np.uint64,
+        )
+        u = (h.astype(np.float64) + 0.5) / float(1 << 64)
+        sk = np.log(u) / w.astype(np.float64)
+        return set(keys[np.argsort(-sk)[:k]].tolist())
+
+    got = weighted_sample(
+        rd.from_arrow(t).repartition(5), key_col="doc_id", weight_col="w", k=50
+    )
+    assert set(got.column("doc_id").to_pylist()) == brute(50)
+    # sorted output, weights carried through
+    ids = got.column("doc_id").to_pylist()
+    assert ids == sorted(ids)
+    wmap = dict(zip(keys.tolist(), w.tolist()))
+    assert got.column("w").to_pylist() == [wmap[i] for i in ids]
+    # layout invariance
+    got2 = weighted_sample(
+        rd.from_arrow(t).repartition(13), key_col="doc_id", weight_col="w", k=50
+    )
+    assert got2.equals(got)
+
+
+def test_weighted_sample_biases_toward_weight(ray_session):
+    """Heavier rows must be sampled (much) more often: one row with
+    1000x the weight of 999 peers should essentially always appear."""
+    from fogray.datapipes.relational import weighted_sample
+
+    n = 1000
+    w = np.ones(n, dtype=np.int64)
+    w[123] = 100_000
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "w": pa.array(w)}
+    )
+    got = weighted_sample(
+        rd.from_arrow(t).repartition(4), key_col="doc_id", weight_col="w", k=20
+    )
+    assert 123 in got.column("doc_id").to_pylist()

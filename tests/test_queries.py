@@ -47,7 +47,8 @@ def _compare(name, con):
     "derive_edges", "out_degrees", "pagerank", "ppr", "hits", "kcore",
     "connected_components", "label_propagation", "bfs", "sssp_tree",
     "spmv", "triangle_count", "clustering", "scan_similarity", "ktruss",
-    "graph_walks", "scc", "src_csv", "src_jsonl",
+    "graph_walks", "scc", "src_csv", "src_jsonl", "assortativity",
+    "adamic_adar",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)
