@@ -85,6 +85,35 @@ def test_adamic_adar_matches_bruteforce(ray_session):
         assert row.aa == pytest.approx(aa, abs=2e-6)
 
 
+def test_adamic_adar_sparse_path_matches_dense(ray_session):
+    """Force the wedge-partial sort path (dense_max_vertices=0) and
+    check it agrees exactly with the dense matmul path and brute
+    force — both regimes must implement the same operator."""
+    rng = np.random.default_rng(5)
+    n = 25
+    src = rng.integers(0, n, 90)
+    dst = rng.integers(0, n, 90)
+    dense = adamic_adar(_edges_ds(src, dst), n, k=12).to_pandas()
+    sparse = adamic_adar(
+        _edges_ds(src, dst), n, k=12, dense_max_vertices=0
+    ).to_pandas()
+    assert dense[["u", "v", "cn", "rk"]].values.tolist() == \
+        sparse[["u", "v", "cn", "rk"]].values.tolist()
+    assert np.allclose(dense["aa"], sparse["aa"], atol=2e-6)
+    want = _brute_aa(src, dst, n, 12)
+    assert [[r[0], r[1], r[2]] for r in want] == \
+        dense[["u", "v", "cn"]].values.tolist()
+    # cap agreement across regimes
+    dc = adamic_adar(
+        _edges_ds(src, dst), n, k=12, max_apex_degree=4
+    ).to_pandas()
+    sc = adamic_adar(
+        _edges_ds(src, dst), n, k=12, max_apex_degree=4, dense_max_vertices=0
+    ).to_pandas()
+    assert dc[["u", "v", "cn", "rk"]].values.tolist() == \
+        sc[["u", "v", "cn", "rk"]].values.tolist()
+
+
 def test_adamic_adar_apex_cap(ray_session):
     # star + one extra edge: hub 0 has degree 4; capping below that
     # removes every wedge through the hub
