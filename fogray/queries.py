@@ -346,6 +346,55 @@ def q_bfs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_harmonic(sf_dir: str) -> pa.Table:
+    """Sampled harmonic centrality: BFS from the 4 lowest vids with
+    out-edges (== the oracle's ``ORDER BY src LIMIT 4``; the
+    co-occurrence graph is symmetric so the src set is the touched
+    set), H(v) = sum over sources of 1/dist(s, v) for reached v != s.
+    Each source is one frontier BFS over the SAME pinned CSR actors —
+    the per-source passes share the engine build, which is the scale
+    cost; K stays a constant sample, not a function of V. Four float
+    terms summed before one 6-decimal round (the HITS drift argument)."""
+    eng, n = _cooc_engine(sf_dir)
+    ids = _touched(eng)
+    sources = np.flatnonzero(eng.outdeg > 0)[:4]
+    unreached = np.float64(2**32 - 1)
+    h = np.zeros(n, dtype=np.float64)
+    for s0 in sources:
+        lv = alg.bfs(eng, root=int(s0)).state["bfs_level"]
+        reach = (lv > 0) & (lv < unreached)
+        h[reach] += 1.0 / lv[reach]
+    return pa.table({"vid": ids.astype(np.int64), "harmonic": sql_round(h[ids])})
+
+
+def q_diameter(sf_dir: str) -> pa.Table:
+    """Approximate diameter by the classic double-sweep lower bound:
+    BFS from the lowest out-degree>0 vid, re-BFS from the farthest
+    reached vertex (ties -> lowest vid, matching the oracle's
+    ``ORDER BY v LIMIT 1``), report the second sweep's eccentricity."""
+    eng, n = _cooc_engine(sf_dir)
+    unreached = np.float64(2**32 - 1)
+    root = int(np.flatnonzero(eng.outdeg > 0)[0])
+
+    def _sweep(r: int) -> tuple[int, int]:
+        lv = alg.bfs(eng, root=r).state["bfs_level"]
+        reached = lv < unreached
+        ecc = int(lv[reached].max())
+        far = int(np.flatnonzero(reached & (lv == ecc))[0])
+        return far, ecc
+
+    far1, _ = _sweep(root)
+    far2, ecc2 = _sweep(far1)
+    return pa.table(
+        {
+            "start_vid": pa.array([root], pa.int64()),
+            "sweep1_vid": pa.array([far1], pa.int64()),
+            "sweep2_vid": pa.array([far2], pa.int64()),
+            "approx_diameter": pa.array([ecc2], pa.int64()),
+        }
+    )
+
+
 def q_sssp_tree(sf_dir: str) -> pa.Table:
     """SSSP over the geo tree (region 0 as source). vid encoding:
     region=r_regionkey, nation=100+n_nationkey, customer=1000+c_custkey;
@@ -1020,6 +1069,56 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT v AS vid, MIN(d) AS bfs_level FROM lvl GROUP BY v ORDER BY vid
     """,
+    "harmonic": f"""
+        WITH RECURSIVE
+        edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        srcs AS MATERIALIZED (
+            SELECT s FROM (SELECT DISTINCT src AS s FROM edges)
+            ORDER BY s LIMIT 4
+        ),
+        lvl(s, v, d) AS (
+            SELECT s, s, 0 FROM srcs
+            UNION
+            SELECT lvl.s, e.dst, lvl.d + 1
+            FROM lvl JOIN edges e ON e.src = lvl.v
+            WHERE lvl.d < 64
+        ),
+        dist AS (SELECT s, v, MIN(d) AS d FROM lvl GROUP BY s, v),
+        touched AS (SELECT DISTINCT src AS vid FROM edges)
+        SELECT t.vid,
+               ROUND(COALESCE(SUM(1.0 / d) FILTER (WHERE d > 0), 0.0), 6)
+                   AS harmonic
+        FROM touched t LEFT JOIN dist ON dist.v = t.vid
+        GROUP BY t.vid ORDER BY t.vid
+    """,
+    "diameter": f"""
+        WITH RECURSIVE
+        edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        root AS MATERIALIZED (SELECT MIN(src) AS r FROM edges),
+        l1(v, d) AS (
+            SELECT r, 0 FROM root
+            UNION
+            SELECT e.dst, l1.d + 1
+            FROM l1 JOIN edges e ON e.src = l1.v WHERE l1.d < 64
+        ),
+        d1 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM l1 GROUP BY v),
+        f1 AS MATERIALIZED (
+            SELECT v FROM d1 WHERE d = (SELECT MAX(d) FROM d1)
+            ORDER BY v LIMIT 1
+        ),
+        l2(v, d) AS (
+            SELECT v, 0 FROM f1
+            UNION
+            SELECT e.dst, l2.d + 1
+            FROM l2 JOIN edges e ON e.src = l2.v WHERE l2.d < 64
+        ),
+        d2 AS (SELECT v, MIN(d) AS d FROM l2 GROUP BY v)
+        SELECT (SELECT r FROM root) AS start_vid,
+               (SELECT v FROM f1) AS sweep1_vid,
+               (SELECT v FROM d2 WHERE d = (SELECT MAX(d) FROM d2)
+                ORDER BY v LIMIT 1) AS sweep2_vid,
+               (SELECT MAX(d) FROM d2) AS approx_diameter
+    """,
     "sssp_tree": """
         SELECT vid, ROUND(value, 6) AS value FROM (
             SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS value
@@ -1189,6 +1288,8 @@ QUERIES = {
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,
+    "harmonic": q_harmonic,
+    "diameter": q_diameter,
     "sssp_tree": q_sssp_tree,
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,
