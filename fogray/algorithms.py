@@ -144,6 +144,68 @@ def kcore(engine: GraphEngine, k: int, *, max_rounds: int = 10_000) -> RunResult
     )
 
 
+def mis(engine: GraphEngine, *, rounds: int = 12) -> RunResult:
+    """Deterministic-Luby maximal independent set over a SYMMETRIC edge
+    set: each round is two frontier supersteps — (1) undecided vertices
+    exchange (splitmix53-priority, vid) and the lexicographic-min winner
+    against its undecided neighborhood joins the MIS (a vertex with no
+    undecided neighbor always joins: maximality), (2) entrants notify
+    neighbors, which become excluded. Runs AT MOST ``rounds`` rounds so
+    the fixed-unroll SQL oracle stays exact even unconverged; stopping
+    early at the no-undecided fixpoint is equivalent because empty
+    rounds are no-ops on both sides. Same external-driver pattern as
+    :func:`kcore`."""
+    from .dist_engine import DistGraphEngine
+    from .programs import MISMinPrio, MISNotify
+    from .sources import splitmix53
+
+    if isinstance(engine, DistGraphEngine):
+        raise NotImplementedError(
+            "mis's entrant decision is a driver-side O(V) vectorized rule; "
+            "run it on fogray.engine.GraphEngine (MIS state is a few floats "
+            "per vertex, so broadcast is the right engine here)"
+        )
+    t_start = time.perf_counter()
+    n = engine.n
+    prio = splitmix53(np.arange(n, dtype=np.uint64)).astype(np.float64)
+    state = {
+        "status": np.zeros(n, dtype=np.float64),  # 0 undecided / 1 in / 2 out
+        "prio": prio,
+        "min_prio": np.full(n, np.inf),
+        "min_vid": np.full(n, np.inf),
+    }
+    p1, p2 = MISMinPrio(), MISNotify()
+    touched = (engine.outdeg > 0) | (engine.indeg > 0)
+    vids = np.arange(n, dtype=np.float64)
+    metrics: list[dict] = []
+    steps = 0
+    for _ in range(rounds):
+        undecided = touched & (state["status"] == 0.0)
+        if not undecided.any():
+            break
+        _, m1 = engine.superstep(p1, state, undecided, FWD)
+        steps += 1
+        m1["superstep"] = steps
+        metrics.append(m1)
+        wins = (state["prio"] < state["min_prio"]) | (
+            (state["prio"] == state["min_prio"]) & (vids < state["min_vid"])
+        )
+        entrants = undecided & wins
+        state["status"][entrants] = 1.0
+        _, m2 = engine.superstep(p2, state, entrants, FWD)
+        steps += 1
+        m2["superstep"] = steps
+        metrics.append(m2)
+    return RunResult(
+        state=state,
+        frontier=None,
+        supersteps=steps,
+        metrics=metrics,
+        num_edges=engine.num_edges,
+        wall_seconds=time.perf_counter() - t_start,
+    )
+
+
 def _scc_build(state, lo, hi, outdeg, indeg):
     """Slice-local SCC state construction + trivial-SCC marking
     (scc.hpp:48-54): deg-0 vertices are their own components."""

@@ -431,6 +431,66 @@ class SSSP(VertexProgram):
         return ch
 
 
+class MISMinPrio(VertexProgram):
+    """Half-step 1 of one deterministic-Luby MIS round (Luby 1986,
+    public algorithm; no FOG counterpart — SURVEY.md 2.4 extension):
+    every still-undecided vertex sends its (priority, vid) along
+    out-edges; each receiver gathers the lexicographic min over its
+    UNDECIDED neighbors (TARGET engine, frontier = undecided mask, so
+    decided vertices cost nothing and self-loops are skipped — a vertex
+    never competes with itself). Priorities are splitmix53(vid): 53-bit
+    integers exact in float64, mirrored bit-for-bit by the oracle's
+    mod-2^64 HUGEINT chain; the vid tiebreak makes the order total even
+    under a hash collision. Driven by :func:`fogray.algorithms.mis`."""
+
+    name = "mis_min_prio"
+    engine = "target"
+    combine = "min_pred"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("MIS state is managed by fogray.algorithms.mis")
+
+    def scatter_view(self, state):
+        return {"prio": state["prio"]}
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["prio"][s], s.astype(np.float64)
+
+    def apply(self, state, ids, vals, preds=None):
+        # dense rebuild: a vertex with NO undecided neighbor gathers
+        # nothing -> (inf, inf) -> it always wins and joins the MIS.
+        state["min_prio"].fill(np.inf)
+        state["min_vid"].fill(np.inf)
+        state["min_prio"][ids] = vals
+        state["min_vid"][ids] = preds
+        return ids
+
+
+class MISNotify(VertexProgram):
+    """Half-step 2: the round's new MIS entrants notify their neighbors
+    (TARGET, frontier = entrants mask); undecided receivers become
+    excluded. Emitted value is a constant — only the receiver set
+    matters."""
+
+    name = "mis_notify"
+    engine = "target"
+    combine = "min"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("MIS state is managed by fogray.algorithms.mis")
+
+    def scatter_view(self, state):
+        return {"prio": state["prio"][:1]}  # nothing read; keep the ship tiny
+
+    def scatter(self, state, s, d, w, direction):
+        return d, np.ones(len(np.asarray(d)), dtype=np.float64)
+
+    def apply(self, state, ids, vals, preds=None):
+        und = ids[state["status"][ids] == 0.0]
+        state["status"][und] = 2.0
+        return und
+
+
 class SCCForward(VertexProgram):
     """One forward min-propagation pass of FOG's SCC fwd-bwd coloring
     (application/scc.hpp:149-156): min over updates, accepted only by
@@ -513,5 +573,7 @@ PROGRAMS = {
         SSSP(),
         SCCForward(),
         SCCBackward(),
+        MISMinPrio(),
+        MISNotify(),
     )
 }

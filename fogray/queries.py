@@ -395,6 +395,78 @@ def q_diameter(sf_dir: str) -> pa.Table:
     )
 
 
+def q_mis(sf_dir: str) -> pa.Table:
+    """Deterministic-Luby maximal independent set (12 fixed rounds —
+    :func:`fogray.algorithms.mis`; the oracle unrolls the same 12
+    rounds as materialized CTEs, exact even if unconverged, idempotent
+    past the fixpoint). in_mis = 1 for members, 0 for excluded (or
+    still undecided after 12 rounds — both sides agree by construction)."""
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.mis(eng, rounds=12)
+    ids = _touched(eng)
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "in_mis": (res.state["status"][ids] == 1.0).astype(np.int64),
+        }
+    )
+
+
+def _mis_sql(rounds: int = 12) -> str:
+    """Unrolled deterministic-Luby MIS: u{i} = still-undecided vertices
+    (with splitmix53(vid) priorities — the same mod-2^64 HUGEINT chain
+    as _DET_W_SQL), m{i} = round-i entrants (lexicographic (prio, vid)
+    minima over their undecided neighborhood, vertices with no
+    undecided neighbor included), u{i+1} = u{i} minus entrants minus
+    entrants' neighbors."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL}))",
+        "vids AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges)",
+        "prm AS (SELECT v, CAST(v AS UBIGINT) AS x0 FROM vids)",
+        "ps1 AS (SELECT v, xor(x0, x0 >> 30) AS a FROM prm)",
+        """ps1m AS (SELECT v, CAST((
+            (CAST(a AS HUGEINT) * 484763065 +
+             ((CAST(a AS HUGEINT) % 4294967296) * 3210233709 % 4294967296)
+             * 4294967296)
+            % 18446744073709551616
+          ) AS UBIGINT) AS x1 FROM ps1)""",
+        "ps2 AS (SELECT v, xor(x1, x1 >> 27) AS b FROM ps1m)",
+        """ps2m AS (SELECT v, CAST((
+            (CAST(b AS HUGEINT) * 321982955 +
+             ((CAST(b AS HUGEINT) % 4294967296) * 2496678331 % 4294967296)
+             * 4294967296)
+            % 18446744073709551616
+          ) AS UBIGINT) AS x2 FROM ps2)""",
+        "ps3 AS (SELECT v, xor(x2, x2 >> 31) AS f FROM ps2m)",
+        "u0 AS MATERIALIZED (SELECT v, CAST(f >> 11 AS DOUBLE) AS prio FROM ps3)",
+    ]
+    for i in range(rounds):
+        parts.append(f"""m{i} AS MATERIALIZED (
+            SELECT u.v FROM u{i} u WHERE NOT EXISTS (
+                SELECT 1 FROM edges e JOIN u{i} n ON n.v = e.dst
+                WHERE e.src = u.v
+                  AND (n.prio < u.prio OR (n.prio = u.prio AND n.v < u.v))))""")
+        parts.append(f"""u{i + 1} AS MATERIALIZED (
+            SELECT u.v, u.prio FROM u{i} u
+            WHERE u.v NOT IN (SELECT v FROM m{i})
+              AND NOT EXISTS (
+                SELECT 1 FROM edges e JOIN m{i} mm ON mm.v = e.dst
+                WHERE e.src = u.v))""")
+    member_union = " UNION ALL ".join(f"SELECT v FROM m{i}" for i in range(rounds))
+    parts.append(f"members AS MATERIALIZED ({member_union})")
+    return (
+        ",\n".join(parts)
+        + """
+        SELECT t.v AS vid,
+               CAST(CASE WHEN mem.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS in_mis
+        FROM vids t LEFT JOIN (SELECT DISTINCT v FROM members) mem
+          ON mem.v = t.v
+        ORDER BY vid
+    """
+    )
+
+
 def q_sssp_tree(sf_dir: str) -> pa.Table:
     """SSSP over the geo tree (region 0 as source). vid encoding:
     region=r_regionkey, nation=100+n_nationkey, customer=1000+c_custkey;
@@ -1069,6 +1141,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT v AS vid, MIN(d) AS bfs_level FROM lvl GROUP BY v ORDER BY vid
     """,
+    "mis": _mis_sql(12),
     "harmonic": f"""
         WITH RECURSIVE
         edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
@@ -1290,6 +1363,7 @@ QUERIES = {
     "bfs": q_bfs,
     "harmonic": q_harmonic,
     "diameter": q_diameter,
+    "mis": q_mis,
     "sssp_tree": q_sssp_tree,
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,

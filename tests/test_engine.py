@@ -372,3 +372,26 @@ def test_gather_plan_matches_naive():
     # empty key
     ek = np.empty(0, dtype=np.int64)
     assert len(_GatherPlan(ek, bounds).gather(slices)) == 0
+
+
+def test_mis_independent_and_maximal(ray_session):
+    """Deterministic-Luby MIS on a symmetric random graph: no two
+    adjacent members, every non-member has a member neighbor
+    (independence + maximality — valid once converged, which 12 rounds
+    comfortably reaches at n=96), and the result is deterministic."""
+    src, dst, w, n = _symmetric_random(n=96, p=0.08, seed=41)
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=3))
+    try:
+        res = alg.mis(eng, rounds=12)
+        status = res.state["status"]
+        touched = (eng.outdeg > 0) | (eng.indeg > 0)
+        assert not (touched & (status == 0.0)).any(), "unconverged at n=96"
+        in_mis = status == 1.0
+        assert not (in_mis[src] & in_mis[dst]).any(), "adjacent MIS members"
+        covered = np.zeros(n, dtype=bool)
+        covered[dst[in_mis[src]]] = True
+        assert (covered | in_mis | ~touched).all(), "excluded vertex with no MIS neighbor"
+        res2 = alg.mis(eng, rounds=12)
+        np.testing.assert_array_equal(status, res2.state["status"])
+    finally:
+        eng.shutdown()
