@@ -694,6 +694,26 @@ def q_evt_sessions(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "session_id"])
 
 
+def q_rel_corr(sf_dir: str) -> pa.Table:
+    """Per-supplier Pearson correlation + regression of discount on
+    quantity (fogray.datapipes.relational.grouped_corr): shuffle-free
+    exact integer moment partials, final floats via the oracle's
+    character-identical expression."""
+    from . import relational
+    from ..util import sorted_table
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_quantity", "l_discount"],
+    )
+    return sorted_table(
+        relational.grouped_corr(
+            li, group_col="l_suppkey", x_col="l_quantity", y_col="l_discount"
+        ),
+        ["l_suppkey"],
+    )
+
+
 def q_rel_zscore(sf_dir: str) -> pa.Table:
     """Shuffle-free grouped z-score normalization
     (fogray.datapipes.relational.grouped_zscore): per-event z of value
@@ -1043,6 +1063,7 @@ QUERIES = {
     "evt_sessions": q_evt_sessions,
     "evt_user_stats": q_evt_user_stats,
     "dd_span_overlap": q_dd_span_overlap,
+    "rel_corr": q_rel_corr,
     "rel_zscore": q_rel_zscore,
     "rel_diff": q_rel_diff,
     "evt_transitions": q_evt_transitions,
@@ -2199,6 +2220,40 @@ ORACLE_SQL = {
         FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
         ORDER BY 1
+    """,
+    "rel_corr": """
+        WITH s AS (
+            SELECT l_suppkey,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy
+            FROM s GROUP BY l_suppkey
+        ),
+        f AS (
+            SELECT l_suppkey, n_rows, sx, sy,
+                   CAST(n_rows AS DOUBLE) AS nf,
+                   CAST(n_rows AS DOUBLE) * sxy - sx * sy AS cov,
+                   CAST(n_rows AS DOUBLE) * sxx - sx * sx AS vx,
+                   CAST(n_rows AS DOUBLE) * syy - sy * sy AS vy
+            FROM m
+        )
+        SELECT l_suppkey, n_rows,
+               ROUND(CASE WHEN vx > 0 AND vy > 0
+                          THEN cov / sqrt(vx * vy) END, 6) AS corr,
+               ROUND(CASE WHEN vx > 0 THEN (cov / vx) / 100.0 END, 6) AS slope,
+               ROUND(CASE WHEN vx > 0
+                          THEN ((sy - (cov / vx) * sx) / nf) / 100.0 END, 6)
+                   AS intercept
+        FROM f ORDER BY l_suppkey
     """,
     "rel_zscore": """
         WITH c AS (

@@ -988,6 +988,109 @@ def pivot_counts(
     return key_grouped_block_map(parts.sort(group_col), [group_col], fold)
 
 
+def grouped_corr(
+    ds,
+    *,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    y_decimals: int = 2,
+) -> pa.Table:
+    """Per-group Pearson correlation + least-squares slope/intercept of
+    ``y_col`` on ``x_col``, shuffle-FREE via exact integer moment
+    partials: stage 1 computes per-(block, group) (n, Σx, Σy, Σx², Σy²,
+    Σxy) over int64-scaled values (x integer-valued, y carries
+    ``y_decimals`` decimals), the driver folds the tiny partial table
+    in int64 (``np.add.at`` — exact, no float accumulation), and the
+    final corr/slope/intercept floats use the character-identical
+    expression the DuckDB oracle evaluates over the same exact integer
+    moments — bit-identical results in any block layout.
+
+    Dtype bound (documented, not checked per row): per-block float64
+    bincount partials stay exact while scaled |x|·|y| · block_rows
+    < 2^53 — at the default 2-decimal y and small-integer x that allows
+    ~10^10-row blocks; pick smaller scales (or split hi/lo like the
+    money aggregates) for wide-valued columns.
+
+    Zero-variance groups yield NULL corr/slope/intercept. Returns the
+    small per-group result table directly (one row per group).
+
+    -> (group_col, n_rows, corr, slope, intercept)
+    """
+    import ray
+
+    from ..util import sql_round
+
+    yscale = float(10**y_decimals)
+    proj = ds.select_columns([group_col, x_col, y_col])
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        x = np.round(t.column(x_col).to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.round(
+            t.column(y_col).to_numpy(zero_copy_only=False) * yscale
+        ).astype(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        k = len(ug)
+
+        def acc(w):
+            return np.bincount(inv, weights=w.astype(np.float64), minlength=k).astype(
+                np.int64
+            )
+
+        return pa.table(
+            {
+                group_col: pa.array(ug.astype(np.int64)),
+                "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "sx": pa.array(acc(x)),
+                "sy": pa.array(acc(y)),
+                "sxx": pa.array(acc(x * x)),
+                "syy": pa.array(acc(y * y)),
+                "sxy": pa.array(acc(x * y)),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            proj.map_batches(partial_block, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    g = parts.column(group_col).to_numpy(zero_copy_only=False)
+    ug, inv = np.unique(g, return_inverse=True)
+    moments = {}
+    for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+        acc = np.zeros(len(ug), dtype=np.int64)
+        np.add.at(acc, inv, parts.column(c).to_numpy(zero_copy_only=False))
+        moments[c] = acc
+    nf = moments["n"].astype(np.float64)
+    sxd = moments["sx"].astype(np.float64)
+    syd = moments["sy"].astype(np.float64)
+    cov = nf * moments["sxy"].astype(np.float64) - sxd * syd
+    vx = nf * moments["sxx"].astype(np.float64) - sxd * sxd
+    vy = nf * moments["syy"].astype(np.float64) - syd * syd
+    corr = np.full(len(ug), np.nan)
+    slope = np.full(len(ug), np.nan)
+    intercept = np.full(len(ug), np.nan)
+    okx = vx > 0
+    okc = okx & (vy > 0)
+    corr[okc] = sql_round(cov[okc] / np.sqrt(vx[okc] * vy[okc]))
+    slope[okx] = sql_round((cov[okx] / vx[okx]) / yscale)
+    intercept[okx] = sql_round(
+        ((syd[okx] - (cov[okx] / vx[okx]) * sxd[okx]) / nf[okx]) / yscale
+    )
+    return pa.table(
+        {
+            group_col: pa.array(ug.astype(np.int64)),
+            "n_rows": pa.array(moments["n"]),
+            "corr": pa.array(corr, pa.float64(), from_pandas=True),
+            "slope": pa.array(slope, pa.float64(), from_pandas=True),
+            "intercept": pa.array(intercept, pa.float64(), from_pandas=True),
+        }
+    )
+
+
 def grouped_zscore(
     ds,
     *,
