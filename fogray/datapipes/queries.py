@@ -113,6 +113,15 @@ def q_agg_hll_by_type(sf_dir: str) -> pa.Table:
     return sketches.hll_distinct_by(_events(sf_dir), "event_type", "user_id")
 
 
+def q_agg_kmv_users(sf_dir: str) -> pa.Table:
+    """Per-event_type bottom-k (KMV) distinct-user estimate
+    (fogray.datapipes.sketches.kmv_distinct_by) — the second mergeable
+    cardinality sketch, exact below k=64 distincts."""
+    from . import sketches
+
+    return sketches.kmv_distinct_by(_events(sf_dir), "event_type", "user_id")
+
+
 def q_agg_window_hll(sf_dir: str) -> pa.Table:
     """Distinct users per 1-hour tumbling window — the classic
     streaming-analytics metric, composed from two existing primitives:
@@ -1027,6 +1036,7 @@ QUERIES = {
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
     "agg_hll_by_type": q_agg_hll_by_type,
+    "agg_kmv_users": q_agg_kmv_users,
     "agg_window_hll": q_agg_window_hll,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram_jaccard,
@@ -1652,6 +1662,35 @@ ORACLE_SQL = {
     """,
     "agg_hll_users": _hll_oracle_sql("events", "user_id"),
     "agg_hll_by_type": _hll_group_oracle_sql("events", "event_type", "user_id"),
+    "agg_kmv_users": """
+        WITH h AS MATERIALIZED (
+            SELECT DISTINCT CAST(event_type AS VARCHAR) AS grp,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                        AS UBIGINT) AS hv
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        c AS MATERIALIZED (
+            SELECT CAST(event_type AS VARCHAR) AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ),
+        r AS (
+            SELECT grp, hv,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS m
+            FROM h
+        ),
+        e AS (
+            SELECT grp,
+                   CASE WHEN MAX(m) < 64 THEN CAST(MAX(m) AS DOUBLE)
+                        ELSE 63.0 / (CAST(MAX(CASE WHEN rn = 64 THEN hv END)
+                                          AS DOUBLE) / 18446744073709551616.0)
+                   END AS est
+            FROM r GROUP BY grp
+        )
+        SELECT e.grp AS event_type, ROUND(e.est, 6) AS est_distinct, c.n_rows
+        FROM e JOIN c ON c.grp = e.grp ORDER BY event_type
+    """,
     "agg_window_hll": (
         "SELECT make_timestamp(CAST(w AS BIGINT)) AS window_start, "
         "est_distinct, n_rows FROM ("

@@ -279,3 +279,126 @@ def cms_token_estimates(ds, k: int = 20, text_col: str = "text") -> pa.Table:
 
     df = out.to_pandas().sort_values("token").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002, public algorithm)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # sketch size: k smallest distinct hashes per group
+
+
+def _kmv_hash(values) -> np.ndarray:
+    """uint64 per value = first 8 md5 digest bytes, big-endian — exactly
+    the oracle's ``CAST(('0x' || substr(md5(v), 1, 16)) AS UBIGINT)``."""
+    buf = b"".join(hashlib.md5(v.encode()).digest()[:8] for v in values)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
+def _bottom_k(gcodes: np.ndarray, hv: np.ndarray, k: int):
+    """(gcodes, hv) -> per-group k smallest DISTINCT hashes (dedup +
+    sort + rank-within-group, all vectorized)."""
+    order = np.lexsort((hv, gcodes))
+    g, h = gcodes[order], hv[order]
+    first = np.r_[True, (g[1:] != g[:-1]) | (h[1:] != h[:-1])]
+    g, h = g[first], h[first]
+    starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+    sizes = np.diff(np.r_[starts, len(g)])
+    rank = np.arange(len(g)) - np.repeat(starts, sizes)
+    keep = rank < k
+    return g[keep], h[keep]
+
+
+def _kmv_group_batch(t: pa.Table, group_col: str, col: str, k: int) -> pa.Table:
+    """One block's partial: per group, the k smallest distinct value
+    hashes (cnt = 0) plus one exact row-count row (cnt = rows, hv = 0).
+    Partial size <= groups_in_block x (k + 1) regardless of rows."""
+    import pandas as pd
+
+    empty = pa.table(
+        {
+            "grp": pa.array([], pa.string()),
+            "hv": pa.array([], pa.uint64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    grp = t.column(group_col).cast(pa.string()).to_pylist()
+    vals = t.column(col).cast(pa.string()).to_pylist()
+    keep = [i for i, v in enumerate(vals) if v is not None]
+    if not keep:
+        return empty
+    gcodes, uniq = pd.factorize(np.asarray(grp, dtype=object)[keep])
+    hv = _kmv_hash([vals[i] for i in keep])
+    bg, bh = _bottom_k(gcodes, hv, k)
+    counts = np.bincount(gcodes, minlength=len(uniq)).astype(np.int64)
+    out_g = np.r_[bg, np.arange(len(uniq))]
+    return pa.table(
+        {
+            "grp": pa.array(np.asarray(uniq, dtype=object)[out_g], pa.string()),
+            "hv": pa.array(np.r_[bh, np.zeros(len(uniq), np.uint64)], pa.uint64()),
+            "cnt": pa.array(
+                np.r_[np.zeros(len(bg), np.int64), counts], pa.int64()
+            ),
+        }
+    )
+
+
+def kmv_distinct_by(ds, group_col: str, col: str, k: int = KMV_K) -> pa.Table:
+    """Per-group bottom-k (KMV) distinct estimate — the second
+    mergeable-cardinality sketch next to :func:`hll_distinct_by`, with
+    a different accuracy/size trade (exact below k distincts, relative
+    error ~1/sqrt(k-2) above). Each block ships at most groups x (k+1)
+    partial rows; the driver merges bottom-k sets (dedup + re-rank) and
+    estimates (k-1) / (h_k / 2^64) from the kth smallest distinct hash,
+    or the exact distinct count when fewer than k survive — the exact
+    expression the DuckDB oracle evaluates, so an approximation is
+    still exact-match checkable.
+
+    -> (group_col STRING, est_distinct DOUBLE ROUND 6, n_rows BIGINT)
+    sorted by group."""
+    import pandas as pd
+
+    parts = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                lambda t: _kmv_group_batch(t, group_col, col, k),
+                batch_format="pyarrow",
+            )
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    grp = parts.column("grp").to_numpy(zero_copy_only=False)
+    hv = parts.column("hv").to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = parts.column("cnt").to_numpy(zero_copy_only=False)
+    gcodes, uniq = pd.factorize(grp)
+    order = np.argsort(uniq.astype(str), kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    gcodes = rank[gcodes]
+    uniq = np.asarray(uniq, dtype=object)[order]
+    is_count = cnt > 0
+    n_rows = np.bincount(
+        gcodes[is_count], weights=cnt[is_count].astype(np.float64),
+        minlength=len(uniq),
+    ).astype(np.int64)
+    bg, bh = _bottom_k(gcodes[~is_count], hv[~is_count], k)
+    m = np.bincount(bg, minlength=len(uniq))
+    est = m.astype(np.float64)  # exact when fewer than k distinct hashes
+    full = np.flatnonzero(m >= k)
+    if len(full):
+        # kth smallest (1-indexed) per full group: bh is sorted within
+        # each group, and groups are contiguous in bg
+        starts = np.searchsorted(bg, full)
+        hk = bh[starts + (k - 1)]
+        est[full] = (k - 1.0) / (hk.astype(np.float64) / 18446744073709551616.0)
+    return pa.table(
+        {
+            group_col: pa.array(list(uniq), pa.string()),
+            "est_distinct": pa.array(sql_round(est)),
+            "n_rows": pa.array(n_rows, type=pa.int64()),
+        }
+    )
