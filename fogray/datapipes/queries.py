@@ -703,6 +703,22 @@ def q_evt_sessions(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "session_id"])
 
 
+def q_evt_mode(sf_dir: str) -> pa.Table:
+    """Per-user modal event_type with deterministic tie-break
+    (fogray.datapipes.relational.grouped_mode)."""
+    from . import relational
+    from ..util import sorted_table
+
+    return sorted_table(
+        _collect(
+            relational.grouped_mode(
+                _events(sf_dir), group_col="user_id", value_col="event_type"
+            )
+        ),
+        ["user_id"],
+    )
+
+
 def q_rel_corr(sf_dir: str) -> pa.Table:
     """Per-supplier Pearson correlation + regression of discount on
     quantity (fogray.datapipes.relational.grouped_corr): shuffle-free
@@ -1073,6 +1089,7 @@ QUERIES = {
     "evt_sessions": q_evt_sessions,
     "evt_user_stats": q_evt_user_stats,
     "dd_span_overlap": q_dd_span_overlap,
+    "evt_mode": q_evt_mode,
     "rel_corr": q_rel_corr,
     "rel_zscore": q_rel_zscore,
     "rel_diff": q_rel_diff,
@@ -2259,6 +2276,21 @@ ORACLE_SQL = {
         FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
         ORDER BY 1
+    """,
+    "evt_mode": """
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type
+                   ) AS rn
+            FROM c
+        )
+        SELECT user_id, event_type AS mode_value, n AS mode_count
+        FROM r WHERE rn = 1 ORDER BY user_id
     """,
     "rel_corr": """
         WITH s AS (

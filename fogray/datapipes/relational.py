@@ -988,6 +988,90 @@ def pivot_counts(
     return key_grouped_block_map(parts.sort(group_col), [group_col], fold)
 
 
+def grouped_mode(ds, *, group_col: str, value_col: str) -> rd.Dataset:
+    """Per-group modal value with a deterministic tie-break (highest
+    count, then lexicographically smallest value — the oracle's
+    ``ORDER BY n DESC, value``). Two-level partial combine: stage 1
+    collapses each block to (group, value, partial count) — the only
+    rows that move — and ONE sort on ``group_col`` co-locates each
+    group; stage 2 folds partial counts and picks the winner per group
+    inside group-complete blocks. Counts are int64-exact, so the result
+    is layout-independent.
+
+    -> (group_col, mode_value STRING, mode_count BIGINT)
+    """
+    import pandas as pd
+
+    part_schema = pa.schema(
+        [
+            (group_col, pa.int64()),
+            ("value", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.asarray(t.column(value_col).cast(pa.string()).to_pylist(), dtype=object)
+        vcodes, vuniq = pd.factorize(v)
+        ug, ginv = np.unique(g, return_inverse=True)
+        k = len(vuniq)
+        fused = np.bincount(ginv * k + vcodes, minlength=len(ug) * k)
+        nz = np.flatnonzero(fused)
+        return pa.table(
+            {
+                group_col: pa.array(ug[nz // k]),
+                "value": pa.array(np.asarray(vuniq, dtype=object)[nz % k], pa.string()),
+                "n": pa.array(fused[nz].astype(np.int64)),
+            },
+            schema=part_schema,
+        )
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.int64()),
+                    "mode_value": pa.array([], pa.string()),
+                    "mode_count": pa.array([], pa.int64()),
+                }
+            )
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = np.asarray(t.column("value").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        vcodes, vuniq = pd.factorize(v)
+        # rank value codes lexicographically so the tie-break is string order
+        vorder = np.argsort(vuniq.astype(str), kind="stable")
+        vrank = np.empty(len(vuniq), dtype=np.int64)
+        vrank[vorder] = np.arange(len(vuniq))
+        vr = vrank[vcodes]
+        ug, ginv = np.unique(g, return_inverse=True)
+        k = len(vuniq)
+        fused = np.zeros(len(ug) * k, dtype=np.int64)
+        np.add.at(fused, ginv * k + vr, n)
+        rows = np.flatnonzero(fused)
+        gg, vv, nn = rows // k, rows % k, fused[rows]
+        # winner per group: max count, tie -> smallest value rank
+        order = np.lexsort((vv, -nn, gg))
+        gg, vv, nn = gg[order], vv[order], nn[order]
+        first = np.r_[True, gg[1:] != gg[:-1]]
+        vuniq_ranked = np.asarray(vuniq, dtype=object)[vorder]
+        return pa.table(
+            {
+                group_col: pa.array(ug[gg[first]].astype(np.int64)),
+                "mode_value": pa.array(vuniq_ranked[vv[first]], pa.string()),
+                "mode_count": pa.array(nn[first].astype(np.int64)),
+            }
+        )
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return key_grouped_block_map(parts.sort(group_col), [group_col], pick)
+
+
 def grouped_corr(
     ds,
     *,
