@@ -901,6 +901,17 @@ def q_evt_rolling(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_evt_ewma(sf_dir: str) -> pa.Table:
+    """Trailing 16-event exponentially-weighted mean per user
+    (fogray.datapipes.streams.ewma) — dyadic weights make the float
+    sums exact, so the approximate smoother is exact-match checkable."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.ewma(_events(sf_dir), window=16))
+    return sorted_table(t, ["event_id"])
+
+
 def q_rel_split(sf_dir: str) -> pa.Table:
     """Deterministic md5-prefix train/val/test split
     (fogray.datapipes.relational.train_split), ~80/10/10."""
@@ -1099,6 +1110,7 @@ QUERIES = {
     "rel_split": q_rel_split,
     "rel_ntile": q_rel_ntile,
     "evt_rolling": q_evt_rolling,
+    "evt_ewma": q_evt_ewma,
     "sink_partitioned": q_sink_partitioned,
     "txt_pmi": q_txt_pmi,
     "rel_rollup": q_rel_rollup,
@@ -2195,6 +2207,26 @@ ORACLE_SQL = {
                    PARTITION BY event_type ORDER BY value, event_id
                ) AS BIGINT) AS bin
         FROM events ORDER BY event_id
+    """,
+    "evt_ewma": """
+        WITH s AS (
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        w AS (
+            SELECT a.user_id, a.event_id,
+                   SUM(b.c * POWER(0.5, a.rn - b.rn)) AS num,
+                   SUM(POWER(0.5, a.rn - b.rn)) AS den
+            FROM s a JOIN s b
+              ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+            GROUP BY 1, 2
+        )
+        SELECT event_id, user_id, ROUND((num / den) / 100.0, 6) AS ewma
+        FROM w ORDER BY event_id
     """,
     "evt_rolling": """
         SELECT event_id, user_id,

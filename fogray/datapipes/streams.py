@@ -534,6 +534,71 @@ def cohort_retention(ds) -> rd.Dataset:
     )
 
 
+def ewma(ds, *, window: int = 16) -> rd.Dataset:
+    """Trailing exponentially-weighted mean (alpha = 1/2, truncated to
+    the last ``window`` events) of ``value`` per user, ordered by
+    (ts, event_id) — the smoothing feature next to :func:`rolling_mean`.
+    EXACT despite being float: the weights 2^-k are dyadic and the
+    value hundredths are small integers, so every product cents·2^-k
+    and the bounded window sum are exactly representable in float64
+    (span < 53 bits while cents < 2^37 at window 16) — num and den
+    match the oracle's band-join SUMs bit-for-bit in ANY summation
+    order, with one division + 6-decimal round at the end. The window
+    loop is ``window`` vector ops per block, not a per-row scan.
+
+    -> (event_id, user_id, ewma)
+    """
+
+    def ewma_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ewma": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, v = u[order], eid[order], v[order]
+        cents = np.round(v * 100.0).astype(np.int64)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])
+        )
+        num = np.zeros(n, dtype=np.float64)
+        den = np.zeros(n, dtype=np.float64)
+        idx = np.arange(n, dtype=np.int64)
+        for k in range(window):
+            ok = rank >= k
+            w = 0.5**k
+            num[ok] += cents[idx[ok] - k] * w
+            den[ok] += w
+        from ..util import sql_round
+
+        out = sql_round((num / den) / 100.0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid.astype(np.int64)),
+                "user_id": pa.array(u.astype(np.int64)),
+                "ewma": pa.array(out, pa.float64()),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["event_id", "ts", "user_id", "value"]).sort(
+            ["user_id", "ts", "event_id"]
+        ),
+        ["user_id"],
+        ewma_block,
+    )
+
+
 def rolling_mean(ds, *, window: int = 3) -> rd.Dataset:
     """Trailing per-user rolling mean of ``value`` over the last
     ``window`` events (SQL ``ROWS BETWEEN window-1 PRECEDING AND
