@@ -158,6 +158,14 @@ def q_agg_window_hll(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["window_start"])
 
 
+def q_txt_entropy(sf_dir: str) -> pa.Table:
+    """Per-document token-distribution Shannon entropy
+    (fogray.datapipes.text.token_entropy) — pure map_batches pass."""
+    from ..util import sorted_table
+
+    return sorted_table(_collect(text.token_entropy(_docs(sf_dir))), ["doc_id"])
+
+
 def q_txt_unigram_nll(sf_dir: str) -> pa.Table:
     return _collect(text.unigram_nll(_docs(sf_dir)))
 
@@ -1060,6 +1068,7 @@ QUERIES = {
     "txt_top_tokens": q_txt_top_tokens,
     "txt_cms_tokens": q_txt_cms_tokens,
     "txt_unigram_nll": q_txt_unigram_nll,
+    "txt_entropy": q_txt_entropy,
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
     "agg_hll_by_type": q_agg_hll_by_type,
@@ -1663,6 +1672,30 @@ ORACLE_SQL = {
         SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS nll
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    "txt_entropy": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, t AS token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        tc AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS DOUBLE) AS nt,
+                   SUM(CAST(c AS DOUBLE) * LOG2(CAST(c AS DOUBLE))) AS s
+            FROM tc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               ROUND(COALESCE(LOG2(agg.nt) - agg.s / agg.nt, 0.0), 6)
+                   AS entropy
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg ON agg.doc_id = d.doc_id
         ORDER BY d.doc_id
     """,
     "txt_tfidf": r"""

@@ -200,6 +200,44 @@ def _split_tokens(t: pa.Table, text_col: str):
     return flat[keep], row[keep]
 
 
+def token_entropy(ds, text_col: str = "text"):
+    """Per-document Shannon entropy (bits) of the token distribution —
+    the repetition/diversity quality signal: H = log2(n) - Σc·log2(c)/n
+    over per-token counts c, 0.0 for token-free docs. Docs are
+    independent, so this is a PURE map_batches pass (no shuffle, no
+    global state — cheaper than unigram_nll's two-pass corpus model);
+    per-block everything is vectorized (one fused (row, token) bincount,
+    one add.at). Float drift vs the oracle's summation order stays
+    orders of magnitude under the 6-decimal round (the unigram_nll/LN
+    argument).
+
+    -> (doc_id, entropy)
+    """
+    import pandas as pd
+
+    def ent(t: pa.Table) -> pa.Table:
+        words, row = _split_tokens(t, text_col)
+        nt = np.bincount(row, minlength=len(t)).astype(np.float64)
+        s = np.zeros(len(t), dtype=np.float64)
+        if len(words):
+            codes, uniq = pd.factorize(words)
+            k = len(uniq)
+            # sparse fused-key count (np.unique, not a dense rowsxvocab
+            # bincount — a text block's rows x distinct-tokens product
+            # can be huge)
+            ukey, cnt = np.unique(row * k + codes, return_counts=True)
+            c = cnt.astype(np.float64)
+            np.add.at(s, ukey // k, c * np.log2(c))
+        h = np.zeros(len(t), dtype=np.float64)
+        ok = nt > 0
+        h[ok] = np.log2(nt[ok]) - s[ok] / nt[ok]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "entropy": pa.array(sql_round(h))}
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
 def unigram_nll(ds, text_col: str = "text"):
     """Per-document average negative log-likelihood under the corpus's
     own unigram model — the classic cheap quality/outlier signal (a

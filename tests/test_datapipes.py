@@ -41,7 +41,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_repetition", "dd_span_overlap", "rel_zscore", "rel_diff",
      "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split",
      "rel_ntile", "evt_rolling", "sink_partitioned", "txt_pmi", "rel_rollup",
-     "rel_weighted", "rel_corr", "agg_kmv_users", "evt_mode", "evt_ewma"],
+     "rel_weighted", "rel_corr", "agg_kmv_users", "evt_mode", "evt_ewma",
+     "txt_entropy"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
