@@ -405,3 +405,113 @@ def _dense_adamic_adar(
             "rk": pa.array(np.arange(1, len(gu) + 1, dtype=np.int64)),
         }
     )
+
+
+def two_hop_size(edges, n: int, *, target_chunk_rows: int = 4_000_000) -> pa.Table:
+    """Distinct two-hop neighborhood size per vertex over the DIRECTED
+    distinct edge set: |{w != v : v -> u -> w}| — the friend-of-friend
+    reach feature. Same broadcast-CSR chunk dataflow as
+    :func:`adamic_adar`'s dense path: the O(V+E) CSR ships to plasma
+    once, vertex ranges are chunked by their actual two-hop work
+    (Σ_{u in N(v)} outdeg(u), so one hub range cannot stall the wave),
+    and each task expands its walks vectorized (expand_ranges twice)
+    and counts distinct (v, w) pairs with ONE fused-key np.unique —
+    only the O(chunk vertices) count rows leave the task. Vertices with
+    out-edges but no two-hop reach report 0 (the oracle's LEFT JOIN).
+
+    ``edges`` must already be distinct (src, dst) pairs (true for the
+    co-occurrence derivation, which GROUP-BYs pairs).
+
+    -> pa.Table (vid, two_hop) over vids with outdeg > 0, sorted.
+    """
+    from .engine import expand_ranges
+
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+    tabs = [
+        t
+        for t in ray.get(edges.select_columns(["src", "dst"]).materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tabs:
+        return pa.table(
+            {"vid": pa.array([], pa.int64()), "two_hop": pa.array([], pa.int64())}
+        )
+    a = np.concatenate([t.column("src").to_numpy(zero_copy_only=False) for t in tabs])
+    b = np.concatenate([t.column("dst").to_numpy(zero_copy_only=False) for t in tabs])
+    # directed CSR: out-neighbors sorted per source
+    keys = np.sort(a.astype(np.int64) * np.int64(n) + b.astype(np.int64))
+    nbrs = keys % np.int64(n)
+    offsets = np.searchsorted(keys, np.arange(n + 1, dtype=np.int64) * np.int64(n))
+    outdeg = np.diff(offsets)
+    # per-vertex two-hop work = sum of outdeg over out-neighbors
+    work = np.zeros(n, dtype=np.int64)
+    nzv = np.flatnonzero(outdeg)
+    if len(nzv):
+        work[nzv] = np.add.reduceat(outdeg[nbrs], offsets[nzv])
+    cum = np.cumsum(work)
+    total = int(cum[-1]) if n else 0
+    n_chunks = max(1, min(n, -(-total // target_chunk_rows)))
+    bounds = np.searchsorted(cum, np.linspace(0, total, n_chunks + 1)[1:-1])
+    bounds = np.unique(np.r_[0, bounds + 1, n])
+    csr_ref = ray.put((offsets, nbrs))
+    futs = [
+        _two_hop_chunk.remote(csr_ref, int(lo), int(hi))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
+    vids, counts = [], []
+    for gv, gc in ray.get(futs):
+        vids.append(gv)
+        counts.append(gc)
+    vid = np.concatenate(vids) if vids else np.empty(0, np.int64)
+    cnt = np.concatenate(counts) if counts else np.empty(0, np.int64)
+    order = np.argsort(vid, kind="stable")
+    return pa.table(
+        {
+            "vid": pa.array(vid[order].astype(np.int64)),
+            "two_hop": pa.array(cnt[order].astype(np.int64)),
+        }
+    )
+
+
+@ray.remote
+def _two_hop_chunk(csr_ref, lo: int, hi: int):
+    """Distinct (v, w) two-hop pairs for v in [lo, hi): expand the
+    chunk's first hops, expand each hop's out-neighbors, drop w == v,
+    fuse (v - lo)·n + w and np.unique — counts per v via one boundary
+    diff. Returns only vids with outdeg > 0 in the range."""
+    from .engine import expand_ranges
+
+    offsets, nbrs = ray.get(csr_ref) if not isinstance(csr_ref, tuple) else csr_ref
+    n = len(offsets) - 1
+    z = np.zeros(0, dtype=np.int64)
+    if hi <= lo:
+        return z, z
+    ids = np.arange(lo, hi, dtype=np.int64)
+    sizes = offsets[ids + 1] - offsets[ids]
+    ids = ids[sizes > 0]
+    if len(ids) == 0:
+        return z, z
+    sizes = offsets[ids + 1] - offsets[ids]
+    u = nbrs[expand_ranges(offsets[ids], offsets[ids + 1])]
+    v_per_u = np.repeat(ids, sizes)
+    usz = offsets[u + 1] - offsets[u]
+    w = nbrs[expand_ranges(offsets[u], offsets[u + 1])]
+    v_all = np.repeat(v_per_u, usz)
+    m = w != v_all
+    counts = np.zeros(len(ids), dtype=np.int64)
+    if m.any():
+        fused = (v_all[m] - lo) * np.int64(n) + w[m]
+        uf = np.unique(fused)
+        rel = uf // n + lo
+        pos = np.searchsorted(ids, rel)
+        np.add.at(counts, pos, 1)
+    return ids, counts

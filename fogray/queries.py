@@ -599,6 +599,15 @@ def q_adamic_adar(sf_dir: str) -> pa.Table:
 _AA_K = 100
 
 
+def q_two_hop(sf_dir: str) -> pa.Table:
+    """Distinct two-hop neighborhood size per vertex
+    (fogray.metrics.two_hop_size; broadcast-CSR work-balanced chunks)."""
+    from .metrics import two_hop_size
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return two_hop_size(ds.select_columns(["src", "dst"]), n)
+
+
 def q_ktruss(sf_dir: str) -> pa.Table:
     """Bounded k-truss peeling over the simple co-occurrence graph
     (k=10, 4 fixed rounds — fogray.triangles.ktruss_edges): the
@@ -1142,6 +1151,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT v AS vid, MIN(d) AS bfs_level FROM lvl GROUP BY v ORDER BY vid
     """,
     "mis": _mis_sql(12),
+    "two_hop": f"""
+        WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        h AS (
+            SELECT a.src AS vid, CAST(COUNT(DISTINCT b.dst) AS BIGINT) AS two_hop
+            FROM edges a JOIN edges b ON b.src = a.dst
+            WHERE b.dst <> a.src
+            GROUP BY a.src
+        )
+        SELECT t.vid, COALESCE(h.two_hop, CAST(0 AS BIGINT)) AS two_hop
+        FROM (SELECT DISTINCT src AS vid FROM edges) t
+        LEFT JOIN h ON h.vid = t.vid ORDER BY t.vid
+    """,
     "harmonic": f"""
         WITH RECURSIVE
         edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
@@ -1372,6 +1393,7 @@ QUERIES = {
     "ktruss": q_ktruss,
     "assortativity": q_assortativity,
     "adamic_adar": q_adamic_adar,
+    "two_hop": q_two_hop,
     "graph_walks": q_graph_walks,
     "scc": q_scc,
 }
