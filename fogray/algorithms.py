@@ -144,6 +144,62 @@ def kcore(engine: GraphEngine, k: int, *, max_rounds: int = 10_000) -> RunResult
     )
 
 
+def betweenness(
+    engine: GraphEngine, *, num_sources: int = 4, max_level: int = 6
+) -> RunResult:
+    """Sampled Brandes betweenness (Brandes 2001): for each of the
+    ``num_sources`` lowest vids with out-edges, BFS levels, then one
+    sigma superstep per level downward and one delta superstep per
+    level upward (programs.BrandesSigma / BrandesDelta — the frontier
+    is the level set, the scatter masks to shortest-path-DAG edges).
+    bc(v) = sum of delta over sources, v != source. Paths are truncated
+    at ``max_level`` hops on BOTH engine and oracle (the unrolled SQL
+    needs a fixed level count; real eccentricities here are 3-4, so the
+    cap is inert at test scale — at larger diameters it makes this the
+    standard k-hop-bounded betweenness approximation). Per-source cost:
+    one BFS + <= 2·max_level supersteps over pinned edge actors; the
+    sample size is a constant, not a function of V."""
+    from .programs import BrandesDelta, BrandesSigma
+
+    t_start = time.perf_counter()
+    n = engine.n
+    psig, pdel = BrandesSigma(), BrandesDelta()
+    sources = np.flatnonzero(engine.outdeg > 0)[:num_sources]
+    bc = np.zeros(n, dtype=np.float64)
+    metrics: list[dict] = []
+    steps = 0
+    for s0 in sources:
+        lv = bfs(engine, root=int(s0)).state["bfs_level"]
+        reached = lv < np.float64(UNREACHED)
+        maxl = min(int(lv[reached].max()), max_level) if reached.any() else 0
+        state = {
+            "sig": np.zeros(n, dtype=np.float64),
+            "level": lv,
+            "delta": np.zeros(n, dtype=np.float64),
+        }
+        state["sig"][s0] = 1.0
+        for lev in range(maxl):
+            _, m = engine.superstep(psig, state, lv == lev, FWD)
+            steps += 1
+            m["superstep"] = steps
+            metrics.append(m)
+        for lev in range(maxl, 0, -1):
+            _, m = engine.superstep(pdel, state, lv == lev, FWD)
+            steps += 1
+            m["superstep"] = steps
+            metrics.append(m)
+        mask = reached & (lv >= 1.0) & (lv <= maxl)
+        bc[mask] += state["delta"][mask]
+    return RunResult(
+        state={"bc": bc},
+        frontier=None,
+        supersteps=steps,
+        metrics=metrics,
+        num_edges=engine.num_edges,
+        wall_seconds=time.perf_counter() - t_start,
+    )
+
+
 def mis(engine: GraphEngine, *, rounds: int = 12) -> RunResult:
     """Deterministic-Luby maximal independent set over a SYMMETRIC edge
     set: each round is two frontier supersteps — (1) undecided vertices

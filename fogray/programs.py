@@ -491,6 +491,71 @@ class MISNotify(VertexProgram):
         return und
 
 
+class BrandesSigma(VertexProgram):
+    """One shortest-path-count level of Brandes' betweenness (Brandes
+    2001, public algorithm; no FOG counterpart — SURVEY.md 2.4
+    extension): level-l vertices (the frontier) send their sigma along
+    out-edges; the scatter masks emissions to EXACTLY next-level
+    targets (level[d] == level[s] + 1 — shortest-path DAG edges only),
+    so each level-(l+1) vertex gathers sigma(v) = sum of sigma over its
+    predecessors. Driven level-by-level by
+    :func:`fogray.algorithms.betweenness`. Sigma stays float64 on both
+    engine and oracle (exact while < 2^53 — documented bound)."""
+
+    name = "brandes_sigma"
+    engine = "target"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("state is managed by fogray.algorithms.betweenness")
+
+    def scatter_view(self, state):
+        return {"sig": state["sig"], "level": state["level"]}
+
+    def scatter(self, state, s, d, w, direction):
+        ok = state["level"][d] == state["level"][s] + 1.0
+        return d[ok], state["sig"][s[ok]]
+
+    def apply(self, state, ids, vals, preds=None):
+        state["sig"][ids] = vals
+        return ids
+
+
+class BrandesDelta(VertexProgram):
+    """One dependency-accumulation level of Brandes: level-(l+1)
+    vertices w (the frontier) send (sigma(v)/sigma(w)) * (1 + delta(w))
+    to each shortest-path predecessor v (the level mask selects
+    level[d] == level[s] - 1); the gather sums the terms, finalizing
+    delta for level l in one superstep. Reads state at BOTH endpoints —
+    the broadcast engine ships the full scatter view, so this is
+    per-edge vectorized, not a per-edge gather round-trip."""
+
+    name = "brandes_delta"
+    engine = "target"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("state is managed by fogray.algorithms.betweenness")
+
+    def scatter_view(self, state):
+        return {
+            "sig": state["sig"],
+            "level": state["level"],
+            "delta": state["delta"],
+        }
+
+    def scatter(self, state, s, d, w, direction):
+        ok = state["level"][d] == state["level"][s] - 1.0
+        sk, dk = s[ok], d[ok]
+        return dk, (state["sig"][dk] / state["sig"][sk]) * (
+            1.0 + state["delta"][sk]
+        )
+
+    def apply(self, state, ids, vals, preds=None):
+        state["delta"][ids] = vals
+        return ids
+
+
 class SCCForward(VertexProgram):
     """One forward min-propagation pass of FOG's SCC fwd-bwd coloring
     (application/scc.hpp:149-156): min over updates, accepted only by
@@ -575,5 +640,7 @@ PROGRAMS = {
         SCCBackward(),
         MISMinPrio(),
         MISNotify(),
+        BrandesSigma(),
+        BrandesDelta(),
     )
 }

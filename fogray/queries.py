@@ -395,6 +395,83 @@ def q_diameter(sf_dir: str) -> pa.Table:
     )
 
 
+def q_betweenness(sf_dir: str) -> pa.Table:
+    """Sampled Brandes betweenness from the 4 lowest out-degree>0 vids,
+    paths truncated at 6 hops (fogray.algorithms.betweenness; the
+    oracle unrolls the same sigma/delta levels as materialized CTEs).
+    Sigma stays float64 on both sides (exact while < 2^53)."""
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.betweenness(eng, num_sources=4, max_level=6)
+    ids = _touched(eng)
+    return pa.table(
+        {"vid": ids.astype(np.int64), "bc": sql_round(res.state["bc"][ids])}
+    )
+
+
+def _betweenness_sql(num_sources: int = 4, max_level: int = 6) -> str:
+    """Unrolled Brandes mirror: recursive BFS levels per source, one
+    sig{l} CTE per level (path counts over shortest-path-DAG edges),
+    one del{l} CTE per level from deepest up (dependency accumulation,
+    emitter delta = 0 at the truncation level), bc = sum of deltas over
+    sources for v != source."""
+    parts = [
+        f"""WITH RECURSIVE
+        edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        srcs AS MATERIALIZED (
+            SELECT s FROM (SELECT DISTINCT src AS s FROM edges)
+            ORDER BY s LIMIT {num_sources}
+        ),
+        lvl(s, v, d) AS (
+            SELECT s, s, 0 FROM srcs
+            UNION
+            SELECT lvl.s, e.dst, lvl.d + 1
+            FROM lvl JOIN edges e ON e.src = lvl.v
+            WHERE lvl.d < {max_level}
+        ),
+        dist AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM lvl GROUP BY s, v),
+        sig0 AS MATERIALIZED (
+            SELECT s, s AS v, CAST(1.0 AS DOUBLE) AS sig FROM srcs
+        )"""
+    ]
+    for lev in range(1, max_level + 1):
+        parts.append(f"""sig{lev} AS MATERIALIZED (
+            SELECT dv.s, dv.v, CAST(SUM(p.sig) AS DOUBLE) AS sig
+            FROM dist dv
+            JOIN edges e ON e.dst = dv.v
+            JOIN sig{lev - 1} p ON p.s = dv.s AND p.v = e.src
+            WHERE dv.d = {lev}
+            GROUP BY dv.s, dv.v)""")
+    for lev in range(max_level - 1, 0, -1):
+        if lev == max_level - 1:
+            dj, dexpr = "", "0.0"
+        else:
+            dj = f"LEFT JOIN del{lev + 1} dn ON dn.s = dv.s AND dn.v = e.dst"
+            dexpr = "COALESCE(dn.delta, 0.0)"
+        parts.append(f"""del{lev} AS MATERIALIZED (
+            SELECT dv.s, dv.v,
+                   SUM((sv.sig / sw.sig) * (1.0 + {dexpr})) AS delta
+            FROM dist dv
+            JOIN edges e ON e.src = dv.v
+            JOIN sig{lev} sv ON sv.s = dv.s AND sv.v = dv.v
+            JOIN sig{lev + 1} sw ON sw.s = dv.s AND sw.v = e.dst
+            {dj}
+            WHERE dv.d = {lev}
+            GROUP BY dv.s, dv.v)""")
+    union = " UNION ALL ".join(
+        f"SELECT v, delta FROM del{lev}" for lev in range(1, max_level)
+    )
+    parts.append(f"alldel AS (SELECT v, SUM(delta) AS bc FROM ({union}) GROUP BY v)")
+    return (
+        ",\n".join(parts)
+        + """
+        SELECT t.vid, ROUND(COALESCE(a.bc, 0.0), 6) AS bc
+        FROM (SELECT DISTINCT src AS vid FROM edges) t
+        LEFT JOIN alldel a ON a.v = t.vid
+        ORDER BY t.vid
+    """
+    )
+
+
 def q_mis(sf_dir: str) -> pa.Table:
     """Deterministic-Luby maximal independent set (12 fixed rounds —
     :func:`fogray.algorithms.mis`; the oracle unrolls the same 12
@@ -1151,6 +1228,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT v AS vid, MIN(d) AS bfs_level FROM lvl GROUP BY v ORDER BY vid
     """,
     "mis": _mis_sql(12),
+    "betweenness": _betweenness_sql(4, 6),
     "two_hop": f"""
         WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
         h AS (
@@ -1385,6 +1463,7 @@ QUERIES = {
     "harmonic": q_harmonic,
     "diameter": q_diameter,
     "mis": q_mis,
+    "betweenness": q_betweenness,
     "sssp_tree": q_sssp_tree,
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,

@@ -395,3 +395,43 @@ def test_mis_independent_and_maximal(ray_session):
         np.testing.assert_array_equal(status, res2.state["status"])
     finally:
         eng.shutdown()
+
+
+def test_betweenness_matches_numpy_brandes(ray_session):
+    """Engine Brandes (sampled sources, level supersteps) vs a direct
+    per-source numpy Brandes on a symmetric random graph whose diameter
+    is far below the truncation cap."""
+    src, dst, w, n = _symmetric_random(n=80, p=0.1, seed=13)
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=3))
+    try:
+        sources = np.flatnonzero(eng.outdeg > 0)[:4]
+        res = alg.betweenness(eng, num_sources=4, max_level=6)
+
+        adj = [dst[src == v] for v in range(n)]
+        bc_ref = np.zeros(n)
+        for s0 in sources:
+            from collections import deque
+
+            lv = np.full(n, -1)
+            sig = np.zeros(n)
+            lv[s0], sig[s0] = 0, 1.0
+            order, q = [], deque([int(s0)])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for u in adj[v]:
+                    if lv[u] < 0:
+                        lv[u] = lv[v] + 1
+                        q.append(u)
+                    if lv[u] == lv[v] + 1:
+                        sig[u] += sig[v]
+            delta = np.zeros(n)
+            for v in reversed(order):
+                for u in adj[v]:
+                    if lv[u] == lv[v] + 1:
+                        delta[v] += (sig[v] / sig[u]) * (1.0 + delta[u])
+            m = lv >= 1
+            bc_ref[m] += delta[m]
+        np.testing.assert_allclose(res.state["bc"], bc_ref, rtol=1e-9, atol=1e-6)
+    finally:
+        eng.shutdown()

@@ -48,7 +48,7 @@ def _compare(name, con):
     "connected_components", "label_propagation", "bfs", "sssp_tree",
     "spmv", "triangle_count", "clustering", "scan_similarity", "ktruss",
     "graph_walks", "scc", "src_csv", "src_jsonl", "assortativity",
-    "adamic_adar", "harmonic", "diameter", "mis", "two_hop",
+    "adamic_adar", "harmonic", "diameter", "mis", "two_hop", "betweenness",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)
