@@ -46,6 +46,12 @@ def spmv(engine: GraphEngine, *, ckpt_dir=None, resume=False) -> RunResult:
     return engine.run(PROGRAMS["spmv"], {}, ckpt_dir=ckpt_dir, resume=resume)
 
 
+def katz(engine: GraphEngine, niters: int = 8, *, ckpt_dir=None, resume=False) -> RunResult:
+    return engine.run(
+        PROGRAMS["katz"], {"niters": niters}, ckpt_dir=ckpt_dir, resume=resume
+    )
+
+
 def ppr(engine: GraphEngine, source: int, niters: int = 10, *, ckpt_dir=None, resume=False) -> RunResult:
     """Personalized PageRank seeded at ``source`` (FOG pagerank
     mechanics; see programs.PersonalizedPageRank)."""

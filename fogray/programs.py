@@ -491,6 +491,42 @@ class MISNotify(VertexProgram):
         return und
 
 
+class KatzCentrality(VertexProgram):
+    """Katz centrality (Katz 1953, public algorithm): fixed-iteration
+    x_{t+1}(v) = 1 + alpha * sum over in-edges of x_t(u), GLOBAL engine
+    (self-loops included, like the SQL mirror's plain edge join). Alpha
+    defaults to the dyadic 1/256 — well under 1/lambda_max for the
+    co-occurrence graphs, so values stay O(1) and float drift vs the
+    oracle's summation order stays far beneath the 6-decimal round
+    (the PageRank argument; a large alpha would amplify drift through
+    the iterations faster than the round absorbs it)."""
+
+    name = "katz"
+    engine = "global"
+    combine = "sum"
+
+    def __init__(self, alpha: float = 1.0 / 256.0):
+        self.alpha = float(alpha)
+
+    def init(self, n, outdeg, indeg, **params):
+        return {"x": np.ones(n, dtype=np.float64)}, None
+
+    def scatter_view(self, state):
+        return {"x": state["x"]}
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["x"][s]
+
+    def apply(self, state, ids, vals, preds=None):
+        xn = np.ones(len(state["x"]), dtype=np.float64)
+        xn[ids] = 1.0 + self.alpha * vals
+        state["x"] = xn
+        return ids
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= params.get("niters", 8)
+
+
 class BrandesSigma(VertexProgram):
     """One shortest-path-count level of Brandes' betweenness (Brandes
     2001, public algorithm; no FOG counterpart — SURVEY.md 2.4
@@ -642,5 +678,6 @@ PROGRAMS = {
         MISNotify(),
         BrandesSigma(),
         BrandesDelta(),
+        KatzCentrality(),
     )
 }

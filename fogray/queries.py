@@ -395,6 +395,41 @@ def q_diameter(sf_dir: str) -> pa.Table:
     )
 
 
+def q_katz(sf_dir: str) -> pa.Table:
+    """Katz centrality, 8 fixed iterations with the dyadic alpha=1/256
+    (fogray.programs.KatzCentrality; the oracle unrolls the same
+    iterations as materialized CTEs)."""
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.katz(eng, niters=8)
+    ids = _touched(eng)
+    return pa.table(
+        {"vid": ids.astype(np.int64), "katz": sql_round(res.state["x"][ids])}
+    )
+
+
+def _katz_sql(niters: int = 8) -> str:
+    """Unrolled Katz mirror: k{i}(v) = 1 + (1/256)·Σ k{i-1} over
+    in-edges, one materialized CTE per iteration."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        touched AS MATERIALIZED (SELECT DISTINCT src AS vid FROM edges),
+        k0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM touched)"""
+    ]
+    for i in range(1, niters + 1):
+        parts.append(f"""k{i} AS MATERIALIZED (
+            SELECT t.vid, 1.0 + (1.0/256.0) * COALESCE(SUM(p.x), 0.0) AS x
+            FROM touched t
+            LEFT JOIN edges e ON e.dst = t.vid
+            LEFT JOIN k{i - 1} p ON p.vid = e.src
+            GROUP BY t.vid)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT vid, ROUND(x, 6) AS katz FROM k{niters} ORDER BY vid
+    """
+    )
+
+
 def q_betweenness(sf_dir: str) -> pa.Table:
     """Sampled Brandes betweenness from the 4 lowest out-degree>0 vids,
     paths truncated at 6 hops (fogray.algorithms.betweenness; the
@@ -1229,6 +1264,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "mis": _mis_sql(12),
     "betweenness": _betweenness_sql(4, 6),
+    "katz": _katz_sql(8),
     "two_hop": f"""
         WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
         h AS (
@@ -1464,6 +1500,7 @@ QUERIES = {
     "diameter": q_diameter,
     "mis": q_mis,
     "betweenness": q_betweenness,
+    "katz": q_katz,
     "sssp_tree": q_sssp_tree,
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,
