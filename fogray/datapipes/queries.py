@@ -513,6 +513,17 @@ def q_rel_quantiles(sf_dir: str) -> pa.Table:
     return relational.exact_quantiles(orders, "o_totalprice")
 
 
+def q_rel_interp_quantiles(sf_dir: str) -> pa.Table:
+    """Linearly interpolated (PERCENTILE_CONT-rule) quantiles of
+    o_totalprice (fogray.datapipes.relational.interp_quantiles)."""
+    from . import relational
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+    return relational.interp_quantiles(orders, "o_totalprice")
+
+
 def q_agg_histogram(sf_dir: str) -> pa.Table:
     """Fixed-width value histogram of o_totalprice
     (fogray.datapipes.relational.fixed_width_histogram), width 20000."""
@@ -1099,6 +1110,7 @@ QUERIES = {
     "corpus_curate": q_corpus_curate,
     "mm_frames": q_mm_frames,
     "rel_quantiles": q_rel_quantiles,
+    "rel_interp_quantiles": q_rel_interp_quantiles,
     "rel_group_quantiles": q_rel_group_quantiles,
     "rel_pivot": q_rel_pivot,
     "agg_histogram": q_agg_histogram,
@@ -1840,6 +1852,29 @@ ORACLE_SQL = {
         FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q)
         JOIN s ON s.rn = CAST(FLOOR(t.q * (s.n - 1)) AS BIGINT)
         ORDER BY t.q
+    """,
+    "rel_interp_quantiles": r"""
+        WITH s AS MATERIALIZED (
+            SELECT o_totalprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice) - 1 AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        ),
+        t AS (
+            SELECT q, q * (CAST((SELECT MAX(n) FROM s) AS DOUBLE) - 1.0) AS pos
+            FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) qs(q)
+        ),
+        j AS (
+            SELECT t.q, t.pos,
+                   CAST(FLOOR(t.pos) AS BIGINT) AS l,
+                   lo.v AS vl, hi.v AS vu
+            FROM t
+            JOIN s lo ON lo.rn = CAST(FLOOR(t.pos) AS BIGINT)
+            JOIN s hi ON hi.rn = LEAST(CAST(FLOOR(t.pos) AS BIGINT) + 1,
+                                       (SELECT MAX(n) FROM s) - 1)
+        )
+        SELECT q, ROUND(vl + (pos - CAST(l AS DOUBLE)) * (vu - vl), 6) AS value
+        FROM j ORDER BY q
     """,
     "feat_assemble": r"""
         WITH s AS MATERIALIZED (

@@ -689,6 +689,78 @@ def _block_value_at(t: pa.Table, col: str, i: int) -> float:
     return float(t.column(col)[i].as_py())
 
 
+def _sorted_positions(ds, col: str, positions) -> tuple[np.ndarray, int]:
+    """Values at global sorted indices ``positions`` of ``ds[col]`` —
+    the shared positional-fetch core of :func:`exact_quantiles` /
+    :func:`interp_quantiles`: ONE distributed sort, block-count
+    metadata on the driver, per-block bounds to re-derive the global
+    block order (never trusted from the executor, with the LAST value
+    breaking equal-run ties), then one tiny ``take`` per target block.
+    Returns (values, n); positions out of [0, n) are clamped."""
+    import ray
+
+    sorted_ds = ds.select_columns([col]).sort(col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = np.asarray(ray.get([_block_count.remote(r) for r in refs]), dtype=np.int64)
+    n = int(counts.sum())
+    if n == 0:
+        return np.zeros(0, dtype=np.float64), 0
+    bounds = ray.get([_block_bounds.remote(r, col) for r in refs])
+    firsts = np.array([b[0] if b[0] is not None else np.inf for b in bounds])
+    lasts = np.array([b[1] if b[1] is not None else np.inf for b in bounds])
+    order = np.lexsort((lasts, firsts))
+    counts = counts[order]
+    starts = np.cumsum(counts) - counts
+    refs = [refs[i] for i in order]
+    if callable(positions):  # lets callers derive positions from n
+        positions = positions(n)
+    targets = np.clip(np.asarray(positions, dtype=np.int64), 0, n - 1)
+    blk = np.searchsorted(starts, targets, side="right") - 1
+    vals = ray.get(
+        [
+            _block_value_at.remote(refs[b], col, int(t - starts[b]))
+            for b, t in zip(blk, targets)
+        ]
+    )
+    return np.asarray(vals, dtype=np.float64), n
+
+
+def interp_quantiles(
+    ds, col: str, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pa.Table:
+    """Linearly interpolated quantiles (the PERCENTILE_CONT rule):
+    pos = q·(n-1), value = v[floor(pos)] + frac·(v[floor(pos)+1] -
+    v[floor(pos)]). Same one-sort positional-fetch dataflow as
+    :func:`exact_quantiles` — two block takes per q instead of one —
+    and the interpolation float expression is mirrored character-for-
+    character by the oracle over the same doubles.
+
+    -> (q DOUBLE, value DOUBLE ROUND 6) sorted by q.
+    """
+    from ..util import sql_round
+
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def lo_hi(n: int) -> np.ndarray:
+        p = qarr * (n - 1.0)
+        lo = np.floor(p).astype(np.int64)
+        return np.r_[lo, np.minimum(lo + 1, n - 1)]
+
+    vals, n = _sorted_positions(ds, col, lo_hi)
+    if n == 0:
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+        )
+    pos = qarr * (n - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    vl, vu = vals[: len(qarr)], vals[len(qarr) :]
+    frac = pos - lo.astype(np.float64)
+    out = sql_round(vl + frac * (vu - vl))
+    return pa.table(
+        {"q": pa.array(qarr, pa.float64()), "value": pa.array(out, pa.float64())}
+    )
+
+
 # ---------------------------------------------------------------------------
 # fixed-width histogram: pure map-side partials
 # ---------------------------------------------------------------------------
