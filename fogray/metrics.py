@@ -515,3 +515,73 @@ def _two_hop_chunk(csr_ref, lo: int, hi: int):
         pos = np.searchsorted(ids, rel)
         np.add.at(counts, pos, 1)
     return ids, counts
+
+
+def partition_modularity(edges, labels_ref) -> pa.Table:
+    """Newman modularity of a GIVEN vertex partition over a symmetric
+    directed edge list (every undirected edge stored both ways):
+    Q = Σ_c [ m_c/m2 − (D_c/m2)² ], m2 = |directed edges|, m_c =
+    directed edges with both ends in community c, D_c = Σ out-degree
+    over c. Shuffle-FREE: the (small) vid→community map is broadcast
+    once via ``ray.put``; every edge block emits one EXACT int64
+    (community, internal-count, degree-count) partial; the driver folds
+    ints and evaluates the float sum once — the oracle's expression
+    term-for-term (Σ over communities of identical doubles before one
+    6-decimal round).
+
+    ``labels_ref`` is a ``ray.put`` handle to (vids int64 sorted,
+    community codes int64, n_communities) — attribute partitions (e.g.
+    part brand) or algorithm output (cc / label propagation) both fit.
+
+    -> one row (modularity DOUBLE, n_communities BIGINT, m2 BIGINT)
+    """
+    from .util import sql_round
+
+    def partial(t: pa.Table) -> pa.Table:
+        vids, codes, k = ray.get(labels_ref)
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        cs = codes[np.searchsorted(vids, s)]
+        cd = codes[np.searchsorted(vids, d)]
+        dc = np.bincount(cs, minlength=k).astype(np.int64)
+        same = cs == cd
+        mc = np.bincount(cs[same], minlength=k).astype(np.int64)
+        nz = np.flatnonzero(dc | mc)
+        return pa.table(
+            {
+                "c": pa.array(nz.astype(np.int64)),
+                "mc": pa.array(mc[nz]),
+                "dc": pa.array(dc[nz]),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            edges.select_columns(["src", "dst"])
+            .map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    _, _, k = ray.get(labels_ref)
+    mc = np.zeros(k, dtype=np.int64)
+    dc = np.zeros(k, dtype=np.int64)
+    np.add.at(mc, parts.column("c").to_numpy(zero_copy_only=False),
+              parts.column("mc").to_numpy(zero_copy_only=False))
+    np.add.at(dc, parts.column("c").to_numpy(zero_copy_only=False),
+              parts.column("dc").to_numpy(zero_copy_only=False))
+    m2 = int(dc.sum())
+    touched = np.flatnonzero(dc)
+    md = float(m2)
+    q = np.sum(
+        mc[touched].astype(np.float64) / md
+        - (dc[touched].astype(np.float64) / md) * (dc[touched].astype(np.float64) / md)
+    )
+    return pa.table(
+        {
+            "modularity": pa.array(sql_round(np.array([q]))),
+            "n_communities": pa.array([len(touched)], pa.int64()),
+            "m2": pa.array([m2], pa.int64()),
+        }
+    )

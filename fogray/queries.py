@@ -720,6 +720,30 @@ def q_two_hop(sf_dir: str) -> pa.Table:
     return two_hop_size(ds.select_columns(["src", "dst"]), n)
 
 
+def q_modularity(sf_dir: str) -> pa.Table:
+    """Newman modularity of the part-brand partition over the
+    co-occurrence graph (fogray.metrics.partition_modularity) — do
+    parts of the same brand co-occur more than degree chance predicts?
+    The vid→brand map is the broadcast small side; edge blocks emit
+    exact int64 (community, internal, degree) partials."""
+    import ray
+
+    from .metrics import partition_modularity
+
+    part = read_parquet_clean(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    vids = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(vids, kind="stable")
+    vids = vids[order]
+    brands = part["p_brand"].to_numpy()[order]
+    cats = np.unique(brands)
+    codes = np.searchsorted(cats, brands).astype(np.int64)
+    ref = ray.put((vids, codes, len(cats)))
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return partition_modularity(ds, ref)
+
+
 def q_ktruss(sf_dir: str) -> pa.Table:
     """Bounded k-truss peeling over the simple co-occurrence graph
     (k=10, 4 fixed rounds — fogray.triangles.ktruss_edges): the
@@ -1265,6 +1289,28 @@ ORACLE_SQL: dict[str, str] = {
     "mis": _mis_sql(12),
     "betweenness": _betweenness_sql(4, 6),
     "katz": _katz_sql(8),
+    "modularity": f"""
+        WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+        lab AS (SELECT p_partkey AS vid, p_brand AS b FROM part),
+        agg AS (
+            SELECT ls.b,
+                   CAST(SUM(CASE WHEN ld.b = ls.b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS mc,
+                   CAST(COUNT(*) AS BIGINT) AS dc
+            FROM edges e
+            JOIN lab ls ON ls.vid = e.src
+            JOIN lab ld ON ld.vid = e.dst
+            GROUP BY ls.b
+        )
+        SELECT ROUND(SUM(CAST(mc AS DOUBLE) / CAST(m2 AS DOUBLE)
+                     - (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))
+                     * (CAST(dc AS DOUBLE) / CAST(m2 AS DOUBLE))), 6)
+                   AS modularity,
+               CAST(COUNT(*) AS BIGINT) AS n_communities,
+               (SELECT m2 FROM m2t) AS m2
+        FROM agg CROSS JOIN m2t
+    """,
     "two_hop": f"""
         WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
         h AS (
@@ -1510,6 +1556,7 @@ QUERIES = {
     "assortativity": q_assortativity,
     "adamic_adar": q_adamic_adar,
     "two_hop": q_two_hop,
+    "modularity": q_modularity,
     "graph_walks": q_graph_walks,
     "scc": q_scc,
 }
