@@ -931,6 +931,16 @@ def q_evt_ewma(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_evt_window_topk(sf_dir: str) -> pa.Table:
+    """Top-3 users by money-exact summed value per 1-hour tumbling
+    window (fogray.datapipes.streams.window_topk)."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.window_topk(_events(sf_dir), width_minutes=60, k=3))
+    return sorted_table(t, ["window_start", "rk"])
+
+
 def q_rel_split(sf_dir: str) -> pa.Table:
     """Deterministic md5-prefix train/val/test split
     (fogray.datapipes.relational.train_split), ~80/10/10."""
@@ -1115,6 +1125,7 @@ QUERIES = {
     "rel_pivot": q_rel_pivot,
     "agg_histogram": q_agg_histogram,
     "evt_window": q_evt_window,
+    "evt_window_topk": q_evt_window_topk,
     "evt_sliding": q_evt_sliding,
     "evt_asof": q_evt_asof,
     "evt_range": q_evt_range,
@@ -2162,6 +2173,28 @@ ORACLE_SQL = {
                ROUND(SUM(value), 6) AS sum_value,
                MAX(value) AS max_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_window_topk": """
+        WITH c AS (
+            SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS w,
+                   user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        s AS (
+            SELECT w, user_id, SUM(cents) AS c
+            FROM c GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT w, user_id, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY w ORDER BY c DESC, user_id
+                   ) AS rk
+            FROM s
+        )
+        SELECT make_timestamp(w) AS window_start, user_id,
+               CAST(c AS DOUBLE) / 100.0 AS sum_value, rk
+        FROM r WHERE rk <= 3 ORDER BY window_start, rk
     """,
     "evt_sliding": """
         WITH hops AS (SELECT unnest(range(4)) AS k),

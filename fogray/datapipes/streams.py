@@ -534,6 +534,84 @@ def cohort_retention(ds) -> rd.Dataset:
     )
 
 
+def window_topk(ds, *, width_minutes: int = 60, k: int = 3) -> rd.Dataset:
+    """Top-``k`` users by summed value inside each tumbling window —
+    the windowed leaderboard. Two-level: per-batch (window, user) EXACT
+    int64-cents partials (only those move), ONE sort on the window key,
+    then a group-complete fold that finishes the sums and ranks
+    (cents DESC, user ASC — an all-integer total order, deterministic
+    in any layout).
+
+    -> (window_start timestamp[us], user_id, sum_value DOUBLE, rk 1..k)
+    """
+    width_us = np.int64(width_minutes) * 60 * 1_000_000
+    part_schema = pa.schema(
+        [("w", pa.int64()), ("user_id", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = ts - (ts % width_us)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((u, w))
+        w, u, cents = w[order], u[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (u[1:] != u[:-1])])
+        return pa.table(
+            {
+                "w": w[starts],
+                "user_id": u[starts].astype(np.int64),
+                "c": np.add.reduceat(cents, starts).astype(np.int64),
+            },
+            schema=part_schema,
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_start": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "rk": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, w))
+        w, u, c = w[order], u[order], c[order]
+        starts = np.flatnonzero(np.r_[True, (w[1:] != w[:-1]) | (u[1:] != u[:-1])])
+        w, u = w[starts], u[starts]
+        c = np.add.reduceat(c, starts)
+        # rank within window: cents DESC, user ASC (c positive int64)
+        order = np.lexsort((u, -c, w))
+        w, u, c = w[order], u[order], c[order]
+        wstarts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        rk = np.arange(len(w), dtype=np.int64) - np.repeat(
+            wstarts, np.diff(np.r_[wstarts, len(w)])
+        ) + 1
+        keep = rk <= k
+        return pa.table(
+            {
+                "window_start": pa.array(w[keep]).cast(pa.timestamp("us")),
+                "user_id": pa.array(u[keep].astype(np.int64)),
+                "sum_value": pa.array(c[keep] / 100.0, pa.float64()),
+                "rk": pa.array(rk[keep]),
+            }
+        )
+
+    parts = ds.select_columns(["ts", "user_id", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return key_grouped_block_map(parts.sort(["w"]), ["w"], fold)
+
+
 def ewma(ds, *, window: int = 16) -> rd.Dataset:
     """Trailing exponentially-weighted mean (alpha = 1/2, truncated to
     the last ``window`` events) of ``value`` per user, ordered by
