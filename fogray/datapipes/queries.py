@@ -738,6 +738,29 @@ def q_evt_mode(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rel_unpivot(sf_dir: str) -> pa.Table:
+    """Wide->long melt of the lineitem measures
+    (fogray.datapipes.relational.unpivot)."""
+    from . import relational
+    from ..util import sorted_table
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    return sorted_table(
+        _collect(
+            relational.unpivot(
+                li,
+                id_cols=["l_orderkey", "l_linenumber"],
+                value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+            )
+        ),
+        ["l_orderkey", "l_linenumber", "measure"],
+    )
+
+
 def q_rel_corr(sf_dir: str) -> pa.Table:
     """Per-supplier Pearson correlation + regression of discount on
     quantity (fogray.datapipes.relational.grouped_corr): shuffle-free
@@ -1133,6 +1156,7 @@ QUERIES = {
     "evt_user_stats": q_evt_user_stats,
     "dd_span_overlap": q_dd_span_overlap,
     "evt_mode": q_evt_mode,
+    "rel_unpivot": q_rel_unpivot,
     "rel_corr": q_rel_corr,
     "rel_zscore": q_rel_zscore,
     "rel_diff": q_rel_diff,
@@ -2424,6 +2448,17 @@ ORACLE_SQL = {
         )
         SELECT user_id, event_type AS mode_value, n AS mode_count
         FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    "rel_unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, measure
     """,
     "rel_corr": """
         WITH s AS (

@@ -1060,6 +1060,30 @@ def pivot_counts(
     return key_grouped_block_map(parts.sort(group_col), [group_col], fold)
 
 
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str]) -> rd.Dataset:
+    """Wide -> long (melt): one output row per (input row, value
+    column), with the column name in ``measure`` — the inverse of
+    :func:`pivoted_counts`. Embarrassingly parallel (a pure per-block
+    Arrow transform: k column takes + one concat, zero copies of the
+    id columns beyond Arrow's), no shuffle, no driver involvement.
+
+    -> (*id_cols, measure STRING, value DOUBLE)
+    """
+
+    def melt(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            cols = {ic: t.column(ic) for ic in id_cols}
+            cols["measure"] = pa.array([c] * t.num_rows, pa.string())
+            cols["value"] = t.column(c).cast(pa.float64())
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        melt, batch_format="pyarrow"
+    )
+
+
 def grouped_mode(ds, *, group_col: str, value_col: str) -> rd.Dataset:
     """Per-group modal value with a deterministic tie-break (highest
     count, then lexicographically smallest value — the oracle's
