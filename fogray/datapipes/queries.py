@@ -954,6 +954,20 @@ def q_evt_ewma(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_evt_latest(sf_dir: str) -> pa.Table:
+    """CDC-style latest-row-per-user compaction
+    (fogray.datapipes.streams.latest_per_key): max ts, event_id tiebreak."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(
+        streams.latest_per_key(
+            _events(sf_dir), key_col="user_id", ts_col="ts", tie_col="event_id"
+        )
+    )
+    return sorted_table(t, ["user_id"])
+
+
 def q_evt_window_topk(sf_dir: str) -> pa.Table:
     """Top-3 users by money-exact summed value per 1-hour tumbling
     window (fogray.datapipes.streams.window_topk)."""
@@ -1149,6 +1163,7 @@ QUERIES = {
     "agg_histogram": q_agg_histogram,
     "evt_window": q_evt_window,
     "evt_window_topk": q_evt_window_topk,
+    "evt_latest": q_evt_latest,
     "evt_sliding": q_evt_sliding,
     "evt_asof": q_evt_asof,
     "evt_range": q_evt_range,
@@ -2197,6 +2212,17 @@ ORACLE_SQL = {
                ROUND(SUM(value), 6) AS sum_value,
                MAX(value) AS max_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_latest": """
+        WITH r AS (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, ts, event_id, value
+        FROM r WHERE rn = 1 ORDER BY user_id
     """,
     "evt_window_topk": """
         WITH c AS (

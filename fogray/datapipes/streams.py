@@ -534,6 +534,50 @@ def cohort_retention(ds) -> rd.Dataset:
     )
 
 
+def latest_per_key(ds, *, key_col: str, ts_col: str, tie_col: str) -> rd.Dataset:
+    """CDC-style compaction: keep each key's LATEST row (max ts, ties
+    broken by max ``tie_col`` — a total order, so the winner is unique
+    and layout-independent). Two-level: each block pre-compacts to one
+    candidate row per key (only those move), ONE sort on the key
+    co-locates candidates, a group-complete fold picks the winner.
+
+    -> (key_col, ts_col, tie_col, value) — the surviving rows.
+    """
+
+    def compact(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                ts_col: pa.array([], pa.timestamp("us")),
+                tie_col: pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = t.column(tie_col).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        # last row per key under ascending (key, ts, tie)
+        order = np.lexsort((tie, ts, k))
+        k, ts, tie, v = k[order], ts[order], tie[order], v[order]
+        last = np.r_[k[1:] != k[:-1], True]
+        return pa.table(
+            {
+                key_col: pa.array(k[last].astype(np.int64)),
+                ts_col: pa.array(ts[last]).cast(pa.timestamp("us")),
+                tie_col: pa.array(tie[last].astype(np.int64)),
+                "value": pa.array(v[last], pa.float64()),
+            }
+        )
+
+    pre = ds.select_columns([key_col, ts_col, tie_col, "value"]).map_batches(
+        compact, batch_format="pyarrow"
+    )
+    return key_grouped_block_map(pre.sort([key_col]), [key_col], compact)
+
+
 def window_topk(ds, *, width_minutes: int = 60, k: int = 3) -> rd.Dataset:
     """Top-``k`` users by summed value inside each tumbling window —
     the windowed leaderboard. Two-level: per-batch (window, user) EXACT
