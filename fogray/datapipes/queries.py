@@ -166,6 +166,14 @@ def q_txt_entropy(sf_dir: str) -> pa.Table:
     return sorted_table(_collect(text.token_entropy(_docs(sf_dir))), ["doc_id"])
 
 
+def q_txt_bigram_nll(sf_dir: str) -> pa.Table:
+    """Per-document corpus-bigram-model NLL
+    (fogray.datapipes.text.bigram_nll)."""
+    from ..util import sorted_table
+
+    return sorted_table(_collect(text.bigram_nll(_docs(sf_dir))), ["doc_id"])
+
+
 def q_txt_unigram_nll(sf_dir: str) -> pa.Table:
     return _collect(text.unigram_nll(_docs(sf_dir)))
 
@@ -1126,6 +1134,7 @@ QUERIES = {
     "txt_top_tokens": q_txt_top_tokens,
     "txt_cms_tokens": q_txt_cms_tokens,
     "txt_unigram_nll": q_txt_unigram_nll,
+    "txt_bigram_nll": q_txt_bigram_nll,
     "txt_entropy": q_txt_entropy,
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
@@ -1732,6 +1741,39 @@ ORACLE_SQL = {
             FROM toks JOIN cnt USING (token) GROUP BY toks.doc_id
         )
         SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS nll
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    "txt_bigram_nll": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(length(arr))) AS pos
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '') AS arr
+                  FROM documents)
+        ),
+        bg AS MATERIALIZED (
+            SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        cnt AS MATERIALIZED (
+            SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM bg GROUP BY 1, 2
+        ),
+        den AS MATERIALIZED (
+            SELECT w1, SUM(c) AS d FROM cnt GROUP BY 1
+        ),
+        sc AS (
+            SELECT bg.doc_id, AVG(-LN(cnt.c / den.d)) AS nll
+            FROM bg
+            JOIN cnt ON cnt.w1 = bg.w1 AND cnt.w2 = bg.w2
+            JOIN den ON den.w1 = bg.w1
+            GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS bigram_nll
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN sc ON sc.doc_id = d.doc_id
         ORDER BY d.doc_id

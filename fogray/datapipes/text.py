@@ -238,6 +238,89 @@ def token_entropy(ds, text_col: str = "text"):
     return ds.map_batches(ent, batch_format="pyarrow")
 
 
+def bigram_nll(ds, text_col: str = "text"):
+    """Per-document average negative log-likelihood under the corpus's
+    own BIGRAM model — the second-order companion to
+    :func:`unigram_nll`: nll(doc) = AVG over adjacent pairs of
+    -LN(c(w1,w2) / c(w1,·)), 0.0 for docs with < 2 tokens. No smoothing
+    needed: the corpus scores itself, so every scored bigram was
+    counted.
+
+    Two passes: (1) per-block pair-count partials (the bigram_lm
+    pre-combine) folded with ONE sort + group-complete blocks, then the
+    model table broadcast ONCE via ``ray.put`` (the bigram vocabulary is
+    the small side at corpus scale; beyond driver memory the scoring
+    join becomes the repo's sort-exchange instead); (2) each batch
+    searchsorteds its fused "w1\\nw2" pair keys ('\\n' is whitespace, so
+    it cannot occur inside a token) and segment-averages per doc.
+
+    -> (doc_id, bigram_nll)
+    """
+    import ray
+
+    from ..derive import key_grouped_block_map
+
+    partials = ds.select_columns(["doc_id", text_col]).map_batches(
+        lambda t: _pair_partial_batch(t, text_col), batch_format="pyarrow"
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas().groupby(["w1", "w2"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ct = pa.concat_tables(
+        ray.get(
+            key_grouped_block_map(partials.sort(["w1", "w2"]), ["w1", "w2"], fold)
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    w1 = np.asarray(ct.column("w1").to_pylist(), dtype=object)
+    w2 = np.asarray(ct.column("w2").to_pylist(), dtype=object)
+    c = ct.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    keys = np.asarray([a + "\n" + b for a, b in zip(w1, w2)], dtype=object)
+    order = np.argsort(keys, kind="stable")
+    keys, c, w1o = keys[order], c[order], w1[order]
+    # per-w1 denominators (sum of bigram counts starting with w1)
+    uw1, inv = np.unique(w1, return_inverse=True)
+    den = np.bincount(inv, weights=ct.column("n").to_numpy(zero_copy_only=False)
+                      .astype(np.float64), minlength=len(uw1))
+    model_ref = ray.put((keys, c, uw1, den))
+
+    def score(t: pa.Table) -> pa.Table:
+        keys_, c_, uw1_, den_ = ray.get(model_ref)
+        words, row = _split_tokens(t, text_col)
+        s = np.zeros(len(t), dtype=np.float64)
+        nb = np.zeros(len(t), dtype=np.int64)
+        if len(words) >= 2:
+            adj = row[1:] == row[:-1]
+            if adj.any():
+                a = words[:-1][adj]
+                b = words[1:][adj]
+                r = row[:-1][adj]
+                pk = np.asarray([x + "\n" + y for x, y in zip(a, b)], dtype=object)
+                ci = c_[np.searchsorted(keys_, pk)]
+                di = den_[np.searchsorted(uw1_, a)]
+                lp = -np.log(ci / di)
+                np.add.at(s, r, lp)
+                nb = np.bincount(r, minlength=len(t)).astype(np.int64)
+        nll = np.where(nb > 0, s / np.maximum(nb, 1), 0.0)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "bigram_nll": pa.array(sql_round(nll))}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def unigram_nll(ds, text_col: str = "text"):
     """Per-document average negative log-likelihood under the corpus's
     own unigram model — the classic cheap quality/outlier signal (a
