@@ -212,6 +212,32 @@ class EdgeViewActor:
             s, d, w = s[m], d[m], w[m]
 
         span = self.hi - self.lo
+        if (
+            dense
+            and frontier is None
+            and active_ids is None
+            and not program.skip_self_loops
+            and program.combine == "sum"
+        ):
+            dg = program.dense_gather(state)
+            if dg is not None:
+                # fused cache-blocked kernel: gather -> (+c/*w) ->
+                # bincount per chunk; the O(E) value temporaries stay
+                # L2/L3-resident instead of streaming DRAM three times
+                arr, use_w, add_c = dg
+                ks, rel = view.key_sorted, view.emit_rel
+                acc = np.zeros(span, dtype=np.float64)
+                ch = 2_000_000
+                for a in range(0, len(ks), ch):
+                    b = min(a + ch, len(ks))
+                    vals = arr[ks[a:b]]
+                    if use_w:
+                        vals = vals * w[a:b]
+                    if add_c:
+                        vals += add_c
+                    acc += np.bincount(rel[a:b], weights=vals, minlength=span)
+                return (("dense", acc), len(ks))
+
         if len(s) == 0:
             if program.combine == "sum" and dense:
                 return (("dense", np.zeros(span, dtype=np.float64)), 0)
@@ -510,6 +536,22 @@ class GraphEngine:
             acc = np.zeros(self.n, dtype=np.float64)
             for (partial, _e), (_a, lo, hi) in zip(results, views):
                 acc[lo:hi] += partial[1]
+            # dense-apply fast path: programs whose update rule works on
+            # the whole combined vector skip the flatnonzero + gather
+            # (O(V) driver-serial work that caps multi-worker scaling —
+            # adding the zero entries is identity for these rules)
+            applied = program.apply_dense(state, acc)
+            if applied is not None:
+                del bcast
+                metrics = {
+                    "direction": direction,
+                    "active": active_count,
+                    "updates_emitted": int(emitted),
+                    "updates_applied": int(self.n),
+                    "changed": int(len(applied)),
+                    "wall_s": time.perf_counter() - t0,
+                }
+                return applied, metrics
             ids = np.flatnonzero(acc)
             vals, preds = acc[ids], None
         else:

@@ -32,6 +32,9 @@ from .oracle import EPSILON, UNREACHED
 
 FWD, BWD = "fwd", "bwd"
 
+#: shared empty changed-ids return for fixed-iteration dense applies
+_EMPTY_IDS = np.empty(0, dtype=np.int64)
+
 
 class VertexProgram:
     name: str = "abstract"
@@ -83,8 +86,31 @@ class VertexProgram:
         engine asserts this per scatter (cheap bounds check)."""
         raise NotImplementedError
 
+    def dense_gather(self, state):
+        """Optional fused-kernel declaration for GLOBAL sum programs
+        whose per-edge value is ``arr[read_vid] (*w) (+ c)``: return
+        ``(arr, use_weight, add_const)`` and the broadcast engine's
+        dense path computes the scatter itself in CACHE-BLOCKED chunks
+        (gather -> +c/*w -> bincount per ~2M-edge slice), so the three
+        O(E)-sized float64 temporaries the generic path materializes
+        per superstep never round-trip DRAM. Semantics are identical
+        per edge; only the float summation order changes (within the
+        6-decimal oracle round, like the actor partitioning already
+        does). Return None (default) to use :meth:`scatter`."""
+        return None
+
     def apply(self, state, ids, vals, preds=None):
         raise NotImplementedError
+
+    def apply_dense(self, state, acc):
+        """Optional dense-combine apply: ``acc`` is the FULL combined
+        update vector (zeros where nothing arrived). Programs whose
+        update rule is identity on zero entries implement this to skip
+        the engine's O(V) flatnonzero + gather (driver-SERIAL work that
+        caps multi-worker scaling). Must return the changed-ids array
+        (may be empty for fixed-iteration programs — nothing consumes
+        it there); return None (default) for the generic sparse apply."""
+        return None
 
     def done(self, completed_iters, frontier_count, params) -> bool:
         if self.engine == "target":
@@ -121,9 +147,20 @@ class PageRank(VertexProgram):
             return d, state["contrib"][s] + 0.15
         return d, 0.85 * state["rank"][s] / state["outdeg"][s] + 0.15
 
+    def dense_gather(self, state):
+        # broadcast path only (the dist engine ships sharded fields,
+        # not the derived contrib)
+        if "contrib" in state:
+            return state["contrib"], False, 0.15
+        return None
+
     def apply(self, state, ids, vals, preds=None):
         state["rank"][ids] += vals  # accumulate, pagerank.hpp:105
         return ids
+
+    def apply_dense(self, state, acc):
+        state["rank"] += acc  # += of the zero entries is identity
+        return _EMPTY_IDS
 
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= params.get("niters", 10)
@@ -202,12 +239,21 @@ class KCoreRound(VertexProgram):
     def scatter(self, state, s, d, w, direction):
         return d, state["alive"][s]
 
+    def dense_gather(self, state):
+        return state["alive"], False, 0.0
+
     def apply(self, state, ids, vals, preds=None):
         # dense combine drops zero sums, so rebuild the full count
         # vector: a vertex with NO alive neighbors has count 0 < k.
         deg_alive = np.zeros(len(state["alive"]), dtype=np.float64)
         deg_alive[ids] = vals
         new_alive = state["alive"] * (deg_alive >= self.k)
+        changed = np.flatnonzero(new_alive != state["alive"])
+        state["alive"] = new_alive
+        return changed
+
+    def apply_dense(self, state, acc):
+        new_alive = state["alive"] * (acc >= self.k)
         changed = np.flatnonzero(new_alive != state["alive"])
         state["alive"] = new_alive
         return changed
@@ -237,12 +283,19 @@ class HitsAuthority(VertexProgram):
     def scatter(self, state, s, d, w, direction):
         return d, state["hub"][s]
 
+    def dense_gather(self, state):
+        return state["hub"], False, 0.0
+
     def apply(self, state, ids, vals, preds=None):
         # dense rebuild: vertices receiving no update have auth_raw 0
         a = np.zeros(len(state["auth"]), dtype=np.float64)
         a[ids] = vals
         state["auth"] = a
         return ids
+
+    def apply_dense(self, state, acc):
+        state["auth"] = acc  # acc IS the dense rebuild
+        return _EMPTY_IDS
 
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= 1
@@ -266,11 +319,18 @@ class HitsHub(VertexProgram):
     def scatter(self, state, s, d, w, direction):
         return s, state["auth"][d]
 
+    def dense_gather(self, state):
+        return state["auth"], False, 0.0
+
     def apply(self, state, ids, vals, preds=None):
         h = np.zeros(len(state["hub"]), dtype=np.float64)
         h[ids] = vals
         state["hub"] = h
         return ids
+
+    def apply_dense(self, state, acc):
+        state["hub"] = acc
+        return _EMPTY_IDS
 
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= 1
@@ -296,9 +356,16 @@ class SpMV(VertexProgram):
     def scatter(self, state, s, d, w, direction):
         return d, state["origin_value"][s] * w
 
+    def dense_gather(self, state):
+        return state["origin_value"], True, 0.0
+
     def apply(self, state, ids, vals, preds=None):
         state["spmv_value"][ids] += vals
         return ids
+
+    def apply_dense(self, state, acc):
+        state["spmv_value"] += acc
+        return _EMPTY_IDS
 
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= 1
@@ -517,11 +584,18 @@ class KatzCentrality(VertexProgram):
     def scatter(self, state, s, d, w, direction):
         return d, state["x"][s]
 
+    def dense_gather(self, state):
+        return state["x"], False, 0.0
+
     def apply(self, state, ids, vals, preds=None):
         xn = np.ones(len(state["x"]), dtype=np.float64)
         xn[ids] = 1.0 + self.alpha * vals
         state["x"] = xn
         return ids
+
+    def apply_dense(self, state, acc):
+        state["x"] = 1.0 + self.alpha * acc
+        return _EMPTY_IDS
 
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= params.get("niters", 8)
