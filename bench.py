@@ -9,7 +9,9 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
 
 ``--scaling``: run the identical job in FRESH processes at two
 parallelism levels — default num_cpus=2 and num_cpus=8, i.e. N and 4N,
-the sandbox stand-in for two cluster sizes per BASELINE.md — keep the
+the sandbox stand-in for two cluster sizes per BASELINE.md; override
+with GRAFT_SCALING_LO / GRAFT_SCALING_HI (e.g. 1 and 4 isolates shared
+memory-bandwidth contention, see BASELINE.md) — keep the
 best of GRAFT_SCALING_REPEATS per level (co-tenant noise protocol,
 BASELINE.md), and report both throughputs + the scaling efficiency
 ``thr(4N) / (4 * thr(N))``. By default BOTH protocols run and land in
@@ -341,7 +343,14 @@ def run_worker(
     }
 
 
-def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8, e2e: bool = False) -> dict:
+def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None,
+                e2e: bool = False) -> dict:
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "2")) if lo is None else lo
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "8")) if hi is None else hi
+    return _run_scaling(sf_dir, lo, hi, e2e)
+
+
+def _run_scaling(sf_dir: str, lo: int = 2, hi: int = 8, e2e: bool = False) -> dict:
     """Fresh-process runs at two parallelism levels, N and 4N CPUs
     (BASELINE.md): the identical seeded input (kernel mode: the
     synthetic graph, sized so per-superstep kernel work dominates fixed
