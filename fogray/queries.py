@@ -367,6 +367,51 @@ def q_harmonic(sf_dir: str) -> pa.Table:
     return pa.table({"vid": ids.astype(np.int64), "harmonic": sql_round(h[ids])})
 
 
+def q_closeness(sf_dir: str) -> pa.Table:
+    """Closeness centrality of the 4 sampled sources (same BFS passes
+    as q_harmonic): C(s) = (reached-1) / sum of distances to reached
+    vertices — one row per source."""
+    eng, n = _cooc_engine(sf_dir)
+    sources = np.flatnonzero(eng.outdeg > 0)[:4]
+    unreached = np.float64(2**32 - 1)
+    rows = {"source": [], "n_reached": [], "sum_dist": [], "closeness": []}
+    for s0 in sources:
+        lv = alg.bfs(eng, root=int(s0)).state["bfs_level"]
+        reach = (lv > 0) & (lv < unreached)
+        sd = int(lv[reach].sum())
+        nr = int(reach.sum())
+        rows["source"].append(int(s0))
+        rows["n_reached"].append(nr)
+        rows["sum_dist"].append(sd)
+        rows["closeness"].append(
+            float(sql_round(np.array([nr / sd if sd else 0.0]))[0])
+        )
+    return pa.table(
+        {
+            "source": pa.array(rows["source"], pa.int64()),
+            "n_reached": pa.array(rows["n_reached"], pa.int64()),
+            "sum_dist": pa.array(rows["sum_dist"], pa.int64()),
+            "closeness": pa.array(rows["closeness"], pa.float64()),
+        }
+    )
+
+
+def q_degree_histogram(sf_dir: str) -> pa.Table:
+    """Out-degree distribution histogram (bucket width 16) straight off
+    the engine's setup-time degree arrays — the graph-shape summary."""
+    eng, n = _cooc_engine(sf_dir)
+    deg = eng.outdeg[eng.outdeg > 0]
+    b = (deg // 16).astype(np.int64)
+    u, c = np.unique(b, return_counts=True)
+    return pa.table(
+        {
+            "bucket": pa.array(u, pa.int64()),
+            "lo_degree": pa.array(u * 16, pa.int64()),
+            "n_vertices": pa.array(c.astype(np.int64)),
+        }
+    )
+
+
 def q_diameter(sf_dir: str) -> pa.Table:
     """Approximate diameter by the classic double-sweep lower bound:
     BFS from the lowest out-degree>0 vid, re-BFS from the farthest
@@ -1345,6 +1390,40 @@ ORACLE_SQL: dict[str, str] = {
         FROM touched t LEFT JOIN dist ON dist.v = t.vid
         GROUP BY t.vid ORDER BY t.vid
     """,
+    "closeness": f"""
+        WITH RECURSIVE
+        edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        srcs AS MATERIALIZED (
+            SELECT s FROM (SELECT DISTINCT src AS s FROM edges)
+            ORDER BY s LIMIT 4
+        ),
+        lvl(s, v, d) AS (
+            SELECT s, s, 0 FROM srcs
+            UNION
+            SELECT lvl.s, e.dst, lvl.d + 1
+            FROM lvl JOIN edges e ON e.src = lvl.v
+            WHERE lvl.d < 64
+        ),
+        dist AS (SELECT s, v, MIN(d) AS d FROM lvl GROUP BY s, v)
+        SELECT s AS source,
+               CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
+               CAST(SUM(d) AS BIGINT) AS sum_dist,
+               ROUND(CASE WHEN SUM(d) > 0
+                          THEN CAST(COUNT(*) FILTER (WHERE d > 0) AS DOUBLE)
+                               / CAST(SUM(d) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS closeness
+        FROM dist GROUP BY s ORDER BY source
+    """,
+    "degree_histogram": f"""
+        WITH deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ({_COOC_SQL}) GROUP BY src
+        )
+        SELECT CAST(d // 16 AS BIGINT) AS bucket,
+               CAST((d // 16) * 16 AS BIGINT) AS lo_degree,
+               CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM deg GROUP BY 1, 2 ORDER BY bucket
+    """,
     "diameter": f"""
         WITH RECURSIVE
         edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
@@ -1543,6 +1622,8 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,
     "harmonic": q_harmonic,
+    "closeness": q_closeness,
+    "degree_histogram": q_degree_histogram,
     "diameter": q_diameter,
     "mis": q_mis,
     "betweenness": q_betweenness,
