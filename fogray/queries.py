@@ -789,6 +789,29 @@ def q_modularity(sf_dir: str) -> pa.Table:
     return partition_modularity(ds, ref)
 
 
+def q_transitivity(sf_dir: str) -> pa.Table:
+    """Global clustering coefficient (transitivity): 3·triangles /
+    wedges, wedges = Σ d(d-1)/2 over simple-graph degrees (the
+    co-occurrence edge set is already symmetric + distinct, so the
+    engine's setup-time out-degrees ARE the simple degrees)."""
+    t = cooccurrence_edges(sf_dir)
+    src = t.column("src").to_numpy(zero_copy_only=False)
+    dst = t.column("dst").to_numpy(zero_copy_only=False)
+    n = int(max(src.max(), dst.max())) + 1
+    tri = int(triangle_count((src, dst), n))
+    eng, _ = _cooc_engine(sf_dir)
+    d = eng.outdeg.astype(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    val = float(sql_round(np.array([(3.0 * tri) / wedges if wedges else 0.0]))[0])
+    return pa.table(
+        {
+            "triangles": pa.array([tri], pa.int64()),
+            "wedges": pa.array([wedges], pa.int64()),
+            "transitivity": pa.array([val], pa.float64()),
+        }
+    )
+
+
 def q_ktruss(sf_dir: str) -> pa.Table:
     """Bounded k-truss peeling over the simple co-occurrence graph
     (k=10, 4 fixed rounds — fogray.triangles.ktruss_edges): the
@@ -1481,6 +1504,28 @@ ORACLE_SQL: dict[str, str] = {
         JOIN und p2 ON p2.a = p1.a AND p2.b > p1.b
         JOIN und p3 ON p3.a = p1.b AND p3.b = p2.b
     """,
+    "transitivity": f"""
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM und p1
+            JOIN und p2 ON p2.a = p1.a AND p2.b > p1.b
+            JOIN und p3 ON p3.a = p1.b AND p3.b = p2.b
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ({_COOC_SQL}) GROUP BY src
+        ),
+        wg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+        SELECT t AS triangles, w AS wedges,
+               ROUND(CASE WHEN w > 0
+                          THEN (3.0 * CAST(t AS DOUBLE)) / CAST(w AS DOUBLE)
+                          ELSE 0.0 END, 6) AS transitivity
+        FROM tri CROSS JOIN wg
+    """,
     "clustering": f"""
         WITH und AS MATERIALIZED (
             SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -1631,6 +1676,7 @@ QUERIES = {
     "sssp_tree": q_sssp_tree,
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,
+    "transitivity": q_transitivity,
     "clustering": q_clustering,
     "scan_similarity": q_scan_similarity,
     "ktruss": q_ktruss,

@@ -49,7 +49,7 @@ def _compare(name, con):
     "spmv", "triangle_count", "clustering", "scan_similarity", "ktruss",
     "graph_walks", "scc", "src_csv", "src_jsonl", "assortativity",
     "adamic_adar", "harmonic", "diameter", "mis", "two_hop", "betweenness",
-    "katz", "modularity", "closeness", "degree_histogram",
+    "katz", "modularity", "closeness", "degree_histogram", "transitivity",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)
