@@ -789,6 +789,24 @@ def q_rel_corr(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rel_minmax(sf_dir: str) -> pa.Table:
+    """Shuffle-free grouped min-max scaling
+    (fogray.datapipes.relational.grouped_minmax): per-event scaled value
+    within its event_type population, exact broadcast cents extrema."""
+    from . import relational
+    from ..util import sorted_table
+
+    t = _collect(
+        relational.grouped_minmax(
+            _events(sf_dir),
+            group_col="event_type",
+            id_col="event_id",
+            value_col="value",
+        )
+    )
+    return sorted_table(t, ["event_id"])
+
+
 def q_rel_zscore(sf_dir: str) -> pa.Table:
     """Shuffle-free grouped z-score normalization
     (fogray.datapipes.relational.grouped_zscore): per-event z of value
@@ -1182,6 +1200,7 @@ QUERIES = {
     "evt_mode": q_evt_mode,
     "rel_unpivot": q_rel_unpivot,
     "rel_corr": q_rel_corr,
+    "rel_minmax": q_rel_minmax,
     "rel_zscore": q_rel_zscore,
     "rel_diff": q_rel_diff,
     "evt_transitions": q_evt_transitions,
@@ -2561,6 +2580,24 @@ ORACLE_SQL = {
                           THEN ((sy - (cov / vx) * sx) / nf) / 100.0 END, 6)
                    AS intercept
         FROM f ORDER BY l_suppkey
+    """,
+    "rel_minmax": """
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+            FROM c GROUP BY 1
+        )
+        SELECT c.event_id, c.event_type,
+               CASE WHEN hi > lo
+                    THEN ROUND(CAST(cents - lo AS DOUBLE)
+                               / CAST(hi - lo AS DOUBLE), 6)
+               END AS scaled
+        FROM c JOIN g USING (event_type)
+        ORDER BY event_id
     """,
     "rel_zscore": """
         WITH c AS (

@@ -1271,6 +1271,84 @@ def grouped_corr(
     )
 
 
+def grouped_minmax(
+    ds,
+    *,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> rd.Dataset:
+    """Per-row min-max normalization of ``value_col`` within its group
+    — :func:`grouped_zscore`'s bounded-range sibling, same shuffle-FREE
+    dataflow: stage 1 pre-aggregates exact per-(block, group) int64
+    cents (min, max) partials, the driver folds the tiny table and
+    broadcasts {group: (lo, hi)}; stage 2 normalizes each batch. Zero-
+    range groups yield NULL. The (v - lo) / (hi - lo) floats are the
+    oracle's exact expression over integer-exact cents.
+
+    -> (id_col, group_col, scaled)
+    """
+    import ray
+
+    from ..util import sql_round
+
+    proj = ds.select_columns([id_col, group_col, value_col])
+
+    def partial_block(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        lo = np.full(len(ug), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(ug), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, inv, cents)
+        np.maximum.at(hi, inv, cents)
+        return pa.table(
+            {group_col: pa.array(ug), "lo": pa.array(lo), "hi": pa.array(hi)}
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            proj.map_batches(partial_block, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    g = parts.column(group_col).to_numpy(zero_copy_only=False)
+    ug, inv = np.unique(g, return_inverse=True)
+    lo = np.full(len(ug), np.iinfo(np.int64).max, dtype=np.int64)
+    hi = np.full(len(ug), np.iinfo(np.int64).min, dtype=np.int64)
+    np.minimum.at(lo, inv, parts.column("lo").to_numpy(zero_copy_only=False))
+    np.maximum.at(hi, inv, parts.column("hi").to_numpy(zero_copy_only=False))
+    stats_ref = ray.put({k: (l, h) for k, l, h in zip(ug.tolist(), lo, hi)})
+
+    def normalize(t: pa.Table) -> pa.Table:
+        stats = ray.get(stats_ref)
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ugb, invb = np.unique(grp, return_inverse=True)
+        lo_ = np.array([stats[k][0] for k in ugb.tolist()], np.int64)[invb]
+        hi_ = np.array([stats[k][1] for k in ugb.tolist()], np.int64)[invb]
+        ok = hi_ > lo_
+        out = np.full(len(grp), np.nan)
+        out[ok] = sql_round(
+            (cents[ok] - lo_[ok]).astype(np.float64)
+            / (hi_[ok] - lo_[ok]).astype(np.float64)
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                "scaled": pa.array(out, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return proj.map_batches(normalize, batch_format="pyarrow")
+
+
 def grouped_zscore(
     ds,
     *,
