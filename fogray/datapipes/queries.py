@@ -166,6 +166,14 @@ def q_txt_entropy(sf_dir: str) -> pa.Table:
     return sorted_table(_collect(text.token_entropy(_docs(sf_dir))), ["doc_id"])
 
 
+def q_txt_hapax(sf_dir: str) -> pa.Table:
+    """Per-document hapax legomena ratio
+    (fogray.datapipes.text.hapax_ratio)."""
+    from ..util import sorted_table
+
+    return sorted_table(_collect(text.hapax_ratio(_docs(sf_dir))), ["doc_id"])
+
+
 def q_txt_bigram_nll(sf_dir: str) -> pa.Table:
     """Per-document corpus-bigram-model NLL
     (fogray.datapipes.text.bigram_nll)."""
@@ -1153,6 +1161,7 @@ QUERIES = {
     "txt_cms_tokens": q_txt_cms_tokens,
     "txt_unigram_nll": q_txt_unigram_nll,
     "txt_bigram_nll": q_txt_bigram_nll,
+    "txt_hapax": q_txt_hapax,
     "txt_entropy": q_txt_entropy,
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
@@ -1762,6 +1771,31 @@ ORACLE_SQL = {
         SELECT d.doc_id, ROUND(COALESCE(sc.nll, 0.0), 6) AS nll
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    "txt_hapax": r"""
+        WITH toks AS (
+            SELECT doc_id, t AS token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS t
+                FROM documents) WHERE t <> ''
+        ),
+        tc AS (
+            SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+            FROM tc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(agg.n_distinct, 0) AS n_distinct,
+               COALESCE(agg.n_hapax, 0) AS n_hapax,
+               ROUND(CAST(agg.n_hapax AS DOUBLE)
+                     / CAST(agg.n_distinct AS DOUBLE), 6) AS hapax_ratio
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg ON agg.doc_id = d.doc_id
         ORDER BY d.doc_id
     """,
     "txt_bigram_nll": r"""

@@ -238,6 +238,42 @@ def token_entropy(ds, text_col: str = "text"):
     return ds.map_batches(ent, batch_format="pyarrow")
 
 
+def hapax_ratio(ds, text_col: str = "text"):
+    """Per-document hapax legomena ratio: once-occurring tokens /
+    distinct tokens — the vocabulary-freshness quality signal next to
+    :func:`token_entropy`, and the same PURE map_batches shape (no
+    shuffle, no global state; sparse fused-key unique per block).
+
+    -> (doc_id, n_distinct, n_hapax, hapax_ratio) — ratio NULL for
+    token-free docs.
+    """
+    import pandas as pd
+
+    def hx(t: pa.Table) -> pa.Table:
+        words, row = _split_tokens(t, text_col)
+        nd = np.zeros(len(t), dtype=np.int64)
+        nh = np.zeros(len(t), dtype=np.int64)
+        if len(words):
+            codes, uniq = pd.factorize(words)
+            ukey, cnt = np.unique(row * len(uniq) + codes, return_counts=True)
+            urow = ukey // len(uniq)
+            np.add.at(nd, urow, 1)
+            np.add.at(nh, urow[cnt == 1], 1)
+        ratio = np.full(len(t), np.nan)
+        ok = nd > 0
+        ratio[ok] = sql_round(nh[ok] / nd[ok])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_distinct": pa.array(nd),
+                "n_hapax": pa.array(nh),
+                "hapax_ratio": pa.array(ratio, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(hx, batch_format="pyarrow")
+
+
 def bigram_nll(ds, text_col: str = "text"):
     """Per-document average negative log-likelihood under the corpus's
     own BIGRAM model — the second-order companion to
