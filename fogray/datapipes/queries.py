@@ -166,6 +166,71 @@ def q_txt_entropy(sf_dir: str) -> pa.Table:
     return sorted_table(_collect(text.token_entropy(_docs(sf_dir))), ["doc_id"])
 
 
+def q_corpus_stats(sf_dir: str) -> pa.Table:
+    """Corpus composition: per (lang, source) doc count, exact int64
+    char sum and mean chars — the dataset-card summary. Shuffle-free:
+    per-block integer partials only; the driver folds the tiny table
+    in int64 and computes the mirrored float mean once."""
+    import pandas as pd
+
+    from ..util import sql_round
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()),
+         ("n", pa.int64()), ("s", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        key = [
+            (l if l is not None else "", src if src is not None else "")
+            for l, src in zip(
+                t.column("lang").to_pylist(), t.column("source").to_pylist()
+            )
+        ]
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        arr = np.empty(len(key), dtype=object)
+        arr[:] = key  # 1-D object array OF tuples (np.asarray would make it 2-D)
+        codes, uniq = pd.factorize(arr)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(codes, weights=nc.astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in uniq], pa.string()),
+                "source": pa.array([k[1] for k in uniq], pa.string()),
+                "n": pa.array(n),
+                "s": pa.array(s),
+            },
+            schema=part_schema,
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            _docs(sf_dir)
+            .select_columns(["lang", "source", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    df = parts.to_pandas().groupby(["lang", "source"], as_index=False).sum()
+    df = df.sort_values(["lang", "source"]).reset_index(drop=True)
+    mean = sql_round(df["s"].to_numpy().astype(np.float64)
+                     / df["n"].to_numpy().astype(np.float64))
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"], pa.string()),
+            "source": pa.array(df["source"], pa.string()),
+            "n_docs": pa.array(df["n"].to_numpy().astype(np.int64)),
+            "sum_chars": pa.array(df["s"].to_numpy().astype(np.int64)),
+            "mean_chars": pa.array(mean, pa.float64()),
+        }
+    )
+
+
 def q_txt_hapax(sf_dir: str) -> pa.Table:
     """Per-document hapax legomena ratio
     (fogray.datapipes.text.hapax_ratio)."""
@@ -1162,6 +1227,7 @@ QUERIES = {
     "txt_unigram_nll": q_txt_unigram_nll,
     "txt_bigram_nll": q_txt_bigram_nll,
     "txt_hapax": q_txt_hapax,
+    "corpus_stats": q_corpus_stats,
     "txt_entropy": q_txt_entropy,
     "txt_tfidf": q_txt_tfidf,
     "agg_hll_users": q_agg_hll_users,
@@ -1772,6 +1838,15 @@ ORACLE_SQL = {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN sc ON sc.doc_id = d.doc_id
         ORDER BY d.doc_id
+    """,
+    "corpus_stats": """
+        SELECT COALESCE(lang, '') AS lang,
+               COALESCE(source, '') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
+        FROM documents GROUP BY 1, 2 ORDER BY lang, source
     """,
     "txt_hapax": r"""
         WITH toks AS (

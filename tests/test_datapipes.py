@@ -44,7 +44,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_weighted", "rel_corr", "agg_kmv_users", "evt_mode", "evt_ewma",
      "txt_entropy", "rel_interp_quantiles", "evt_window_topk",
      "rel_unpivot", "evt_latest", "txt_bigram_nll", "rel_minmax",
-     "txt_hapax"],
+     "txt_hapax", "corpus_stats"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
