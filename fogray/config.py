@@ -35,6 +35,15 @@ class EngineConfig:
     #: cpu_thread.cpp:168-171).
     frontier_mask_cutoff: float = 0.05
 
+    #: enable the resident pipelined superstep loop for GLOBAL
+    #: fixed-iteration dense sum programs (PageRank/Katz): state lives
+    #: sliced in the range-owner actors and supersteps chain through
+    #: object refs, removing the O(V) driver-serial fold/put per
+    #: superstep (the Amdahl term that capped multi-worker scaling).
+    #: Automatically bypassed when a ckpt_dir is given (per-superstep
+    #: checkpoints need driver-visible state each superstep).
+    resident: bool = True
+
     #: checkpoint every k supersteps (0 disables). north_rule asks for
     #: per-superstep checkpoints => default 1 when a ckpt_dir is given.
     ckpt_interval: int = 1

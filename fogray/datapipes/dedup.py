@@ -27,7 +27,6 @@ to the pure-Python oracles in tests/test_datapipes.py.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -124,6 +123,7 @@ def jaccard_pairs(
     text_col: str = "text",
     block_col: str | None = "source",
     threshold: float = 0.5,
+    max_block_docs: int = 25_000,
 ) -> rd.Dataset:
     """Exact token-set Jaccard >= threshold pairs (da < db), candidates
     blocked by ``block_col`` (a shared token outside the block never
@@ -141,13 +141,29 @@ def jaccard_pairs(
     is the operator's inherent all-pairs cost and bounds block sizing
     (~25k docs/block in 8 GiB — the same per-block contract LSH
     banding has). ``block_col=None`` routes the whole corpus through
-    one group (one worker task, not the driver) — small-corpus only."""
+    one group (one worker task, not the driver) — small-corpus only.
+
+    ``max_block_docs`` is the LOUD guard on that inherent docs² cost:
+    a block (or the whole corpus under ``block_col=None``) holding
+    more docs raises with the bound instead of silently attempting a
+    multi-GiB intersection matrix — past it, use the MinHash-LSH path
+    (:func:`minhash_lsh_pairs`), whose banding bounds bucket sizes
+    probabilistically."""
     words = ds.map_batches(
         lambda t: _doc_tokens_batch(t, text_col, block_col), batch_format="pyarrow"
     )
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
         docs, doc_inv = np.unique(g["doc_id"].to_numpy(), return_inverse=True)
+        if len(docs) > max_block_docs:
+            blk = g["block"].iloc[0] if len(g) else "?"
+            raise ValueError(
+                f"jaccard_pairs: block {blk!r} holds {len(docs)} docs > "
+                f"max_block_docs={max_block_docs}; the exact all-pairs "
+                f"kernel is O(docs^2) per block (~{8 * len(docs) ** 2 / 2 ** 30:.1f} "
+                "GiB intersection matrix). Use a finer block_col or the "
+                "MinHash-LSH path (minhash_lsh_pairs) for blocks this size."
+            )
         if len(docs) < 2:
             z = np.empty(0, dtype=np.int64)
             return pd.DataFrame({"da": z, "db": z, "jaccard": z.astype(np.float64)})
@@ -312,6 +328,7 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     threshold: float = 0.5,
     concurrency: int = 4,
+    max_bucket_docs: int = 20_000,
 ) -> rd.Dataset:
     """MinHash -> LSH band buckets -> candidate pairs (band-bucket self
     join) -> exact shingle-Jaccard verify. Returns (da, db, jaccard)
@@ -321,21 +338,35 @@ def minhash_lsh_pairs(
     join (bucket sizes bounded by banding) and the verify joins of the
     candidate pairs back to the doc -> shingle Dataset on doc_id — the
     shingle table is shuffled by the join, never collected or broadcast,
-    so verification is bounded by the candidate count, not the corpus."""
+    so verification is bounded by the candidate count, not the corpus.
+    ``max_bucket_docs`` is a LOUD guard (candidate expansion is
+    O(bucket²) and the oracle carries no cap, so an overflowing bucket
+    — a giant identical-document cluster — raises rather than silently
+    dropping pairs or attempting ~bucket²/2 rows in one task)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
     sigs = minhash_signatures(ds, num_perm, shingle_words, concurrency)
 
     def band_rows(t: pa.Table) -> pa.Table:
+        from ..sources import splitmix53
+
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         sig = list_col_matrix(t.column("sig"), dtype=np.int64).astype(np.uint64)
         out_doc, out_band, out_hash = [], [], []
         for bidx in range(bands):
             chunk = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
-            bh = np.array(
-                [zlib.crc32(c.tobytes()) for c in chunk], dtype=np.int64
-            )
+            # vectorized splitmix fold over the band's lanes (replaces
+            # a per-doc zlib.crc32 Python loop): identical band
+            # signatures -> identical bucket, and a 64-bit digest makes
+            # spurious bucket collisions (the only way this hash could
+            # surface — a collision pair must still pass exact-Jaccard
+            # verify AND would only mismatch the oracle if it passed)
+            # ~2^32 times rarer than crc32's 32 bits.
+            h = np.full(len(chunk), np.uint64(bidx + 1))
+            for j in range(rows_per_band):
+                h = splitmix53(h ^ chunk[:, j])
+            bh = h.astype(np.int64)
             out_doc.append(ids)
             out_band.append(np.full(len(ids), bidx, dtype=np.int64))
             out_hash.append(bh)
@@ -357,7 +388,9 @@ def minhash_lsh_pairs(
     cand = key_grouped_block_map(
         buckets.sort(["band", "bh"]),
         ["band", "bh"],
-        make_pair_expander(["band", "bh"], "doc_id", cap=None),
+        make_pair_expander(
+            ["band", "bh"], "doc_id", cap=max_bucket_docs, on_overflow="raise"
+        ),
     ).map_batches(
         empty_guard(
             lambda t: t.filter(pc.less(t.column("src"), t.column("dst")))

@@ -30,22 +30,48 @@ def synthesize_media(ds, *, text_col: str = "text") -> rd.Dataset:
     the text, sized by text length; metadata columns are real."""
 
     def to_media(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        payloads, widths, heights = [], [], []
-        for s in t.column(text_col).to_pylist():
-            seed = hashlib.sha256(s.encode()).digest()
-            size = 256 + (len(s) % 1024)
-            reps = size // len(seed) + 1
-            payloads.append((seed * reps)[:size])
-            widths.append(16 + len(s) % 48)
-            heights.append(16 + (len(s) * 7) % 48)
+        from ..engine import expand_ranges
+
+        texts = t.column(text_col).to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "media_type": pa.array([], pa.string()),
+                    "payload": pa.array([], pa.binary()),
+                    "width": pa.array([], pa.int32()),
+                    "height": pa.array([], pa.int32()),
+                }
+            )
+        # per-row sha256 stays a (cheap, 32-byte) loop — everything
+        # O(payload bytes) below is vectorized: one (n, 1280) byte
+        # tile of the seeds, rows sliced to size with a single
+        # expand_ranges gather, and the Arrow binary column built
+        # straight from the (offsets, values) buffers.
+        seeds = np.frombuffer(
+            b"".join(hashlib.sha256(s.encode()).digest() for s in texts),
+            dtype=np.uint8,
+        ).reshape(n, 32)
+        ln = np.fromiter((len(s) for s in texts), dtype=np.int64, count=n)
+        size = 256 + (ln % 1024)  # < 1280 = 40 seed reps, always
+        tiled = np.tile(seeds, (1, 40))
+        flat_pos = expand_ranges(np.arange(n, dtype=np.int64) * 1280,
+                                 np.arange(n, dtype=np.int64) * 1280 + size)
+        values = tiled.reshape(-1)[flat_pos]
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(size, out=offsets[1:])
+        payload = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes())],
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "media_type": pa.array(["image/x-synthetic"] * len(ids)),
-                "payload": pa.array(payloads, type=pa.binary()),
-                "width": pa.array(widths, type=pa.int32()),
-                "height": pa.array(heights, type=pa.int32()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "media_type": pa.array(["image/x-synthetic"] * n),
+                "payload": payload,
+                "width": pa.array((16 + ln % 48).astype(np.int32)),
+                "height": pa.array((16 + (ln * 7) % 48).astype(np.int32)),
             }
         )
 

@@ -129,7 +129,12 @@ def _hll_group_batch(t: pa.Table, group_col: str, col: str) -> pa.Table:
     keep = [i for i, v in enumerate(vals) if v is not None]
     if not keep:
         return empty
-    gcodes, uniq = pd.factorize(np.asarray(grp, dtype=object)[keep])
+    # use_na_sentinel=False: a NULL group value must become its OWN
+    # group code (the oracle's GROUP BY keeps NULL as a group); the
+    # default -1 sentinel would crash the bincount below
+    gcodes, uniq = pd.factorize(
+        np.asarray(grp, dtype=object)[keep], use_na_sentinel=False
+    )
     bucket, rho = _bucket_rho([vals[i] for i in keep])
     dense = np.zeros(len(uniq) * HLL_M, dtype=np.int64)
     np.maximum.at(dense, gcodes * HLL_M + bucket, rho)
@@ -329,7 +334,12 @@ def _kmv_group_batch(t: pa.Table, group_col: str, col: str, k: int) -> pa.Table:
     keep = [i for i, v in enumerate(vals) if v is not None]
     if not keep:
         return empty
-    gcodes, uniq = pd.factorize(np.asarray(grp, dtype=object)[keep])
+    # use_na_sentinel=False: a NULL group value must become its OWN
+    # group code (the oracle's GROUP BY keeps NULL as a group); the
+    # default -1 sentinel would crash the bincount below
+    gcodes, uniq = pd.factorize(
+        np.asarray(grp, dtype=object)[keep], use_na_sentinel=False
+    )
     hv = _kmv_hash([vals[i] for i in keep])
     bg, bh = _bottom_k(gcodes, hv, k)
     counts = np.bincount(gcodes, minlength=len(uniq)).astype(np.int64)

@@ -325,7 +325,7 @@ def bigram_nll(ds, text_col: str = "text"):
     c = ct.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
     keys = np.asarray([a + "\n" + b for a, b in zip(w1, w2)], dtype=object)
     order = np.argsort(keys, kind="stable")
-    keys, c, w1o = keys[order], c[order], w1[order]
+    keys, c = keys[order], c[order]
     # per-w1 denominators (sum of bigram counts starting with w1)
     uw1, inv = np.unique(w1, return_inverse=True)
     den = np.bincount(inv, weights=ct.column("n").to_numpy(zero_copy_only=False)
@@ -344,8 +344,21 @@ def bigram_nll(ds, text_col: str = "text"):
                 b = words[1:][adj]
                 r = row[:-1][adj]
                 pk = np.asarray([x + "\n" + y for x, y in zip(a, b)], dtype=object)
-                ci = c_[np.searchsorted(keys_, pk)]
-                di = den_[np.searchsorted(uw1_, a)]
+                # checked lookups: the contract is "the corpus scores
+                # itself" (every scored pair was counted). A dataset
+                # that wasn't the model corpus would otherwise silently
+                # read a NEIGHBORING pair's count (or IndexError at the
+                # array end) — fail loudly instead.
+                ip = np.minimum(np.searchsorted(keys_, pk), len(keys_) - 1)
+                iw = np.minimum(np.searchsorted(uw1_, a), len(uw1_) - 1)
+                if not (np.all(keys_[ip] == pk) and np.all(uw1_[iw] == a)):
+                    raise ValueError(
+                        "bigram_nll: scored batch contains pairs absent "
+                        "from the model corpus — score the corpus the "
+                        "model was counted on"
+                    )
+                ci = c_[ip]
+                di = den_[iw]
                 lp = -np.log(ci / di)
                 np.add.at(s, r, lp)
                 nb = np.bincount(r, minlength=len(t)).astype(np.int64)

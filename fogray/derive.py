@@ -183,12 +183,19 @@ def key_grouped_block_map(sorted_ds: rd.Dataset, key_cols: list[str], fn) -> rd.
     return rd.from_arrow_refs(out)
 
 
-def make_pair_expander(key_cols: list[str], value_col: str, cap: int | None):
+def make_pair_expander(
+    key_cols: list[str], value_col: str, cap: int | None, on_overflow: str = "drop"
+):
     """Block transform: rows sorted by ``key_cols`` -> all ordered
     distinct-value pairs per key group, pre-aggregated to (src, dst,
     cnt). Vectorized (no per-group Python); groups of size < 2 or
     > cap (boilerplate blow-up guard) are dropped — the cap is part of
-    the operator contract, mirrored by the oracle."""
+    the operator contract, mirrored by the oracle.
+
+    ``on_overflow="raise"`` turns the cap into a LOUD guard instead of
+    a silent drop — for callers whose oracle has NO cap (LSH candidate
+    buckets): expansion is O(group²), so a group past the cap means
+    the caller must re-block, not lose pairs silently."""
 
     empty = pa.table(
         {
@@ -231,6 +238,14 @@ def make_pair_expander(key_cols: list[str], value_col: str, cap: int | None):
         sizes = np.diff(np.r_[starts, len(vals)])
         ok = sizes >= 2
         if cap is not None:
+            if on_overflow == "raise" and bool((sizes > cap).any()):
+                big = int(sizes.max())
+                raise ValueError(
+                    f"pair expansion: a {key_cols} group holds {big} values "
+                    f"> cap={cap}; all-pairs is O(group^2) "
+                    f"(~{big * (big - 1) // 2:,} pairs in one task). "
+                    "Re-block with a finer key or raise the cap knowingly."
+                )
             ok &= sizes <= cap
         starts, sizes = starts[ok], sizes[ok]
         if len(starts) == 0:

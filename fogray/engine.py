@@ -64,7 +64,7 @@ import ray
 
 from .checkpoint import latest_checkpoint, load_checkpoint, write_checkpoint
 from .config import EngineConfig
-from .programs import BWD, FWD, VertexProgram
+from .programs import _EMPTY_IDS, BWD, FWD, VertexProgram
 
 
 # ---------------------------------------------------------------------------
@@ -180,9 +180,71 @@ class EdgeViewActor:
             if tab is not None and not isinstance(tab, (pa.Table, list)):
                 tab = ray.get(tab)
             self.views[dirn] = _View(tab, self.lo, self.hi, emit_key)
+        self.resident_state: dict | None = None
 
     def ready(self) -> bool:
         return True
+
+    # -- resident pipelined mode (GLOBAL fixed-iteration sum programs) --
+    #
+    # The classic superstep loop pays an O(V) driver-SERIAL toll per
+    # superstep (state ray.put + partial fold + dense apply) — the
+    # Amdahl term that capped measured 2->8 CPU scaling at ~0.70. In
+    # resident mode the state lives SLICED in each range's owner actor
+    # (this is each node applying updates for its own partition — the
+    # multi-node shape), supersteps chain through object refs, and the
+    # driver only wires futures: O(P) per superstep, no data.
+
+    def set_resident(self, state_slice: dict) -> bool:
+        """Install this range owner's state slice (vids [lo, hi))."""
+        self.resident_state = {k: np.array(v) for k, v in state_slice.items()}
+        return True
+
+    def resident_apply_view(self, program: VertexProgram, make_view: bool, *partials):
+        """Sum this range's scatter partials (Ray derefs them — they
+        never touch the driver), apply the program's element-wise dense
+        rule to the resident slice, and return the next superstep's
+        scatter-view slice (stored to plasma by Ray; the driver only
+        forwards the ref). Partial sum order matches the classic
+        driver fold (list order), so results are bit-identical."""
+        if partials:
+            acc = partials[0]
+            if len(partials) > 1:
+                acc = acc.copy()
+                for p in partials[1:]:
+                    acc += p
+            program.apply_dense(self.resident_state, acc)
+        view = program.scatter_view(self.resident_state) if make_view else None
+        return view, {"lo": self.lo, "hi": self.hi}
+
+    def resident_scatter(self, program: VertexProgram, view_refs, direction: str):
+        """The fused cache-blocked dense kernel over this actor's edges,
+        reading the state view assembled from the owners' slice refs
+        (plasma zero-copy reads + one O(V) local concat, in parallel
+        across actors instead of serial on the driver)."""
+        slices = [r if isinstance(r, dict) else ray.get(r) for r in view_refs]
+        view = {
+            k: np.concatenate([s[k] for s in slices]) for k in slices[0].keys()
+        }
+        vw = self.views[direction]
+        arr, use_w, add_c = program.dense_gather(view)
+        span = self.hi - self.lo
+        ks, rel, w = vw.key_sorted, vw.emit_rel, vw.w
+        acc = np.zeros(span, dtype=np.float64)
+        ch = 2_000_000
+        for a in range(0, len(ks), ch):
+            b = min(a + ch, len(ks))
+            vals = arr[ks[a:b]]
+            if use_w:
+                vals = vals * w[a:b]
+            if add_c:
+                vals += add_c
+            acc += np.bincount(rel[a:b], weights=vals, minlength=span)
+        return acc
+
+    def get_resident_state(self) -> dict:
+        state, self.resident_state = self.resident_state, None
+        return state
 
     def scatter(
         self,
@@ -548,7 +610,12 @@ class GraphEngine:
                     "active": active_count,
                     "updates_emitted": int(emitted),
                     "updates_applied": int(self.n),
-                    "changed": int(len(applied)),
+                    # fixed-iteration programs return the shared empty
+                    # sentinel (counting changes would cost the O(V)
+                    # scan the dense apply exists to skip): report -1 =
+                    # "not computed", NOT 0 — the sparse path's count
+                    # of updated vertices keeps its meaning
+                    "changed": -1 if applied is _EMPTY_IDS else int(len(applied)),
                     "wall_s": time.perf_counter() - t0,
                 }
                 return applied, metrics
@@ -605,6 +672,22 @@ class GraphEngine:
                 state, frontier, completed, metrics = load_checkpoint(
                     found, program.name, params
                 )
+        if completed == 0 and ckpt_dir is None and frontier is None:
+            niters = program.fixed_iters(params)
+            if (
+                self.cfg.resident
+                and niters is not None
+                and niters >= 2
+                and program.engine == "global"
+                and not program.paired_fwd_bwd
+                and program.combine == "sum"
+                and type(program).apply_dense is not VertexProgram.apply_dense
+                and self.fwd_views
+                and max(hi - lo for _, lo, hi in self.fwd_views)
+                <= self.cfg.dense_threshold
+                and program.dense_gather(program.scatter_view(state)) is not None
+            ):
+                return self._run_resident(program, state, niters, t_start)
         frontier_count = self.n if frontier is None else int(frontier.sum())
         while not program.done(completed, frontier_count, params):
             if completed >= max_supersteps:
@@ -653,6 +736,95 @@ class GraphEngine:
             metrics=metrics,
             num_edges=self.num_edges,
             wall_seconds=time.perf_counter() - t_start,
+        )
+
+    def _run_resident(
+        self, program: VertexProgram, state: dict, niters: int, t_start: float
+    ) -> RunResult:
+        """Resident pipelined loop for GLOBAL fixed-iteration dense sum
+        programs (PageRank/Katz shape): state is sliced into each
+        range's OWNER actor once; every superstep is a scatter wave
+        (each actor's fused kernel reads the owners' view-slice refs)
+        chained into an apply wave (each owner sums its range's
+        partials and applies element-wise) — all through object refs,
+        with every iteration's tasks submitted up front. Driver work
+        per superstep: O(P) future wiring, zero data. Partial-sum and
+        apply order match the classic path exactly, so the resulting
+        state is bit-identical. This is the multi-node execution shape:
+        each "node" (range owner) keeps its own state partition, and
+        the per-superstep exchange is one range-sized partial per edge
+        actor plus the O(V) view fan-out."""
+        # fwd_views lists hub-split actors of one range consecutively
+        ranges: list[tuple[int, int]] = []
+        range_actors: list[list] = []
+        for a, lo, hi in self.fwd_views:
+            if ranges and ranges[-1] == (lo, hi):
+                range_actors[-1].append(a)
+            else:
+                ranges.append((lo, hi))
+                range_actors.append([a])
+        owners = [acts[0] for acts in range_actors]
+        ray.get(
+            [
+                o.set_resident.remote({k: v[lo:hi] for k, v in state.items()})
+                for o, (lo, hi) in zip(owners, ranges)
+            ]
+        )
+        two = {"num_returns": 2}
+        view_refs = [
+            o.resident_apply_view.options(**two).remote(program, True)[0]
+            for o in owners
+        ]
+        infos: list = []
+        for it in range(niters):
+            partial_futs = [
+                [
+                    a.resident_scatter.remote(program, view_refs, FWD)
+                    for a in acts
+                ]
+                for acts in range_actors
+            ]
+            last = it == niters - 1
+            nxt_views, infos = [], []
+            for o, pf in zip(owners, partial_futs):
+                v, i = o.resident_apply_view.options(**two).remote(
+                    program, not last, *pf
+                )
+                nxt_views.append(v)
+                infos.append(i)
+            view_refs = nxt_views
+        ray.get(infos)  # barrier: the final applies are done
+        slices = ray.get([o.get_resident_state.remote() for o in owners])
+        for k in list(state.keys()):
+            state[k] = np.concatenate([s[k] for s in slices])
+        wall = time.perf_counter() - t_start
+        per = wall / max(niters, 1)
+        metrics = [
+            {
+                "superstep": i + 1,
+                "frontier_next": self.n,
+                "passes": [
+                    {
+                        "direction": FWD,
+                        "active": self.n,
+                        "updates_emitted": int(self.num_edges),
+                        "updates_applied": int(self.n),
+                        "changed": -1,  # not computed (see superstep())
+                        "wall_s": per,
+                    }
+                ],
+                "wall_s": per,  # pipelined: per-superstep walls are wall/niters
+                "pipelined": True,
+            }
+            for i in range(niters)
+        ]
+        return RunResult(
+            state=state,
+            frontier=None,
+            supersteps=niters,
+            metrics=metrics,
+            num_edges=self.num_edges,
+            wall_seconds=wall,
         )
 
     def shutdown(self):

@@ -506,13 +506,17 @@ def _two_hop_chunk(csr_ref, lo: int, hi: int):
     usz = offsets[u + 1] - offsets[u]
     w = nbrs[expand_ranges(offsets[u], offsets[u + 1])]
     rel_all = np.repeat(rel_per_u, usz)
-    if n <= 200_000:
+    if len(ids) * n <= (1 << 28):
         # dense (chunk rows x n) boolean membership: the dedup is a
         # random-write sweep + a row sum — no sort of the pair rows
         # (3-5x cheaper than fused-key np.unique at the same work).
         # Mark ALL walks, then clear each row's self column — exactly
         # the w != v exclusion without materializing the mask and its
-        # three O(pair-rows) gather/filter temporaries.
+        # three O(pair-rows) gather/filter temporaries. Gated on the
+        # MATRIX byte budget (256 MiB), not on n alone: a low-degree
+        # graph can put 200k ids in one chunk (work-bounded chunking
+        # bounds pair ROWS, not vertices), and rows x n bools would
+        # then dwarf the work being saved.
         seen = np.zeros((len(ids), n), dtype=bool)
         seen[rel_all, w] = True
         seen[np.arange(len(ids)), ids] = False

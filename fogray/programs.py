@@ -117,6 +117,20 @@ class VertexProgram:
             return frontier_count == 0
         raise NotImplementedError
 
+    def fixed_iters(self, params) -> int | None:
+        """Superstep count known a priori (``done`` depends only on the
+        completed count), or None for convergence-driven programs.
+        Non-None (together with ``dense_gather`` + ``apply_dense``)
+        enables the broadcast engine's RESIDENT pipelined loop: state
+        lives sliced in the range-owner actors, supersteps chain
+        through object refs, and the driver does O(P) bookkeeping per
+        superstep instead of O(V) fold + put (the Amdahl serial term
+        that capped multi-worker scaling). Requires ``apply_dense`` and
+        ``scatter_view`` to be ELEMENT-WISE over the state arrays (the
+        same contract the dist engine already imposes on
+        ``scatter_view``)."""
+        return None
+
 
 class PageRank(VertexProgram):
     """FOG PageRank — application/pagerank.hpp:43-128. See
@@ -164,6 +178,9 @@ class PageRank(VertexProgram):
 
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= params.get("niters", 10)
+
+    def fixed_iters(self, params):
+        return int(params.get("niters", 10))
 
 
 class PersonalizedPageRank(VertexProgram):
@@ -599,6 +616,9 @@ class KatzCentrality(VertexProgram):
 
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= params.get("niters", 8)
+
+    def fixed_iters(self, params):
+        return int(params.get("niters", 8))
 
 
 class BrandesSigma(VertexProgram):

@@ -90,6 +90,50 @@ def test_exact_dedup_planted(ray_session):
     assert canon[2] == 2 and canon[3] == 3 and canon[4] == 4
 
 
+def test_jaccard_pairs_block_guard(ray_session):
+    """A block past max_block_docs must FAIL LOUDLY (the docs^2 kernel
+    is the operator's documented bound), not attempt the matrix."""
+    import ray.data as rd
+
+    from fogray.datapipes import dedup
+
+    n = 64
+    t = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": [f"token{i} shared words here" for i in range(n)],
+            "source": ["hot"] * n,  # ONE hot block
+        }
+    )
+    ds = dedup.jaccard_pairs(
+        rd.from_arrow(t), block_col="source", threshold=0.5, max_block_docs=16
+    )
+    with pytest.raises(Exception, match="max_block_docs"):
+        ds.materialize()
+
+
+def test_lsh_bucket_guard_raises():
+    """make_pair_expander(on_overflow="raise"): an over-cap group must
+    raise with the bound (the minhash_lsh_pairs bucket guard), not
+    silently drop its pairs."""
+    from fogray.derive import make_pair_expander
+
+    n = 40
+    t = pa.table(
+        {
+            "band": np.zeros(n, dtype=np.int64),
+            "bh": np.zeros(n, dtype=np.int64),
+            "doc_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    expand = make_pair_expander(["band", "bh"], "doc_id", cap=8, on_overflow="raise")
+    with pytest.raises(ValueError, match="cap=8"):
+        expand(t)
+    # default drop mode: same input silently yields no pairs
+    drop = make_pair_expander(["band", "bh"], "doc_id", cap=8)
+    assert drop(t).num_rows == 0
+
+
 def test_jaccard_pairs_vs_oracle(ray_session):
     import ray.data as rd
 
