@@ -45,7 +45,7 @@ import ray
 import ray.data as rd
 
 from .derive import key_grouped_block_map
-from .triangles import _apex_wedges, _dedup_block, _degree_partial, _normalize
+from .triangles import _apex_wedges, _dedup_block, _normalize
 from .util import from_arrow_chunked, sql_round
 
 
@@ -127,6 +127,53 @@ def _full_csr(a: np.ndarray, b: np.ndarray, n: int):
     return offsets, nbrs, edge_keys
 
 
+@ray.remote(num_returns=3)
+def _full_csr_build(n: int, *tabs):
+    """Build the unoriented CSR (+ edge keys, degrees, and the O(V)
+    two-hop work mass used for equal-WORK chunking) IN A WORKER from
+    the simple Dataset's block refs — the edge set never touches the
+    driver (the FOG analog is the shared mmapped ``index_vert_array``,
+    fogsrc/index_vert_array.cpp:25-167, which is likewise never
+    resident in the coordinating process). The driver receives the
+    O(V+E) structure as an object REF plus the two O(V) arrays it
+    legitimately needs for planning/output."""
+    tabs = [t for t in tabs if t.num_rows]
+    if tabs:
+        a = np.concatenate(
+            [t.column("a").to_numpy(zero_copy_only=False) for t in tabs]
+        )
+        b = np.concatenate(
+            [t.column("b").to_numpy(zero_copy_only=False) for t in tabs]
+        )
+    else:
+        a = b = np.empty(0, dtype=np.int64)
+    offsets, nbrs, edge_keys = _full_csr(a, b, n)
+    deg = np.diff(offsets).astype(np.int64)
+    cum = np.r_[0, np.cumsum(deg[nbrs].astype(np.float64))]
+    t2 = cum[offsets[1:]] - cum[offsets[:-1]]
+    mass = np.cumsum(t2 + 1.0)
+    return (offsets, nbrs, edge_keys, deg), deg, mass
+
+
+@ray.remote
+def _aa_rescore(csr_ref, gu: np.ndarray, gv: np.ndarray, max_apex_degree):
+    """Exact float64 Adamic-Adar for the k winning pairs via CSR
+    neighbor intersection — O(k · deg) probes against the plasma CSR,
+    run in a worker so the driver never maps the O(V+E) structure."""
+    offsets, nbrs, _ek, deg = (
+        ray.get(csr_ref) if not isinstance(csr_ref, tuple) else csr_ref
+    )
+    aa = np.zeros(len(gu), dtype=np.float64)
+    for i in range(len(gu)):
+        cu = nbrs[offsets[gu[i]]:offsets[gu[i] + 1]]
+        cv = nbrs[offsets[gv[i]]:offsets[gv[i] + 1]]
+        common = np.intersect1d(cu, cv, assume_unique=True)
+        if max_apex_degree is not None:
+            common = common[deg[common] <= max_apex_degree]
+        aa[i] = (1.0 / np.log(deg[common].astype(np.float64))).sum()
+    return aa
+
+
 def adamic_adar(
     edges,
     n: int,
@@ -182,18 +229,12 @@ def adamic_adar(
         normalized.sort(["a", "b"]), ["a", "b"], _dedup_block
     ).materialize()
     refs = list(simple.to_arrow_refs())
-    deg = np.zeros(n, dtype=np.int64)
-    for u, c in ray.get([_degree_partial.remote(r) for r in refs]):
-        np.add.at(deg, u, c)
-    tabs = [t for t in ray.get(refs) if t.num_rows]
-    a = np.concatenate([t.column("a").to_numpy(zero_copy_only=False) for t in tabs])
-    b = np.concatenate([t.column("b").to_numpy(zero_copy_only=False) for t in tabs])
-    offsets, nbrs, edge_keys = _full_csr(a, b, n)
+    csr_ref, _deg_ref, mass_ref = _full_csr_build.remote(n, *refs)
     if n <= dense_max_vertices:
+        mass = ray.get(mass_ref)  # O(V) planning array only
         return _dense_adamic_adar(
-            deg, offsets, nbrs, n, k=k, max_apex_degree=max_apex_degree
+            csr_ref, mass, n, k=k, max_apex_degree=max_apex_degree
         )
-    csr_ref = ray.put((offsets, nbrs, edge_keys, deg))
     nn = np.int64(n)
 
     def wedge_partials(t: pa.Table) -> pa.Table:
@@ -307,7 +348,9 @@ def _aa_chunk_topk(csr_ref, lo: int, hi: int, k: int, max_apex_degree):
     aa for the k winners only."""
     from .engine import expand_ranges
 
-    offsets, nbrs, deg = ray.get(csr_ref) if not isinstance(csr_ref, tuple) else csr_ref
+    offsets, nbrs, _ek, deg = (
+        ray.get(csr_ref) if not isinstance(csr_ref, tuple) else csr_ref
+    )
     n = len(offsets) - 1
     z = np.zeros(0, dtype=np.int64)
     if hi <= lo:
@@ -346,31 +389,25 @@ def _aa_chunk_topk(csr_ref, lo: int, hi: int, k: int, max_apex_degree):
 
 
 def _dense_adamic_adar(
-    deg: np.ndarray,
-    offsets: np.ndarray,
-    nbrs: np.ndarray,
+    csr_ref,
+    mass: np.ndarray,
     n: int,
     *,
     k: int,
     max_apex_degree: int | None,
 ) -> pa.Table:
-    """Broadcast-regime AA (see :func:`adamic_adar`): ONE plasma
-    broadcast of the O(V+E) CSR (workers map it zero-copy), two-hop
+    """Broadcast-regime AA (see :func:`adamic_adar`): the O(V+E) CSR
+    lives in plasma (worker-built, workers map it zero-copy), two-hop
     bincount accumulation per endpoint row-chunk with in-task masking
     and top-k — the driver merges #tasks × k candidate rows, ranks by
-    the all-integer (cn DESC, u, v) order, and computes EXACT float64
-    aa only for the k winners via CSR neighbor intersection. The n²
-    pair space is never materialized anywhere; per-task memory is the
-    (chunk_rows × n) count block, capped below."""
-    csr_ref = ray.put((offsets, nbrs, deg))
+    the all-integer (cn DESC, u, v) order, and a worker computes EXACT
+    float64 aa only for the k winners via CSR neighbor intersection.
+    The n² pair space is never materialized anywhere; per-task memory
+    is the (chunk_rows × n) count block, capped below. The driver
+    touches only ``mass`` — the O(V) cumulative two-hop work used for
+    equal-WORK chunk bounds (Σ_{u ∈ chunk} Σ_{w ∈ N(u)} deg(w))."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
     ntasks = max(1, min(4 * cpus, n // 8 or 1))
-    # equal-WORK bounds: chunk cost is its rows' two-hop volume
-    # Σ_{u ∈ chunk} Σ_{w ∈ N(u)} deg(w) — split by that mass, then cap
-    # rows so the dense count block stays ≤ 128 MiB per task
-    cum = np.r_[0, np.cumsum(deg[nbrs].astype(np.float64))]
-    t2 = cum[offsets[1:]] - cum[offsets[:-1]]
-    mass = np.cumsum(t2 + 1.0)
     targets = np.linspace(0, mass[-1], ntasks + 1)[1:-1]
     max_rows = max(1, (16 << 20) // max(n, 1))
     bounds = np.unique(
@@ -388,14 +425,7 @@ def _dense_adamic_adar(
     cnt = np.concatenate([p[2] for p in parts])
     order = np.lexsort((gv, gu, -cnt))[:k]
     gu, gv, cnt = gu[order], gv[order], cnt[order]
-    aa = np.zeros(len(gu), dtype=np.float64)
-    for i in range(len(gu)):
-        cu = nbrs[offsets[gu[i]]:offsets[gu[i] + 1]]
-        cv = nbrs[offsets[gv[i]]:offsets[gv[i] + 1]]
-        common = np.intersect1d(cu, cv, assume_unique=True)
-        if max_apex_degree is not None:
-            common = common[deg[common] <= max_apex_degree]
-        aa[i] = (1.0 / np.log(deg[common].astype(np.float64))).sum()
+    aa = ray.get(_aa_rescore.remote(csr_ref, gu, gv, max_apex_degree))
     return pa.table(
         {
             "u": pa.array(gu),
@@ -436,33 +466,25 @@ def two_hop_size(edges, n: int, *, target_chunk_rows: int = 4_000_000) -> pa.Tab
                 }
             )
         )
-    tabs = [
-        t
-        for t in ray.get(edges.select_columns(["src", "dst"]).materialize().to_arrow_refs())
-        if t.num_rows
-    ]
-    if not tabs:
+    refs = list(
+        edges.select_columns(["src", "dst"]).materialize().to_arrow_refs()
+    )
+    if not refs:
         return pa.table(
             {"vid": pa.array([], pa.int64()), "two_hop": pa.array([], pa.int64())}
         )
-    a = np.concatenate([t.column("src").to_numpy(zero_copy_only=False) for t in tabs])
-    b = np.concatenate([t.column("dst").to_numpy(zero_copy_only=False) for t in tabs])
-    # directed CSR: out-neighbors sorted per source
-    keys = np.sort(a.astype(np.int64) * np.int64(n) + b.astype(np.int64))
-    nbrs = keys % np.int64(n)
-    offsets = np.searchsorted(keys, np.arange(n + 1, dtype=np.int64) * np.int64(n))
-    outdeg = np.diff(offsets)
-    # per-vertex two-hop work = sum of outdeg over out-neighbors
-    work = np.zeros(n, dtype=np.int64)
-    nzv = np.flatnonzero(outdeg)
-    if len(nzv):
-        work[nzv] = np.add.reduceat(outdeg[nbrs], offsets[nzv])
-    cum = np.cumsum(work)
+    # directed CSR built IN A WORKER over the block refs; the driver
+    # pulls only the O(V) cumulative-work array for chunk planning
+    csr_ref, cum_ref = _directed_csr_build.remote(n, *refs)
+    cum = ray.get(cum_ref)
+    if cum is None:
+        return pa.table(
+            {"vid": pa.array([], pa.int64()), "two_hop": pa.array([], pa.int64())}
+        )
     total = int(cum[-1]) if n else 0
     n_chunks = max(1, min(n, -(-total // target_chunk_rows)))
     bounds = np.searchsorted(cum, np.linspace(0, total, n_chunks + 1)[1:-1])
     bounds = np.unique(np.r_[0, bounds + 1, n])
-    csr_ref = ray.put((offsets, nbrs))
     futs = [
         _two_hop_chunk.remote(csr_ref, int(lo), int(hi))
         for lo, hi in zip(bounds[:-1], bounds[1:])
@@ -480,6 +502,33 @@ def two_hop_size(edges, n: int, *, target_chunk_rows: int = 4_000_000) -> pa.Tab
             "two_hop": pa.array(cnt[order].astype(np.int64)),
         }
     )
+
+
+@ray.remote(num_returns=2)
+def _directed_csr_build(n: int, *tabs):
+    """Directed CSR (out-neighbors sorted per source) built IN A
+    WORKER from the edge Dataset's block refs, plus the O(V)
+    cumulative per-vertex two-hop work (Σ_{u in N(v)} outdeg(u)) for
+    equal-work chunking. Returns ``((offsets, nbrs), cum)``; ``cum``
+    is ``None`` for an empty edge set."""
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return (None, None), None
+    a = np.concatenate(
+        [t.column("src").to_numpy(zero_copy_only=False) for t in tabs]
+    )
+    b = np.concatenate(
+        [t.column("dst").to_numpy(zero_copy_only=False) for t in tabs]
+    )
+    keys = np.sort(a.astype(np.int64) * np.int64(n) + b.astype(np.int64))
+    nbrs = keys % np.int64(n)
+    offsets = np.searchsorted(keys, np.arange(n + 1, dtype=np.int64) * np.int64(n))
+    outdeg = np.diff(offsets)
+    work = np.zeros(n, dtype=np.int64)
+    nzv = np.flatnonzero(outdeg)
+    if len(nzv):
+        work[nzv] = np.add.reduceat(outdeg[nbrs], offsets[nzv])
+    return (offsets, nbrs), np.cumsum(work)
 
 
 @ray.remote

@@ -141,36 +141,17 @@ def _shards_from_dataset(edges, num_shards: int):
     return shards, np.asarray(shard_lo, dtype=np.int64)
 
 
-def random_walks(
-    edges,
-    *,
-    num_steps: int,
-    num_shards: int = 8,
-) -> pa.Table:
-    """One walk per distinct src vertex (wid = start vid), ``num_steps``
-    deterministic steps; a walker halts at a vertex with no out-edges.
-    Returns (wid, step, vid) including step 0. ``edges`` is a (src,
-    dst) pyarrow Table (driver path) or ray.data.Dataset (distributed
-    build; the edge table never materializes on the driver)."""
-    empty = pa.table(
-        {
-            "wid": pa.array([], pa.int64()),
-            "step": pa.array([], pa.int64()),
-            "vid": pa.array([], pa.int64()),
-        }
-    )
-    if isinstance(edges, pa.Table):
-        if edges.num_rows == 0:
-            return empty
-        shards, shard_lo = _shards_from_table(edges, num_shards)
-    else:
-        shards, shard_lo = _shards_from_dataset(edges, num_shards)
-        if not shards:
-            return empty
-
-    start_vids = np.sort(np.concatenate(ray.get([sh.start_vids.remote() for sh in shards])))
-    wids = start_vids.copy()
-    curs = start_vids.copy()
+def _walk_loop(shards, shard_lo: np.ndarray, start: np.ndarray, num_steps: int):
+    """The per-step routing loop for one walker-frontier partition:
+    route each live walker's current vertex to its owning shard (one
+    searchsorted), one RPC wave per step against the SHARED pinned
+    shard pool, drop dead-ended walkers. Pure in (start walkers,
+    adjacency) — every frontier partition produces the same rows its
+    walkers would produce in any other partition, which is what makes
+    the multi-coordinator split exact. Returns (wid, step, vid)
+    arrays including step 0."""
+    wids = start.copy()
+    curs = start.copy()
     out_w = [wids]
     out_s = [np.zeros(len(wids), dtype=np.int64)]
     out_v = [curs]
@@ -192,10 +173,78 @@ def random_walks(
         out_w.append(wids)
         out_s.append(np.full(len(wids), k + 1, dtype=np.int64))
         out_v.append(curs)
-    return pa.table(
+    return np.concatenate(out_w), np.concatenate(out_s), np.concatenate(out_v)
+
+
+@ray.remote
+class WalkCoordinator:
+    """One walker-frontier partition's driver: owns a wid slice and
+    runs :func:`_walk_loop` against the shared shard pool. Frontier
+    state and output rows live here, not on the main driver — per-step
+    driver traffic drops from O(all live walkers) to zero, and output
+    assembly is C object-store tables. Coordinators never talk to each
+    other: the next-step function is pure in (wid, step, adjacency),
+    so the wid-space split is embarrassingly parallel."""
+
+    def __init__(self, shards, shard_lo: np.ndarray):
+        self.shards = shards
+        self.shard_lo = shard_lo
+
+    def run(self, start: np.ndarray, num_steps: int) -> pa.Table:
+        w, s, v = _walk_loop(self.shards, self.shard_lo, start, num_steps)
+        return pa.table({"wid": w, "step": s, "vid": v})
+
+
+def random_walks(
+    edges,
+    *,
+    num_steps: int,
+    num_shards: int = 8,
+    num_coordinators: int = 1,
+) -> pa.Table:
+    """One walk per distinct src vertex (wid = start vid), ``num_steps``
+    deterministic steps; a walker halts at a vertex with no out-edges.
+    Returns (wid, step, vid) including step 0. ``edges`` is a (src,
+    dst) pyarrow Table (driver path) or ray.data.Dataset (distributed
+    build; the edge table never materializes on the driver).
+
+    ``num_coordinators`` > 1 shards the walker FRONTIER by wid range
+    across that many :class:`WalkCoordinator` actors against the same
+    shard pool — output is identical to the single-coordinator run
+    (pytest-asserted) because each step is a pure function of
+    (wid, step, adjacency)."""
+    empty = pa.table(
         {
-            "wid": np.concatenate(out_w),
-            "step": np.concatenate(out_s),
-            "vid": np.concatenate(out_v),
+            "wid": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "vid": pa.array([], pa.int64()),
         }
     )
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return empty
+        shards, shard_lo = _shards_from_table(edges, num_shards)
+    else:
+        shards, shard_lo = _shards_from_dataset(edges, num_shards)
+        if not shards:
+            return empty
+
+    start_vids = np.sort(np.concatenate(ray.get([sh.start_vids.remote() for sh in shards])))
+    c = max(1, min(int(num_coordinators), len(start_vids) or 1))
+    if c == 1:
+        w, s, v = _walk_loop(shards, shard_lo, start_vids, num_steps)
+        return pa.table({"wid": w, "step": s, "vid": v})
+    coords = [WalkCoordinator.remote(shards, shard_lo) for _ in range(c)]
+    slices = np.array_split(start_vids, c)
+    tabs = ray.get(
+        [
+            co.run.remote(sl, num_steps)
+            for co, sl in zip(coords, slices)
+            if len(sl)
+        ]
+    )
+    for co in coords:
+        ray.kill(co)
+    return pa.concat_tables(
+        [t for t in tabs if t.num_rows], promote_options="default"
+    ) if any(t.num_rows for t in tabs) else empty

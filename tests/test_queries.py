@@ -160,3 +160,26 @@ def test_random_walks_dataset_path_parity(ray_session):
     assert a.sort_values(k).reset_index(drop=True).equals(
         b.sort_values(k).reset_index(drop=True)
     )
+
+
+def test_random_walks_multi_coordinator_parity(ray_session):
+    """Sharding the walker FRONTIER across 4 WalkCoordinator actors
+    (same shard pool) returns bit-identical walks to the
+    single-coordinator loop — each step is a pure function of
+    (wid, step, adjacency)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fogray.walks import random_walks
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 400, 15_000).astype(np.int64)
+    dst = rng.integers(0, 400, 15_000).astype(np.int64)
+    m = src != dst
+    tab = pa.table({"src": src[m], "dst": dst[m]})
+    a = random_walks(tab, num_steps=5, num_coordinators=1).to_pandas()
+    b = random_walks(tab, num_steps=5, num_coordinators=4).to_pandas()
+    k = ["wid", "step", "vid"]
+    assert a.sort_values(k).reset_index(drop=True).equals(
+        b.sort_values(k).reset_index(drop=True)
+    )

@@ -117,3 +117,55 @@ def test_apex_wedges_noncontiguous_ids(ray_session):
     for ids in ([0, 1, 2, 3, 4, 5], [0, 4], [5], [1, 3, 5], [2]):
         a, f, s = _apex_wedges(np.array(ids, dtype=np.int64), offs, nb)
         assert sorted(zip(a.tolist(), f.tolist(), s.tolist())) == brute(ids), ids
+
+@pytest.mark.parametrize("closure", ["broadcast", "shuffle"])
+def test_triangle_per_vertex_paths_agree(ray_session, closure):
+    import numpy as np
+
+    from fogray.triangles import triangle_per_vertex
+
+    for seed in (7, 23):
+        src, dst, w, n = fx.random_graph(90, 0.1, seed=seed)
+        vids, tri, deg = triangle_per_vertex((src, dst), n, closure=closure)
+        adj = [set() for _ in range(n)]
+        for s, d in zip(src, dst):
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        exp = {
+            v: sum(1 for u in adj[v] for w2 in adj[v] if u < w2 and w2 in adj[u])
+            for v in range(n)
+            if adj[v]
+        }
+        got = dict(zip(vids.tolist(), tri.tolist()))
+        assert got == exp, (seed, closure)
+        assert all(deg[i] == len(adj[v]) for i, v in enumerate(vids))
+
+
+@pytest.mark.parametrize("closure", ["broadcast", "shuffle"])
+def test_triangle_per_edge_paths_agree(ray_session, closure):
+    from fogray.triangles import triangle_per_edge
+
+    src, dst, w, n = fx.random_graph(80, 0.12, seed=29)
+    a, b, common, deg = triangle_per_edge((src, dst), n, closure=closure)
+    adj = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    got = sorted(zip(a.tolist(), b.tolist(), common.tolist()))
+    exp = sorted(
+        (u, v, len(adj[u] & adj[v])) for u in range(n) for v in adj[u] if u < v
+    )
+    assert got == exp, closure
+
+
+def test_ktruss_shuffle_closure(ray_session):
+    from fogray.triangles import ktruss_edges
+
+    src, dst, w, n = fx.random_graph(60, 0.15, seed=3)
+    ab_b = sorted(zip(*[x.tolist() for x in ktruss_edges((src, dst), n, k=4, rounds=4)]))
+    ab_s = sorted(
+        zip(*[x.tolist() for x in ktruss_edges((src, dst), n, k=4, rounds=4, closure="shuffle")])
+    )
+    assert ab_b == ab_s and len(ab_b) > 0
