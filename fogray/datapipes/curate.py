@@ -113,3 +113,40 @@ def curate_corpus(
 
     meta = docs.map_batches(score_filter_sha, batch_format="pyarrow")
     return key_grouped_block_map(meta.sort("sha"), ["sha"], keep_group_min)
+
+
+def curate_corpus_to(
+    docs,
+    out_dir: str,
+    *,
+    min_q: float = 0.25,
+    sample_max_prefix: str = "7f",
+    text_col: str = "text",
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Resumable end of the curation pipeline: the curated survivors
+    (the dedup sort's output) land as a partitioned parquet directory
+    via :func:`..sink.write_partitioned` — one ``part=K`` directory per
+    md5-bucket of ``doc_id``, each sealed by a ``_DONE`` marker written
+    only after its bytes are atomically in place.
+
+    A run killed mid-write leaves exactly the finished partitions
+    marked; re-invoking with the same arguments recomputes the (pure,
+    deterministic) pipeline but SKIPS re-serializing every marked
+    partition (``skipped=1`` in the returned manifest), so the restart
+    cost of the long corpus job is the dataflow, never the sink —
+    kill-after-stage-k resume is pytest-asserted by reproducing the
+    exact crash directory state and re-running.
+
+    Returns the manifest table (part, rows, skipped)."""
+    from .sink import write_partitioned
+
+    curated = curate_corpus(
+        docs,
+        min_q=min_q,
+        sample_max_prefix=sample_max_prefix,
+        text_col=text_col,
+    )
+    return write_partitioned(
+        curated, out_dir, key_col="doc_id", num_partitions=num_partitions
+    )

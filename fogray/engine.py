@@ -113,11 +113,42 @@ def local_combine(kind: str, n: int, dense: bool, dest, vals, preds=None):
 # the pinned edge-view actor (emission-target range partitioned)
 # ---------------------------------------------------------------------------
 
+def _fused_dense_partial(
+    arr: np.ndarray,
+    ks: np.ndarray,
+    rel: np.ndarray,
+    w: np.ndarray,
+    use_w: bool,
+    span: int,
+    a: int,
+    b: int,
+    key_off: int = 0,
+    ch: int = 2_000_000,
+) -> np.ndarray:
+    """The fused cache-blocked dense sum kernel over edge rows
+    [a, b): gather -> (*w) -> bincount per ~2M-edge slice, so the O(E)
+    float64 value temporary stays L2/L3-resident instead of streaming
+    DRAM three times. The per-edge additive constant (PageRank's
+    teleport) is NOT handled here — callers add ``add_c * rel_cnt``
+    once per view (the edge-count weighted constant term), which
+    removes an entire O(E) read+write pass from the superstep."""
+    part = np.zeros(span, dtype=np.float64)
+    off = ks.dtype.type(key_off)
+    for c in range(a, b, ch):
+        d = min(c + ch, b)
+        idx = ks[c:d] - off if key_off else ks[c:d]
+        vals = arr[idx]
+        if use_w:
+            vals = vals * w[c:d]
+        part += np.bincount(rel[c:d], weights=vals, minlength=span)
+    return part
+
+
 class _View:
     """One scatter view's pinned arrays: edges read-key-sorted, plus the
     precomputed range-relative emission targets for the dense hot path."""
 
-    __slots__ = ("s", "d", "w", "key_sorted", "emit_arr", "emit_rel")
+    __slots__ = ("s", "d", "w", "key_sorted", "emit_arr", "emit_rel", "_rel_cnt")
 
     def __init__(self, tab, lo: int, hi: int, emit_key: str):
         if isinstance(tab, list):
@@ -138,20 +169,33 @@ class _View:
             read_key = src if emit_key == "dst" else dst
             order = np.argsort(read_key, kind="stable")
             self.s, self.d, self.w = src[order], dst[order], w[order]
-        # the scatter wave is memory-bandwidth-bound: store vids int32
-        # when they fit (halves the per-superstep edge-array traffic)
-        # and precompute the range-relative emission targets once, so
-        # the dense hot path (GLOBAL sum programs emitting the
-        # unfiltered target array) skips both the per-superstep
-        # ``dest - lo`` allocation and the bounds-check scans
+        # The scatter wave is memory-bandwidth-bound. The sparse/frontier
+        # paths keep s/d int32 when vids fit (halves their edge-array
+        # traffic), but the DENSE hot path's index arrays (key_sorted
+        # feeding fancy-gather, emit_rel feeding bincount) are stored
+        # intp: numpy silently CASTS any non-intp index array to intp
+        # per call, a hidden O(E) write+read round-trip per superstep
+        # that costs more DRAM traffic than the wider resident dtype
+        # reads (~24B/edge saved each superstep, measured).
         vmax = max(int(self.s.max()), int(self.d.max())) if len(self.s) else 0
         if vmax < np.iinfo(np.int32).max:
             self.s = self.s.astype(np.int32)
             self.d = self.d.astype(np.int32)
         self.emit_arr = self.d if emit_key == "dst" else self.s
-        rel_dtype = np.int32 if (hi - lo) < np.iinfo(np.int32).max else np.int64
-        self.emit_rel = (self.emit_arr.astype(np.int64) - lo).astype(rel_dtype)
-        self.key_sorted = self.s if emit_key == "dst" else self.d
+        self.emit_rel = self.emit_arr.astype(np.intp) - lo
+        self.key_sorted = (self.s if emit_key == "dst" else self.d).astype(np.intp)
+        self._rel_cnt: np.ndarray | None = None
+
+    def rel_cnt(self, span: int) -> np.ndarray:
+        """Per-relative-target edge counts (float64, span-sized), built
+        once and cached: lets the dense kernel fold a per-edge additive
+        constant into ONE ``acc += c * rel_cnt`` instead of an O(E)
+        pass (and its temp traffic) every superstep."""
+        if self._rel_cnt is None:
+            self._rel_cnt = np.bincount(
+                self.emit_rel, minlength=span
+            ).astype(np.float64)
+        return self._rel_cnt
 
 
 @ray.remote
@@ -169,11 +213,19 @@ class EdgeViewActor:
     driver adds/combines the partials, so overlap costs only a few
     duplicate entries."""
 
-    def __init__(self, parts: dict, lo: int, hi: int):
+    def __init__(self, parts: dict, lo: int, hi: int, seg_bounds=None):
         # parts: {"fwd": table/ref/list-of-refs/None, "bwd": ...}. Refs
         # nested inside the dict are NOT dereferenced by Ray — fetched
         # here, off-driver.
         self.lo, self.hi = int(lo), int(hi)
+        # engine-wide range bounds: the classic dense path segments its
+        # fused-kernel chunk grid by these so its float association
+        # order matches the resident pipelined path's per-slice
+        # partials EXACTLY — classic (checkpointed) and resident runs
+        # of the same program stay bit-identical (resume invariant)
+        self.seg_bounds = (
+            None if seg_bounds is None else np.asarray(seg_bounds, dtype=np.int64)
+        )
         self.views: dict[str, _View] = {}
         for dirn, emit_key in ((FWD, "dst"), (BWD, "src")):
             tab = parts.get(dirn)
@@ -181,9 +233,40 @@ class EdgeViewActor:
                 tab = ray.get(tab)
             self.views[dirn] = _View(tab, self.lo, self.hi, emit_key)
         self.resident_state: dict | None = None
+        # cumulative per-phase wall clocks (seconds), cheap enough to
+        # keep always-on; read back via get_prof() for scaling forensics
+        self.prof: dict[str, float] = {}
+
+    def _prof_add(self, key: str, dt: float) -> None:
+        self.prof[key] = self.prof.get(key, 0.0) + dt
+
+    def get_prof(self) -> dict:
+        return dict(self.prof)
 
     def ready(self) -> bool:
         return True
+
+    def warm(self, n: int) -> bool:
+        """One untimed pass of the fused kernel over the FWD view with a
+        dummy all-ones state: a fresh actor process pays a large
+        one-time cost on its FIRST heavy kernel invocation (page-fault /
+        THP-compaction effects after the build's big allocations —
+        measured 0.15-0.8s per actor, 5x a steady superstep), so the
+        engine build absorbs it instead of the first timed superstep."""
+        vw = self.views.get(FWD)
+        if vw is None or len(vw.key_sorted) == 0:
+            return True
+        arr = np.ones(n, dtype=np.float64)
+        span = self.hi - self.lo
+        ks, rel, w = vw.key_sorted, vw.emit_rel, vw.w
+        acc = np.zeros(span, dtype=np.float64)
+        ch = 2_000_000
+        for a in range(0, len(ks), ch):
+            b = min(a + ch, len(ks))
+            acc += np.bincount(
+                rel[a:b], weights=arr[ks[a:b]] * w[a:b], minlength=span
+            )
+        return bool(acc is not None)
 
     # -- resident pipelined mode (GLOBAL fixed-iteration sum programs) --
     #
@@ -207,6 +290,7 @@ class EdgeViewActor:
         scatter-view slice (stored to plasma by Ray; the driver only
         forwards the ref). Partial sum order matches the classic
         driver fold (list order), so results are bit-identical."""
+        t0 = time.perf_counter()
         if partials:
             acc = partials[0]
             if len(partials) > 1:
@@ -215,31 +299,79 @@ class EdgeViewActor:
                     acc += p
             program.apply_dense(self.resident_state, acc)
         view = program.scatter_view(self.resident_state) if make_view else None
+        self._prof_add("apply_view_s", time.perf_counter() - t0)
         return view, {"lo": self.lo, "hi": self.hi}
 
-    def resident_scatter(self, program: VertexProgram, view_refs, direction: str):
+    def resident_scatter(
+        self, program: VertexProgram, view_refs, direction: str, bounds=None
+    ):
         """The fused cache-blocked dense kernel over this actor's edges,
-        reading the state view assembled from the owners' slice refs
-        (plasma zero-copy reads + one O(V) local concat, in parallel
-        across actors instead of serial on the driver)."""
-        slices = [r if isinstance(r, dict) else ray.get(r) for r in view_refs]
-        view = {
-            k: np.concatenate([s[k] for s in slices]) for k in slices[0].keys()
-        }
+        reading the state view from the owners' slice refs.
+
+        With ``bounds`` (the owners' slice boundaries): the edges are
+        read-key-sorted, so each owner slice k feeds exactly the
+        contiguous segment ks ∈ [bounds[k], bounds[k+1]) — process each
+        segment AS ITS SLICE REF BECOMES READY (ray.wait), gathering
+        slice-relative. A straggling owner then delays only its own
+        segment, not the whole kernel (the global per-superstep barrier
+        becomes per-slice dataflow), and the O(V) view concat
+        disappears entirely. Segment partials are summed in FIXED slice
+        order, so the result is independent of arrival order."""
+        t0 = time.perf_counter()
         vw = self.views[direction]
-        arr, use_w, add_c = program.dense_gather(view)
         span = self.hi - self.lo
         ks, rel, w = vw.key_sorted, vw.emit_rel, vw.w
-        acc = np.zeros(span, dtype=np.float64)
         ch = 2_000_000
-        for a in range(0, len(ks), ch):
-            b = min(a + ch, len(ks))
-            vals = arr[ks[a:b]]
-            if use_w:
-                vals = vals * w[a:b]
-            if add_c:
-                vals += add_c
-            acc += np.bincount(rel[a:b], weights=vals, minlength=span)
+        wait_s = 0.0
+        add_c = 0.0
+        if bounds is None or any(isinstance(r, dict) for r in view_refs):
+            slices = [r if isinstance(r, dict) else ray.get(r) for r in view_refs]
+            view = {
+                k: np.concatenate([s[k] for s in slices])
+                for k in slices[0].keys()
+            }
+            arr, use_w, add_c = program.dense_gather(view)
+            acc = _fused_dense_partial(
+                arr, ks, rel, w, use_w, span, 0, len(ks), ch=ch
+            )
+            edges_done = len(ks)
+        else:
+            bounds = np.asarray(bounds, dtype=np.int64)
+            seg = np.searchsorted(ks, bounds)
+            parts: list = [None] * len(view_refs)
+            idx_of = {r: i for i, r in enumerate(view_refs)}
+            not_ready = list(view_refs)
+            edges_done = 0
+            while not_ready:
+                tw = time.perf_counter()
+                ready, not_ready = ray.wait(not_ready, num_returns=1)
+                wait_s += time.perf_counter() - tw
+                for r in ready:
+                    i = idx_of[r]
+                    a, b = int(seg[i]), int(seg[i + 1])
+                    if a == b:
+                        continue
+                    sl = ray.get(r)
+                    arr, use_w, add_c = program.dense_gather(sl)
+                    parts[i] = _fused_dense_partial(
+                        arr, ks, rel, w, use_w, span, a, b,
+                        key_off=int(bounds[i]), ch=ch,
+                    )
+                    edges_done += b - a
+            acc = np.zeros(span, dtype=np.float64)
+            for p in parts:
+                if p is not None:
+                    acc += p
+        if add_c:
+            # constant per-edge term folded in as counts (see
+            # _fused_dense_partial): every edge lands in exactly one
+            # segment, so ONE count-weighted add covers the whole view
+            acc += add_c * vw.rel_cnt(span)
+        t3 = time.perf_counter()
+        self._prof_add("view_wait_s", wait_s)
+        self._prof_add("kernel_s", t3 - t0 - wait_s)
+        self._prof_add("kernel_edges", float(edges_done))
+        self.prof.setdefault("kernel_steps", []).append(round(t3 - t0, 4))
         return acc
 
     def get_resident_state(self) -> dict:
@@ -283,21 +415,27 @@ class EdgeViewActor:
         ):
             dg = program.dense_gather(state)
             if dg is not None:
-                # fused cache-blocked kernel: gather -> (+c/*w) ->
-                # bincount per chunk; the O(E) value temporaries stay
-                # L2/L3-resident instead of streaming DRAM three times
+                # fused cache-blocked kernel (see _fused_dense_partial),
+                # chunk grid segmented by the engine-wide range bounds
+                # so the association order is bit-identical to the
+                # resident pipelined path's per-slice partial fold
                 arr, use_w, add_c = dg
                 ks, rel = view.key_sorted, view.emit_rel
                 acc = np.zeros(span, dtype=np.float64)
-                ch = 2_000_000
-                for a in range(0, len(ks), ch):
-                    b = min(a + ch, len(ks))
-                    vals = arr[ks[a:b]]
-                    if use_w:
-                        vals = vals * w[a:b]
-                    if add_c:
-                        vals += add_c
-                    acc += np.bincount(rel[a:b], weights=vals, minlength=span)
+                if self.seg_bounds is not None:
+                    seg = np.searchsorted(ks, self.seg_bounds)
+                    for i in range(len(seg) - 1):
+                        a, b = int(seg[i]), int(seg[i + 1])
+                        if a < b:
+                            acc += _fused_dense_partial(
+                                arr, ks, rel, view.w, use_w, span, a, b
+                            )
+                else:
+                    acc += _fused_dense_partial(
+                        arr, ks, rel, view.w, use_w, span, 0, len(ks)
+                    )
+                if add_c:
+                    acc += add_c * view.rel_cnt(span)
                 return (("dense", acc), len(ks))
 
         if len(s) == 0:
@@ -461,6 +599,11 @@ class GraphEngine:
         ray.get(
             [a.ready.remote() for a, _, _ in self.fwd_views + self.bwd_views]
         )
+        # absorb each fresh actor process's one-time first-kernel cost
+        # (page-fault/THP effects after the build's big allocations;
+        # 0.15-0.8s per actor measured) into the build, where it
+        # belongs, instead of the first timed superstep
+        ray.get([a.warm.remote(self.n) for a, _, _ in self.fwd_views])
 
     def _init_from_arrays(self, src, dst, w, p):
         """Driver-held arrays (test/report scale): degree-weighted range
@@ -497,7 +640,7 @@ class GraphEngine:
                     )
                 actor = EdgeViewActor.options(
                     num_cpus=self.cfg.num_cpus_per_actor
-                ).remote(parts, lo, hi)
+                ).remote(parts, lo, hi, bounds)
                 self.fwd_views.append((actor, lo, hi))
                 self.bwd_views.append((actor, lo, hi))
 
@@ -561,7 +704,7 @@ class GraphEngine:
                 }
                 actor = EdgeViewActor.options(
                     num_cpus=self.cfg.num_cpus_per_actor
-                ).remote(parts, lo, hi)
+                ).remote(parts, lo, hi, bounds)
                 self.fwd_views.append((actor, lo, hi))
                 self.bwd_views.append((actor, lo, hi))
 
@@ -749,8 +892,12 @@ class GraphEngine:
         partials and applies element-wise) — all through object refs,
         with every iteration's tasks submitted up front. Driver work
         per superstep: O(P) future wiring, zero data. Partial-sum and
-        apply order match the classic path exactly, so the resulting
-        state is bit-identical. This is the multi-node execution shape:
+        apply order are DETERMINISTIC (fixed slice order, independent
+        of arrival order), but the per-slice segmentation associates
+        float adds differently than the classic path's global chunk
+        grid — drift is summation-order-only, the class the round-6
+        oracle gate absorbs (see dense_gather's contract). This is the
+        multi-node execution shape:
         each "node" (range owner) keeps its own state partition, and
         the per-superstep exchange is one range-sized partial per edge
         actor plus the O(V) view fan-out."""
@@ -764,6 +911,9 @@ class GraphEngine:
                 ranges.append((lo, hi))
                 range_actors.append([a])
         owners = [acts[0] for acts in range_actors]
+        # owner slice boundaries for the per-slice pipelined scatter —
+        # ranges are contiguous ascending by construction
+        bounds = [lo for lo, hi in ranges] + [ranges[-1][1]]
         ray.get(
             [
                 o.set_resident.remote({k: v[lo:hi] for k, v in state.items()})
@@ -779,7 +929,7 @@ class GraphEngine:
         for it in range(niters):
             partial_futs = [
                 [
-                    a.resident_scatter.remote(program, view_refs, FWD)
+                    a.resident_scatter.remote(program, view_refs, FWD, bounds)
                     for a in acts
                 ]
                 for acts in range_actors

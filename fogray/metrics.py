@@ -45,7 +45,7 @@ import ray
 import ray.data as rd
 
 from .derive import key_grouped_block_map
-from .triangles import _apex_wedges, _dedup_block, _normalize
+from .triangles import _dedup_block, _normalize
 from .util import from_arrow_chunked, sql_round
 
 
@@ -228,36 +228,86 @@ def adamic_adar(
     simple = key_grouped_block_map(
         normalized.sort(["a", "b"]), ["a", "b"], _dedup_block
     ).materialize()
-    refs = list(simple.to_arrow_refs())
-    csr_ref, _deg_ref, mass_ref = _full_csr_build.remote(n, *refs)
     if n <= dense_max_vertices:
+        refs = list(simple.to_arrow_refs())
+        csr_ref, _deg_ref, mass_ref = _full_csr_build.remote(n, *refs)
         mass = ray.get(mass_ref)  # O(V) planning array only
         return _dense_adamic_adar(
             csr_ref, mass, n, k=k, max_apex_degree=max_apex_degree
         )
-    nn = np.int64(n)
+    return _sparse_adamic_adar(
+        simple, n, k=k, max_apex_degree=max_apex_degree, empty=empty
+    )
 
-    def wedge_partials(t: pa.Table) -> pa.Table:
-        """Per-pair (cn, aa) partials for wedges whose apex id falls in
-        this batch — fused int64 pair key, bincount pre-aggregation."""
-        offs, nb, _, dg = ray.get(csr_ref)
-        ids = t.column("id").to_numpy(zero_copy_only=False)
+
+def _sparse_adamic_adar(
+    simple: rd.Dataset,
+    n: int,
+    *,
+    k: int,
+    max_apex_degree: int | None,
+    empty: pa.Table,
+) -> pa.Table:
+    """Wedge-partial sort regime, fully Dataset-native (the 100-TB
+    shape — NO CSR or broadcast adjacency anywhere): each apex's
+    neighbor list arrives group-complete from ONE (apex, nbr) sort of
+    the symmetrized simple edges, every block emits pre-combined
+    per-pair (cn, aa) partials (the apex's degree IS its run length,
+    so the 1/log(deg) weight needs no side array), and true-adjacent
+    pairs are dropped by unioning the edge rows as cn=-1 MARKERS
+    through the pair-key sort — a group holding a marker is an edge.
+    The exchange ships wedge partials + E marker rows; the largest
+    structure resident in any task is one apex group."""
+    nn = np.int64(n)
+    partial_schema = pa.schema(
+        [("key", pa.int64()), ("cn", pa.int64()), ("aa", pa.float64())]
+    )
+    empty_partial = partial_schema.empty_table()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "apex": np.concatenate([a, b]).astype(np.int64),
+                "nbr": np.concatenate([b, a]).astype(np.int64),
+            }
+        )
+
+    adj = simple.map_batches(sym, batch_format="pyarrow")
+
+    def wedge_partials_block(t: pa.Table) -> pa.Table:
+        """Block is group-complete in apex and (apex, nbr)-sorted:
+        each run is one apex's full ascending neighbor list; expand its
+        wedge pairs (first < second by construction) and pre-combine
+        per pair key with ONE fused-key bincount."""
+        from .engine import expand_ranges
+
+        if t.num_rows == 0:
+            return empty_partial
+        apex = t.column("apex").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, apex[1:] != apex[:-1]])
+        sizes = np.diff(np.r_[starts, len(apex)])
         if max_apex_degree is not None:
-            sz = offs[ids + 1] - offs[ids]
-            ids = ids[sz <= max_apex_degree]
-        apexes, firsts, seconds = _apex_wedges(ids, offs, nb)
-        if len(firsts) == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], pa.int64()),
-                    "cn": pa.array([], pa.int64()),
-                    "aa": pa.array([], pa.float64()),
-                }
-            )
-        # nb is ascending per apex, so firsts < seconds already
+            keep_run = sizes <= max_apex_degree
+            if not keep_run.all():
+                nbr = nbr[np.repeat(keep_run, sizes)]
+                sizes = sizes[keep_run]
+            if len(nbr) == 0:
+                return empty_partial
+        ends = np.repeat(np.cumsum(sizes), sizes)
+        pos = np.arange(len(nbr), dtype=np.int64)
+        wn = ends - pos - 1
+        if int(wn.sum()) == 0:
+            return empty_partial
+        firsts = np.repeat(nbr, wn)
+        seconds = nbr[expand_ranges(pos + 1, ends)]
+        with np.errstate(divide="ignore"):  # deg-1 runs emit 0 wedges
+            w_row = 1.0 / np.log(sizes.astype(np.float64))
+        w_aa = np.repeat(np.repeat(w_row, sizes), wn)
         pk = firsts * nn + seconds
         ukey, inv, cnt = np.unique(pk, return_inverse=True, return_counts=True)
-        w_aa = 1.0 / np.log(dg[apexes].astype(np.float64))
         aa = np.bincount(inv, weights=w_aa, minlength=len(ukey))
         return pa.table(
             {
@@ -267,39 +317,43 @@ def adamic_adar(
             }
         )
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    bs = max(64, n // (cpus * 4))
-    partials = rd.range(n).map_batches(
-        wedge_partials, batch_format="pyarrow", batch_size=bs
+    partials = key_grouped_block_map(
+        adj.sort(["apex", "nbr"]), ["apex"], wedge_partials_block
     )
 
-    def fold_topk(t: pa.Table) -> pa.Table:
-        """Group-complete per-pair totals, drop adjacent pairs, keep the
-        block's top-k by (cn DESC, key ASC)."""
-        out_empty = pa.table(
+    def mark(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        key = a.astype(np.int64) * nn + b.astype(np.int64)
+        return pa.table(
             {
-                "key": pa.array([], pa.int64()),
-                "cn": pa.array([], pa.int64()),
-                "aa": pa.array([], pa.float64()),
-            }
+                "key": key,
+                "cn": np.full(len(key), -1, dtype=np.int64),
+                "aa": np.zeros(len(key), dtype=np.float64),
+            },
+            schema=partial_schema,
         )
+
+    markers = simple.map_batches(mark, batch_format="pyarrow")
+    unioned = partials.union(markers)
+
+    def fold_topk(t: pa.Table) -> pa.Table:
+        """Group-complete per-pair totals; a group whose min cn is the
+        -1 marker IS an edge of the simple graph -> dropped; keep the
+        block's top-k by (cn DESC, key ASC)."""
         if t.num_rows == 0:
-            return out_empty
+            return empty_partial
         key = t.column("key").to_numpy(zero_copy_only=False)
         cn = t.column("cn").to_numpy(zero_copy_only=False)
         aa = t.column("aa").to_numpy(zero_copy_only=False)
         # key-sorted (group-complete): reduceat over boundaries
         bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        ukey = key[bounds]
-        tcn = np.add.reduceat(cn, bounds)
-        taa = np.add.reduceat(aa, bounds)
-        _, _, ek, _ = ray.get(csr_ref)
-        at = np.searchsorted(ek, ukey)
-        at[at >= len(ek)] = len(ek) - 1 if len(ek) else 0
-        nonadj = (ek[at] != ukey) if len(ek) else np.ones(len(ukey), bool)
-        ukey, tcn, taa = ukey[nonadj], tcn[nonadj], taa[nonadj]
+        nonadj = np.minimum.reduceat(cn, bounds) != -1
+        ukey = key[bounds][nonadj]
+        tcn = np.add.reduceat(cn, bounds)[nonadj]
+        taa = np.add.reduceat(aa, bounds)[nonadj]
         if len(ukey) == 0:
-            return out_empty
+            return empty_partial
         order = np.lexsort((ukey, -tcn))[:k]
         return pa.table(
             {
@@ -311,7 +365,7 @@ def adamic_adar(
 
     tops = pa.concat_tables(
         ray.get(
-            key_grouped_block_map(partials.sort(["key"]), ["key"], fold_topk)
+            key_grouped_block_map(unioned.sort(["key"]), ["key"], fold_topk)
             .materialize()
             .to_arrow_refs()
         )
@@ -437,17 +491,31 @@ def _dense_adamic_adar(
     )
 
 
-def two_hop_size(edges, n: int, *, target_chunk_rows: int = 4_000_000) -> pa.Table:
+def two_hop_size(
+    edges, n: int, *, target_chunk_rows: int = 4_000_000, closure: str = "auto"
+) -> pa.Table:
     """Distinct two-hop neighborhood size per vertex over the DIRECTED
     distinct edge set: |{w != v : v -> u -> w}| — the friend-of-friend
-    reach feature. Same broadcast-CSR chunk dataflow as
-    :func:`adamic_adar`'s dense path: the O(V+E) CSR ships to plasma
-    once, vertex ranges are chunked by their actual two-hop work
-    (Σ_{u in N(v)} outdeg(u), so one hub range cannot stall the wave),
-    and each task expands its walks vectorized (expand_ranges twice)
-    and counts distinct (v, w) pairs with ONE fused-key np.unique —
-    only the O(chunk vertices) count rows leave the task. Vertices with
-    out-edges but no two-hop reach report 0 (the oracle's LEFT JOIN).
+    reach feature.
+
+    ``closure="broadcast"`` (default below ~50M edges): the O(V+E)
+    directed CSR is worker-built over the Dataset's block refs and
+    ships to plasma once; vertex ranges are chunked by their actual
+    two-hop work (Σ_{u in N(v)} outdeg(u), so one hub range cannot
+    stall the wave), and each task expands its walks vectorized
+    (expand_ranges twice) and counts distinct (v, w) pairs with ONE
+    fused-key np.unique — only the O(chunk vertices) count rows leave
+    the task. Vertices with out-edges but no two-hop reach report 0
+    (the oracle's LEFT JOIN).
+
+    ``closure="shuffle"``: the Dataset-native any-scale path — both
+    edge directions meet at their middle vertex through ONE sort
+    (group-complete in ``mid``), each block cross-joins in-origins ×
+    out-targets into fused (v, w) pair keys (pre-uniqued in-task), and
+    a second sort resolves global distinctness; only O(V) count
+    partials reach the driver. No CSR anywhere; exchange volume is the
+    operator's work bound (Σ indeg·outdeg pre-deduped pair rows). Both
+    paths agree exactly (pytest-asserted).
 
     ``edges`` must already be distinct (src, dst) pairs (true for the
     co-occurrence derivation, which GROUP-BYs pairs).
@@ -466,9 +534,12 @@ def two_hop_size(edges, n: int, *, target_chunk_rows: int = 4_000_000) -> pa.Tab
                 }
             )
         )
-    refs = list(
-        edges.select_columns(["src", "dst"]).materialize().to_arrow_refs()
-    )
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if closure == "auto":
+        closure = "broadcast" if edges.count() <= 50_000_000 else "shuffle"
+    if closure == "shuffle":
+        return _two_hop_shuffle(edges, n)
+    refs = list(edges.to_arrow_refs())
     if not refs:
         return pa.table(
             {"vid": pa.array([], pa.int64()), "two_hop": pa.array([], pa.int64())}
@@ -501,6 +572,121 @@ def two_hop_size(edges, n: int, *, target_chunk_rows: int = 4_000_000) -> pa.Tab
             "vid": pa.array(vid[order].astype(np.int64)),
             "two_hop": pa.array(cnt[order].astype(np.int64)),
         }
+    )
+
+
+@ray.remote
+def _outdeg_partial(t: pa.Table):
+    """O(distinct src) out-degree partial for one edge block — degrees
+    fold on the driver without edge bytes ever leaving the workers."""
+    if t.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    u, c = np.unique(s, return_counts=True)
+    return u.astype(np.int64), c.astype(np.int64)
+
+
+def _two_hop_shuffle(edges: rd.Dataset, n: int) -> pa.Table:
+    """Dataset-native two-hop distinct reach (see :func:`two_hop_size`,
+    ``closure="shuffle"``): in-rows (mid=dst) and out-rows (mid=src)
+    union through ONE mid sort; each group-complete block cross-joins
+    its mids' in-origins × out-targets into fused v·n+w keys, uniqued
+    in-task; a second key sort makes distinctness global and each block
+    emits O(V) per-vertex count partials."""
+    from .engine import expand_ranges
+
+    nn = np.int64(n)
+    out_schema = pa.schema([("vid", pa.int64()), ("two_hop", pa.int64())])
+    outdeg = np.zeros(n, dtype=np.int64)
+    for u, c in ray.get(
+        [_outdeg_partial.remote(r) for r in edges.to_arrow_refs()]
+    ):
+        np.add.at(outdeg, u, c)
+    if int(outdeg.sum()) == 0:
+        return out_schema.empty_table()
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "mid": np.concatenate([d, s]),
+                "other": np.concatenate([s, d]),
+                # 0 = in-origin v (v -> mid), 1 = out-target w (mid -> w)
+                "tag": np.concatenate(
+                    [np.zeros(len(s), np.int64), np.ones(len(d), np.int64)]
+                ),
+            }
+        )
+
+    key_schema = pa.schema([("key", pa.int64())])
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        """Group-complete in mid, (mid, tag, other)-sorted: per mid the
+        in-origin run [s, m) precedes the out-target run [m, e); expand
+        the cross product vectorized and pre-unique the fused keys."""
+        if t.num_rows == 0:
+            return key_schema.empty_table()
+        mid = t.column("mid").to_numpy(zero_copy_only=False)
+        other = t.column("other").to_numpy(zero_copy_only=False)
+        tg = t.column("tag").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, mid[1:] != mid[:-1]])
+        ends = np.r_[starts[1:], len(mid)]
+        # first out-target position per run (tag sorted within run)
+        mids_pos = starts + np.add.reduceat(1 - tg, starts)
+        # guard: reduceat on an empty trailing slice is never hit here
+        # because starts always indexes a non-empty run
+        nv = mids_pos - starts
+        nw = ends - mids_pos
+        tot = nv * nw
+        live = tot > 0
+        if not live.any():
+            return key_schema.empty_table()
+        st, mp, en = starts[live], mids_pos[live], ends[live]
+        v_idx = expand_ranges(st, mp)  # all in-origin rows of live runs
+        nw_per_v = np.repeat(en - mp, mp - st)
+        w_idx = expand_ranges(
+            np.repeat(mp, mp - st), np.repeat(en, mp - st)
+        )
+        v = np.repeat(other[v_idx], nw_per_v)
+        w = other[w_idx]
+        keep = v != w
+        if not keep.any():
+            return key_schema.empty_table()
+        keys = np.unique(v[keep] * nn + w[keep])
+        return pa.table({"key": keys})
+
+    tagged = edges.map_batches(tag, batch_format="pyarrow")
+    pairs = key_grouped_block_map(
+        tagged.sort(["mid", "tag", "other"]), ["mid"], pair_block
+    )
+
+    partial_schema = pa.schema([("vid", pa.int64()), ("c", pa.int64())])
+
+    def count_block(t: pa.Table) -> pa.Table:
+        """Group-complete in key: every distinct pair lands in exactly
+        one block, so per-vertex distinct counts are pure partials."""
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        uk = np.unique(key)
+        v = (uk // nn).astype(np.int64)
+        uv, cv = np.unique(v, return_counts=True)
+        return pa.table({"vid": uv, "c": cv.astype(np.int64)})
+
+    counts = key_grouped_block_map(pairs.sort(["key"]), ["key"], count_block)
+    reach = np.zeros(n, dtype=np.int64)
+    for t in ray.get(counts.materialize().to_arrow_refs()):
+        if t.num_rows:
+            np.add.at(
+                reach,
+                t.column("vid").to_numpy(zero_copy_only=False),
+                t.column("c").to_numpy(zero_copy_only=False),
+            )
+    vids = np.flatnonzero(outdeg > 0).astype(np.int64)
+    return pa.table(
+        {"vid": pa.array(vids), "two_hop": pa.array(reach[vids])},
+        schema=out_schema,
     )
 
 

@@ -614,6 +614,15 @@ class KatzCentrality(VertexProgram):
         state["x"] = 1.0 + self.alpha * acc
         return _EMPTY_IDS
 
+    def apply_dist(self, state, ids, vals, preds=None):
+        # span-view form of apply(): the whole-array replacement above
+        # can't land through a _SpanState, so reset the slice to the
+        # zero-in-sum value and overwrite the gathered ids in place.
+        sh = state["x"]
+        sh.arr[:] = 1.0
+        sh[ids] = 1.0 + self.alpha * vals
+        return ids
+
     def done(self, completed_iters, frontier_count, params):
         return completed_iters >= params.get("niters", 8)
 

@@ -1488,6 +1488,85 @@ def test_write_partitioned_resume(ray_session, tmp_path):
         sink.read_partitioned(out)
 
 
+def test_curate_corpus_kill_resume(ray_session, tmp_path):
+    """Kill-after-stage-k resume for the long corpus pipeline: seed a
+    directory with the EXACT on-disk state a run killed after finishing
+    k sink partitions leaves behind (those partitions' bytes + _DONE
+    markers, nothing else), re-run curate_corpus_to, and assert the
+    finished partitions are skipped untouched (mtime-stable) while the
+    completed directory is equivalent to an uninterrupted run."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from fogray.datapipes import curate, sink
+
+    base = (
+        "the quick brown fox jumps over a lazy dog and then runs on "
+        "through fields of wheat to find the river where it drinks "
+    ) * 4
+    n = 240
+    docs_t = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": ["s"] * n,
+            # i % 200 plants 40 duplicate pairs for the dedup stage
+            "text": [base + f"tail {i % 200}" for i in range(n)],
+        }
+    )
+    mk = lambda: rd.from_arrow(docs_t).repartition(4)
+    P = 8
+    dir_a = str(tmp_path / "full")
+    dir_b = str(tmp_path / "crash")
+    m_full = curate.curate_corpus_to(
+        mk(), dir_a, sample_max_prefix="ff", num_partitions=P
+    ).to_pandas()
+    assert m_full["skipped"].sum() == 0 and len(m_full) == P
+    full = (
+        sink.read_partitioned(dir_a)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(full) == 200  # dups collapsed, nothing else dropped
+
+    # crash state: first k=3 partitions finished, the rest never begun
+    done_parts = sorted(m_full["part"])[:3]
+    os.makedirs(dir_b, exist_ok=True)
+    for p in done_parts:
+        shutil.copytree(
+            os.path.join(dir_a, f"part={p}"), os.path.join(dir_b, f"part={p}")
+        )
+    mtimes = {
+        p: os.path.getmtime(os.path.join(dir_b, f"part={p}", "data.parquet"))
+        for p in done_parts
+    }
+
+    m2 = (
+        curate.curate_corpus_to(
+            mk(), dir_b, sample_max_prefix="ff", num_partitions=P
+        )
+        .to_pandas()
+        .set_index("part")
+    )
+    assert sorted(m2.index) == sorted(m_full["part"])
+    assert m2["skipped"].sum() == len(done_parts)
+    for p in done_parts:
+        assert m2.loc[p, "skipped"] == 1
+        assert (
+            os.path.getmtime(os.path.join(dir_b, f"part={p}", "data.parquet"))
+            == mtimes[p]
+        )
+    back = (
+        sink.read_partitioned(dir_b)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back.equals(full)
+
+
 def test_token_pmi(ray_session):
     """PMI collocations: exact counts, pmi formula vs hand oracle,
     deterministic ranking."""

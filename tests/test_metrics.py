@@ -184,3 +184,34 @@ def test_weighted_sample_biases_toward_weight(ray_session):
         rd.from_arrow(t).repartition(4), key_col="doc_id", weight_col="w", k=20
     )
     assert 123 in got.column("doc_id").to_pylist()
+
+
+def test_two_hop_shuffle_matches_broadcast(ray_session):
+    """The Dataset-native shuffle path (mid-sort cross-join + global
+    key-sort distinct) must agree exactly with the broadcast-CSR chunk
+    path and a brute-force python oracle, including 0-reach vertices
+    with out-edges."""
+    from fogray.metrics import two_hop_size
+
+    rng = np.random.default_rng(17)
+    n = 60
+    src = rng.integers(0, n, 300).astype(np.int64)
+    dst = rng.integers(0, n, 300).astype(np.int64)
+    m = src != dst
+    # distinct directed pairs (operator contract)
+    keys = np.unique(src[m] * n + dst[m])
+    src, dst = keys // n, keys % n
+    bc = two_hop_size(_edges_ds(src, dst), n, closure="broadcast").to_pandas()
+    sh = two_hop_size(_edges_ds(src, dst), n, closure="shuffle").to_pandas()
+    assert bc.values.tolist() == sh.values.tolist()
+    out = {}
+    adj = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, set()).add(d)
+    for v in sorted(adj):
+        reach = set()
+        for u in adj[v]:
+            reach |= adj.get(u, set())
+        reach.discard(v)
+        out[v] = len(reach)
+    assert dict(zip(bc.vid.tolist(), bc.two_hop.tolist())) == out
