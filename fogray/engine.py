@@ -302,6 +302,28 @@ class EdgeViewActor:
         self._prof_add("apply_view_s", time.perf_counter() - t0)
         return view, {"lo": self.lo, "hi": self.hi}
 
+    def resident_superstep(
+        self, program: VertexProgram, view_refs, direction: str, bounds,
+        make_view: bool,
+    ):
+        """One whole superstep in ONE actor task — scatter + apply +
+        next view — for the common single-actor-per-range layout, where
+        this actor's scatter acc IS the complete partial for its own
+        range (emission-target partitioning). Fusing the apply into the
+        scatter task halves per-superstep task dispatches and keeps the
+        range partial in-process (no plasma round-trip for the acc),
+        which is pure per-superstep fixed cost — the Amdahl term the
+        4N-CPU level pays 4x more often per second than the N level.
+        Values are bit-identical to the two-task path: the acc is
+        computed by the same kernel and applied exactly as
+        resident_apply_view does with one partial."""
+        acc = self.resident_scatter(program, view_refs, direction, bounds)
+        t0 = time.perf_counter()
+        program.apply_dense(self.resident_state, acc)
+        view = program.scatter_view(self.resident_state) if make_view else None
+        self._prof_add("apply_view_s", time.perf_counter() - t0)
+        return view, {"lo": self.lo, "hi": self.hi}
+
     def resident_scatter(
         self, program: VertexProgram, view_refs, direction: str, bounds=None
     ):
@@ -351,17 +373,26 @@ class EdgeViewActor:
                     a, b = int(seg[i]), int(seg[i + 1])
                     if a == b:
                         continue
+                    tg = time.perf_counter()
                     sl = ray.get(r)
+                    tgath = time.perf_counter()
                     arr, use_w, add_c = program.dense_gather(sl)
+                    tf = time.perf_counter()
                     parts[i] = _fused_dense_partial(
                         arr, ks, rel, w, use_w, span, a, b,
                         key_off=int(bounds[i]), ch=ch,
                     )
+                    tdone = time.perf_counter()
+                    self._prof_add("seg_get_s", tgath - tg)
+                    self._prof_add("seg_gather_s", tf - tgath)
+                    self._prof_add("seg_fused_s", tdone - tf)
                     edges_done += b - a
+            tfold = time.perf_counter()
             acc = np.zeros(span, dtype=np.float64)
             for p in parts:
                 if p is not None:
                     acc += p
+            self._prof_add("seg_fold_s", time.perf_counter() - tfold)
         if add_c:
             # constant per-edge term folded in as counts (see
             # _fused_dense_partial): every edge lands in exactly one
@@ -926,7 +957,22 @@ class GraphEngine:
             for o in owners
         ]
         infos: list = []
+        fused = all(len(acts) == 1 for acts in range_actors)
         for it in range(niters):
+            last = it == niters - 1
+            if fused:
+                # single actor per range: the actor's scatter acc is the
+                # complete partial for its own range, so scatter + apply
+                # + next-view run as ONE task (see resident_superstep)
+                nxt_views, infos = [], []
+                for o in owners:
+                    v, i = o.resident_superstep.options(**two).remote(
+                        program, view_refs, FWD, bounds, not last
+                    )
+                    nxt_views.append(v)
+                    infos.append(i)
+                view_refs = nxt_views
+                continue
             partial_futs = [
                 [
                     a.resident_scatter.remote(program, view_refs, FWD, bounds)
@@ -934,7 +980,6 @@ class GraphEngine:
                 ]
                 for acts in range_actors
             ]
-            last = it == niters - 1
             nxt_views, infos = [], []
             for o, pf in zip(owners, partial_futs):
                 v, i = o.resident_apply_view.options(**two).remote(
