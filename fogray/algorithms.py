@@ -52,6 +52,15 @@ def katz(engine: GraphEngine, niters: int = 8, *, ckpt_dir=None, resume=False) -
     )
 
 
+def eigenvector(engine: GraphEngine, niters: int = 4, *, ckpt_dir=None, resume=False) -> RunResult:
+    """Power-iteration eigenvector centrality (unnormalized walk
+    counts; see programs.EigenvectorCentrality). Caller normalizes by
+    max(x) once at the end."""
+    return engine.run(
+        PROGRAMS["eigenvector"], {"niters": niters}, ckpt_dir=ckpt_dir, resume=resume
+    )
+
+
 def ppr(engine: GraphEngine, source: int, niters: int = 10, *, ckpt_dir=None, resume=False) -> RunResult:
     """Personalized PageRank seeded at ``source`` (FOG pagerank
     mechanics; see programs.PersonalizedPageRank)."""

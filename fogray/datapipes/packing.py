@@ -217,6 +217,115 @@ def pack_sequences(ds, *, budget: int = 256, id_col: str = "doc_id", text_col: s
 # ---------------------------------------------------------------------------
 
 
+def _mix_partial_batch(t: pa.Table, source_col: str, text_col: str) -> pa.Table:
+    """Per-batch (source, n_docs, n_tokens) partials: the exact
+    whitespace token-count kernel (:func:`_ntokens_batch`) grouped to
+    one row per distinct source via factorize + bincount — the
+    exchange ships one row per source per block, never documents."""
+    import pandas as pd
+
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    ntok = (
+        _ntokens_batch(t.append_column("__rid", pa.array(np.arange(t.num_rows))),
+                       "__rid", text_col)
+        .column("n_tokens")
+        .to_numpy(zero_copy_only=False)
+    )
+    src = np.asarray(t.column(source_col).to_pylist(), dtype=object)
+    codes, uniq = pd.factorize(src, use_na_sentinel=False)
+    n_docs = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    # float64 bincount weights are exact below 2^53 — token counts are
+    # tiny integers
+    n_tokens = np.bincount(
+        codes, weights=ntok.astype(np.float64), minlength=len(uniq)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(uniq.tolist(), pa.string()),
+            "n_docs": pa.array(n_docs),
+            "n_tokens": pa.array(n_tokens),
+        }
+    )
+
+
+def mixture_weights(
+    ds,
+    *,
+    budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> pa.Table:
+    """Temperature-based source mixing weights for corpus sampling
+    (the multi-source resampling step of LLM pretraining pipelines,
+    e.g. the alpha-smoothed mixing of GPT-3 / XLM-R; public method):
+    per source s, p_s = tokens_s / total_tokens and
+    w_s = sqrt(p_s) / sum(sqrt(p_r)) — alpha = 1/2 upweights small
+    sources — plus the expected token draw for a ``budget``-token
+    epoch.
+
+    Scale shape: per-block partials collapse to one (source, n_docs,
+    n_tokens) row per distinct source (exact int64 counts), the
+    groupby shuffles only those rows, and the final normalization is
+    a driver fold over n_sources rows. The floats are the identical
+    expression over exact integers on both engine and oracle (the
+    repo-wide oracle rule); the 6-decimal round absorbs the one
+    order-sensitive term (the n_sources-long sqrt sum).
+
+    -> (source, n_docs, n_tokens, weight, expected_tokens)."""
+    agg = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(
+            lambda t: _mix_partial_batch(t, source_col, text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .sum(["n_docs", "n_tokens"])
+        .map_batches(
+            lambda t: t.rename_columns(["source", "n_docs", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+    )
+    parts = pa.concat_tables(
+        ray.get(agg.materialize().to_arrow_refs()), promote_options="default"
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.float64()),
+            "expected_tokens": pa.array([], pa.int64()),
+        }
+    )
+    if parts.num_rows == 0:
+        return empty
+    df = parts.to_pandas().sort_values("source").reset_index(drop=True)
+    tok = df["n_tokens"].to_numpy().astype(np.int64)
+    total = int(tok.sum())
+    if total == 0:
+        return empty
+    wraw = np.sqrt(tok.astype(np.float64) / float(total))
+    wn = wraw / wraw.sum()
+    return pa.table(
+        {
+            "source": pa.array(df["source"].tolist(), pa.string()),
+            "n_docs": pa.array(df["n_docs"].to_numpy().astype(np.int64)),
+            "n_tokens": pa.array(tok),
+            "weight": pa.array(sql_round(wn)),
+            "expected_tokens": pa.array(
+                sql_round(wn * float(budget), 0).astype(np.int64)
+            ),
+        }
+    )
+
+
 def _doc_distinct_shingles(texts: list[str], n_words: int):
     """Per-doc DISTINCT shingle hashes for a batch: (flat uint64 hashes,
     doc index per hash) — the multiset from _batch_shingle_hashes

@@ -98,6 +98,24 @@ def q_txt_top_tokens(sf_dir: str) -> pa.Table:
     return text.top_tokens(_docs(sf_dir), k=20)
 
 
+def q_corpus_mix_weights(sf_dir: str) -> pa.Table:
+    """Temperature-based (alpha=1/2) source mixing weights + expected
+    1M-token epoch draws (fogray.datapipes.packing.mixture_weights)."""
+    from . import packing
+    from ..util import sorted_table
+
+    return sorted_table(
+        packing.mixture_weights(_docs(sf_dir), budget=1_000_000), ["source"]
+    )
+
+
+def q_txt_bpe_pairs(sf_dir: str) -> pa.Table:
+    """Top-20 adjacent character pairs within tokens — one BPE
+    tokenizer-training merge-selection round
+    (fogray.datapipes.text.bpe_pairs)."""
+    return text.bpe_pairs(_docs(sf_dir), k=20)
+
+
 def q_agg_hll_users(sf_dir: str) -> pa.Table:
     from . import sketches
 
@@ -1223,6 +1241,8 @@ QUERIES = {
     "txt_langid": q_txt_langid,
     "txt_quality": q_txt_quality,
     "txt_top_tokens": q_txt_top_tokens,
+    "txt_bpe_pairs": q_txt_bpe_pairs,
+    "corpus_mix_weights": q_corpus_mix_weights,
     "txt_cms_tokens": q_txt_cms_tokens,
     "txt_unigram_nll": q_txt_unigram_nll,
     "txt_bigram_nll": q_txt_bigram_nll,
@@ -1769,6 +1789,50 @@ ORACLE_SQL = {
                      * (1.0 - 0.5 * (n_stopwords / GREATEST(nt, 1))), 6)
                    AS q_score
         FROM s ORDER BY doc_id
+    """,
+    "corpus_mix_weights": r"""
+        WITH s AS MATERIALIZED (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(list_filter(
+                        regexp_split_to_array(text, '\s+'),
+                        x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM s),
+        w AS (
+            SELECT source, n_docs, n_tokens,
+                   SQRT(CAST(n_tokens AS DOUBLE) / total) AS wraw
+            FROM s, t
+        ),
+        z AS (SELECT SUM(wraw) AS zsum FROM w)
+        SELECT source, n_docs, n_tokens,
+               ROUND(wraw / zsum, 6) AS weight,
+               CAST(ROUND(wraw / zsum * 1000000.0, 0) AS BIGINT)
+                   AS expected_tokens
+        FROM w, z ORDER BY source
+    """,
+    "txt_bpe_pairs": r"""
+        WITH toks AS MATERIALIZED (
+            SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ),
+        pos AS (
+            SELECT w, unnest(range(length(w) - 1)) AS i
+            FROM toks WHERE length(w) >= 2
+        ),
+        p AS (
+            SELECT substr(w, CAST(i + 1 AS INTEGER), 1) AS c1,
+                   substr(w, CAST(i + 2 AS INTEGER), 1) AS c2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pos GROUP BY 1, 2
+        )
+        SELECT c1, c2, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c1, c2)
+                    AS BIGINT) AS rk
+        FROM p
+        QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, c1, c2) <= 20
+        ORDER BY rk
     """,
     "txt_top_tokens": r"""
         WITH toks AS MATERIALIZED (

@@ -180,6 +180,98 @@ def top_tokens(ds, k: int = 20, text_col: str = "text") -> pa.Table:
     return _block_topk(parts, k)
 
 
+def _bpe_pair_partial_batch(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch adjacent-CHARACTER pair counts within whitespace
+    tokens -> (pk, n) partials with the pair fused into one int64 key
+    (cp1 << 21 | cp2 — code points < 2^21). The whole batch is joined
+    into ONE string with single-space token separators (C-level
+    join/split, no per-row Python), decoded to fixed-width UTF-32 code
+    points, and the pair extraction is a numpy shift-compare — pairs
+    touching the separator are masked out, so only within-token
+    adjacency counts (cross-token and cross-doc pairs never form)."""
+    texts = t.column(text_col).to_pylist()
+    empty = pa.table(
+        {"pk": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if not texts:
+        return empty
+    toks = " ".join(s for s in texts if s).split()
+    if not toks:
+        return empty
+    a = np.frombuffer(
+        " ".join(toks).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    if len(a) < 2:
+        return empty
+    sp = np.int64(ord(" "))
+    c1, c2 = a[:-1], a[1:]
+    valid = (c1 != sp) & (c2 != sp)
+    if not valid.any():
+        return empty
+    key = (c1[valid] << np.int64(21)) | c2[valid]
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({"pk": pa.array(uk), "n": pa.array(cnt.astype(np.int64))})
+
+
+def bpe_pairs(ds, k: int = 20, text_col: str = "text") -> pa.Table:
+    """Top-``k`` most frequent adjacent character pairs within
+    whitespace tokens across the corpus — the greedy pair-selection
+    step of one BPE tokenizer-training merge round (Sennrich et al.
+    2016, public algorithm). Rank by count DESC with (c1, c2) ASC
+    tie-break.
+
+    Scale shape: each block pre-collapses to at most alphabet² fused
+    int64 pair keys (a few hundred rows regardless of block text
+    volume), the groupby shuffles only those keys, and the final rank
+    folds the disjoint groupby output driver-side — bounded by
+    alphabet², never by corpus size. -> (c1, c2, n, rk)."""
+    import ray
+
+    agg = (
+        ds.map_batches(
+            lambda t: _bpe_pair_partial_batch(t, text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("pk")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["pk", "n"]), batch_format="pyarrow"
+        )
+    )
+    parts = pa.concat_tables(
+        ray.get(agg.materialize().to_arrow_refs()), promote_options="default"
+    )
+    empty = pa.table(
+        {
+            "c1": pa.array([], pa.string()),
+            "c2": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+        }
+    )
+    if parts.num_rows == 0:
+        return empty
+    df = parts.to_pandas()
+    pk = df["pk"].to_numpy()
+    # alphabet²-bounded decode — the chr loop runs over distinct pairs,
+    # not corpus tokens
+    df["c1"] = [chr(int(x)) for x in pk >> 21]
+    df["c2"] = [chr(int(x)) for x in pk & ((1 << 21) - 1)]
+    df = (
+        df.sort_values(["n", "c1", "c2"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "c1": pa.array(df["c1"].tolist(), pa.string()),
+            "c2": pa.array(df["c2"].tolist(), pa.string()),
+            "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+            "rk": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # unigram language-model scoring (corpus self-perplexity proxy)
 # ---------------------------------------------------------------------------

@@ -630,6 +630,59 @@ class KatzCentrality(VertexProgram):
         return int(params.get("niters", 8))
 
 
+class EigenvectorCentrality(VertexProgram):
+    """Eigenvector centrality by unnormalized power iteration (von
+    Mises & Pollaczek-Geiringer 1929, public algorithm): fixed-iteration
+    x_{t+1}(v) = sum over in-edges of x_t(u) from x_0 = 1, normalized
+    ONCE at the end by max(x) (power iteration is scale-invariant, so
+    skipping per-round normalization changes nothing but magnitude).
+    With x_0 = 1 and unweighted edges every intermediate x_t(v) is the
+    INTEGER count of t-walks ending at v — exact in float64 while the
+    corpus-wide walk count stays < 2^53, which bounds the default
+    niters=4 far below drift on every driver graph (sf0.01
+    co-occurrence: ~3.5e11 total 4-walks). The final division by the
+    shared max and the 6-decimal round are then bit-identical between
+    engine and SQL oracle. GLOBAL engine, like Katz/SpMV."""
+
+    name = "eigenvector"
+    engine = "global"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        return {"x": np.ones(n, dtype=np.float64)}, None
+
+    def scatter_view(self, state):
+        return {"x": state["x"]}
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["x"][s]
+
+    def dense_gather(self, state):
+        return state["x"], False, 0.0
+
+    def apply(self, state, ids, vals, preds=None):
+        xn = np.zeros(len(state["x"]), dtype=np.float64)
+        xn[ids] = vals
+        state["x"] = xn
+        return ids
+
+    def apply_dense(self, state, acc):
+        state["x"] = acc
+        return _EMPTY_IDS
+
+    def apply_dist(self, state, ids, vals, preds=None):
+        sh = state["x"]
+        sh.arr[:] = 0.0
+        sh[ids] = vals
+        return ids
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= params.get("niters", 4)
+
+    def fixed_iters(self, params):
+        return int(params.get("niters", 4))
+
+
 class BrandesSigma(VertexProgram):
     """One shortest-path-count level of Brandes' betweenness (Brandes
     2001, public algorithm; no FOG counterpart — SURVEY.md 2.4
@@ -782,5 +835,6 @@ PROGRAMS = {
         BrandesSigma(),
         BrandesDelta(),
         KatzCentrality(),
+        EigenvectorCentrality(),
     )
 }

@@ -452,6 +452,52 @@ def q_katz(sf_dir: str) -> pa.Table:
     )
 
 
+def q_eigenvector(sf_dir: str) -> pa.Table:
+    """Eigenvector centrality: 4 fixed power iterations from x0=1
+    (exact integer walk counts — programs.EigenvectorCentrality), then
+    one normalization by max(x). The oracle unrolls the same rounds as
+    materialized CTEs and divides by the same max, so the floats are
+    bit-identical before the shared 6-decimal round."""
+    eng, n = _cooc_engine(sf_dir)
+    res = alg.eigenvector(eng, niters=4)
+    ids = _touched(eng)
+    x = res.state["x"][ids]
+    m = float(x.max()) if len(x) else 1.0
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "eig": sql_round(x / (m if m > 0 else 1.0)),
+        }
+    )
+
+
+def _eigenvector_sql(niters: int = 4) -> str:
+    """Unrolled power-iteration mirror: k{i}(v) = Σ k{i-1} over
+    in-edges from k0 = 1, normalized by MAX at the end (identical
+    float division on identical exact-integer walk counts)."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+        touched AS MATERIALIZED (SELECT DISTINCT src AS vid FROM edges),
+        k0 AS (SELECT vid, CAST(1.0 AS DOUBLE) AS x FROM touched)"""
+    ]
+    for i in range(1, niters + 1):
+        parts.append(f"""k{i} AS MATERIALIZED (
+            SELECT t.vid, COALESCE(SUM(p.x), 0.0) AS x
+            FROM touched t
+            LEFT JOIN edges e ON e.dst = t.vid
+            LEFT JOIN k{i - 1} p ON p.vid = e.src
+            GROUP BY t.vid)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT vid,
+               ROUND(x / GREATEST((SELECT MAX(x) FROM k{niters}), 1e-300),
+                     6) AS eig
+        FROM k{niters} ORDER BY vid
+    """
+    )
+
+
 def _katz_sql(niters: int = 8) -> str:
     """Unrolled Katz mirror: k{i}(v) = 1 + (1/256)·Σ k{i-1} over
     in-edges, one materialized CTE per iteration."""
@@ -1357,6 +1403,7 @@ ORACLE_SQL: dict[str, str] = {
     "mis": _mis_sql(12),
     "betweenness": _betweenness_sql(4, 6),
     "katz": _katz_sql(8),
+    "eigenvector": _eigenvector_sql(4),
     "modularity": f"""
         WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
         m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
@@ -1673,6 +1720,7 @@ QUERIES = {
     "mis": q_mis,
     "betweenness": q_betweenness,
     "katz": q_katz,
+    "eigenvector": q_eigenvector,
     "sssp_tree": q_sssp_tree,
     "spmv": q_spmv,
     "triangle_count": q_triangle_count,

@@ -115,6 +115,18 @@ def test_katz(engines, name):
 
 
 @pytest.mark.parametrize("name", GRAPHS)
+def test_eigenvector(engines, name):
+    """Dist-engine parity for unnormalized power iteration (exact
+    integer walk counts from x0=1 — programs.EigenvectorCentrality)."""
+    eng, (src, dst, w, n) = engines[name]
+    res = alg.eigenvector(eng, niters=4)
+    x = np.ones(n, dtype=np.float64)
+    for _ in range(4):
+        x = np.bincount(dst, weights=x[src], minlength=n)
+    np.testing.assert_array_equal(res.state["x"], x)
+
+
+@pytest.mark.parametrize("name", GRAPHS)
 def test_ppr(engines, name):
     """Dist-engine parity for personalized PageRank (FOG pagerank
     mechanics seeded at one source, 10 fixed iterations)."""
