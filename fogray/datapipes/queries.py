@@ -520,6 +520,17 @@ def q_txt_repetition(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id"])
 
 
+def q_txt_pii(sf_dir: str) -> pa.Table:
+    """Email/phone PII redaction (fogray.datapipes.text.pii_scrub) over
+    the deterministic injection fixture — counts, redacted length and
+    redacted-text md5 per document, all RE2 kernels mirrored 1:1 by the
+    DuckDB oracle."""
+    from ..util import sorted_table
+
+    t = _collect(text.pii_scrub(_docs(sf_dir), inject=True))
+    return sorted_table(t, ["doc_id"])
+
+
 def q_evt_funnel(sf_dir: str) -> pa.Table:
     """Per-user ordered conversion funnel
     (fogray.datapipes.streams.funnel): first view, first click strictly
@@ -1274,6 +1285,7 @@ QUERIES = {
     "corpus_pack": q_corpus_pack,
     "txt_decontaminate": q_txt_decontaminate,
     "txt_repetition": q_txt_repetition,
+    "txt_pii_scrub": q_txt_pii,
     "evt_funnel": q_evt_funnel,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
@@ -2399,6 +2411,41 @@ ORACLE_SQL = {
                CAST(n_distinct AS BIGINT) AS n_distinct,
                ROUND(1 - n_distinct / n_bigrams, 6) AS rep_ratio
         FROM cnt ORDER BY doc_id
+    """,
+    "txt_pii_scrub": r"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || doc_id || '@mail.example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call 555-010-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS t
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   regexp_replace(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1
+            FROM inj
+        ),
+        p AS (
+            SELECT doc_id, n_emails,
+                   CAST(length(regexp_extract_all(
+                       t1, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b',
+                                  '[PHONE]', 'g') AS t2
+            FROM e
+        )
+        SELECT doc_id, n_emails, n_phones,
+               CAST(length(t2) AS BIGINT) AS red_len, md5(t2) AS red_md5
+        FROM p ORDER BY doc_id
     """,
     "evt_funnel": """
         WITH v AS (SELECT user_id, MIN(ts) AS ts_view FROM events

@@ -1001,3 +1001,78 @@ def token_pmi(ds, *, k: int = 50, text_col: str = "text") -> pa.Table:
             "rk": pa.array(np.arange(1, len(merged) + 1, dtype=np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / phone redaction)
+# ---------------------------------------------------------------------------
+
+#: RE2 patterns — identical semantics in pyarrow.compute (RE2) and DuckDB
+#: regexp_* (RE2), so the scrubber is exactly SQL-mirrorable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def inject_pii_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic PII fixture (the synthetic corpus has none): docs
+    with doc_id % 3 == 0 get one email appended, doc_id % 5 == 0 one
+    phone number — both derived from doc_id so the SQL oracle rebuilds
+    the identical strings and the scrubber is gated on text that
+    actually matches. Vectorized (numpy string kernels, no row loop)."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    sid = ids.astype(np.str_)
+    email = np.where(
+        ids % 3 == 0,
+        np.char.add(np.char.add(" contact user", sid), "@mail.example.com"),
+        "",
+    )
+    tail = np.char.zfill((ids % 10000).astype(np.str_), 4)
+    phone = np.where(
+        ids % 5 == 0, np.char.add(" call 555-010-", tail), ""
+    )
+    joined = pc.binary_join_element_wise(
+        t.column(text_col).cast(pa.string()),
+        pa.array(email, pa.string()),
+        pa.array(phone, pa.string()),
+        "",
+    )
+    return t.set_column(
+        t.schema.get_field_index(text_col), text_col, joined
+    )
+
+
+def pii_scrub_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, text, ...) -> (doc_id, n_emails, n_phones, red_len,
+    red_md5): count and redact emails first (``[EMAIL]``), then phone
+    numbers (``[PHONE]``) on the email-redacted text — the order is the
+    contract (an email's digits can never be double-counted as a
+    phone). Pure RE2 kernels; counts are non-overlapping matches, the
+    same rule as DuckDB's regexp_extract_all."""
+    txt = t.column(text_col).cast(pa.string())
+    n_emails = pc.count_substring_regex(txt, EMAIL_RE).cast(pa.int64())
+    t1 = pc.replace_substring_regex(txt, EMAIL_RE, "[EMAIL]")
+    n_phones = pc.count_substring_regex(t1, PHONE_RE).cast(pa.int64())
+    t2 = pc.replace_substring_regex(t1, PHONE_RE, "[PHONE]")
+    red_len = pc.utf8_length(t2).cast(pa.int64())
+    md5s = [hashlib.md5(s.encode()).hexdigest() for s in t2.to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "red_len": red_len,
+            "red_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
+def pii_scrub(ds, text_col: str = "text", inject: bool = False):
+    """Email/phone redaction over a documents Dataset. ``inject=True``
+    prepends the deterministic PII fixture stage (tests/bench only)."""
+    if inject:
+        ds = ds.map_batches(
+            lambda t: inject_pii_batch(t, text_col), batch_format="pyarrow"
+        )
+    return ds.map_batches(
+        lambda t: pii_scrub_batch(t, text_col), batch_format="pyarrow"
+    )
