@@ -1109,6 +1109,24 @@ def q_graph_walks(sf_dir: str) -> pa.Table:
     )
 
 
+_FANOUT = 4
+
+
+def q_sample_fanout(sf_dir: str) -> pa.Table:
+    """GraphSAGE-layer neighbor sampling over the co-occurrence graph:
+    per-vertex ≤4 out-neighbors by ascending splitmix53((src<<32)^dst)
+    (fogray.walks.sample_fanout) — per-block partial top-k, ONE sort,
+    group-complete global pick. The oracle ranks by the identical
+    staged mod-2^64 HUGEINT splitmix mirror."""
+    from . import walks
+
+    ds, _n = cooccurrence_edges_ds(sf_dir)
+    t = pa.concat_tables(
+        _collect(walks.sample_fanout(ds.select_columns(["src", "dst"]), fanout=_FANOUT))
+    )
+    return sorted_table(t, ["src", "rk"])
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -1603,6 +1621,24 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ktruss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ROUNDS),
     "graph_walks": _walks_oracle_sql(_WALK_STEPS),
+    "sample_fanout": (
+        lambda hv_sql: f"""
+        WITH h AS ({hv_sql}),
+        r AS (
+            SELECT src, dst,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY hv, dst) AS BIGINT) AS rk
+            FROM h
+        )
+        SELECT src, dst, rk FROM r WHERE rk <= {_FANOUT}
+        ORDER BY src, rk
+    """
+    )(
+        _DET_W_SQL[: _DET_W_SQL.rindex("SELECT")].replace(
+            "__EDGES__", f"(SELECT src, dst FROM ({_COOC_SQL}))"
+        )
+        + "SELECT src, dst, f >> 11 AS hv FROM s3"
+    ),
     # assortativity: exact HUGEINT moment sums, then ONE double
     # expression — term-for-term the kernel's float(int) arithmetic
     "assortativity": f"""
@@ -1733,5 +1769,6 @@ QUERIES = {
     "two_hop": q_two_hop,
     "modularity": q_modularity,
     "graph_walks": q_graph_walks,
+    "sample_fanout": q_sample_fanout,
     "scc": q_scc,
 }

@@ -248,3 +248,100 @@ def random_walks(
     return pa.concat_tables(
         [t for t in tabs if t.num_rows], promote_options="default"
     ) if any(t.num_rows for t in tabs) else empty
+
+
+# ---------------------------------------------------------------------------
+# fan-out neighbor sampling (the GraphSAGE layer primitive)
+# ---------------------------------------------------------------------------
+
+
+def _fanout_block(t: pa.Table, fanout: int) -> pa.Table:
+    """Per-src top-``fanout`` by (hv, dst) within one block — used both
+    as the per-block pre-combine (partial top-k) and, after the one
+    (src, hv, dst) sort makes src groups block-complete, as the final
+    global selection. Vectorized: lexsort + group-run positions."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "hv": pa.array([], pa.uint64()),
+            }
+        )
+    src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    if "hv" in t.column_names:
+        hv = t.column("hv").to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        hv = splitmix53((src.astype(np.uint64) << np.uint64(32)) ^ dst.astype(np.uint64))
+    o = np.lexsort((dst, hv, src))
+    src, dst, hv = src[o], dst[o], hv[o]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    sizes = np.diff(np.r_[starts, len(src)])
+    rank = np.arange(len(src), dtype=np.int64) - np.repeat(starts, sizes)
+    keep = rank < fanout
+    return pa.table(
+        {
+            "src": pa.array(src[keep]),
+            "dst": pa.array(dst[keep]),
+            "hv": pa.array(hv[keep], pa.uint64()),
+        }
+    )
+
+
+def sample_fanout(edges, fanout: int = 4) -> "ray.data.Dataset":
+    """Deterministic per-vertex fan-out sampling: for every src keep
+    the ≤``fanout`` out-neighbors with the smallest
+    ``splitmix53((src << 32) ^ dst)`` (ties by dst — splitmix ties are
+    measure-zero but the order must be total). This is the per-layer
+    neighbor sampler a GraphSAGE-style trainer runs over the full edge
+    table each epoch.
+
+    Dataset-native at any scale: each block first pre-combines to its
+    LOCAL per-src top-``fanout`` (the only exchange-volume knob —
+    ≤ fanout rows per (src, block)), then ONE (src, hv, dst) sort makes
+    src groups block-complete and the same kernel picks the global
+    winners. No CSR, no broadcast, no driver-side edge rows; the
+    exchange ships ≤ blocks × fanout rows per vertex.
+
+    -> Dataset (src, dst, rk) with rk 1..fanout by (hv, dst).
+    """
+    import ray.data as rd
+
+    from .derive import key_grouped_block_map
+
+    partial = edges.select_columns(["src", "dst"]).map_batches(
+        lambda t: _fanout_block(t, fanout), batch_format="pyarrow"
+    )
+    merged = key_grouped_block_map(
+        partial.sort(["src", "hv", "dst"]),
+        ["src"],
+        lambda t: _fanout_block(t, fanout),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        hv = t.column("hv").to_numpy(zero_copy_only=False)
+        o = np.lexsort((dst, hv, src))
+        src, dst = src[o], dst[o]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[starts, len(src)])
+        rank = np.arange(len(src), dtype=np.int64) - np.repeat(starts, sizes)
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64)),
+                "dst": pa.array(dst.astype(np.int64)),
+                "rk": pa.array(rank + 1),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
