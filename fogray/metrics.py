@@ -157,21 +157,25 @@ def _full_csr_build(n: int, *tabs):
 
 @ray.remote
 def _aa_rescore(csr_ref, gu: np.ndarray, gv: np.ndarray, max_apex_degree):
-    """Exact float64 Adamic-Adar for the k winning pairs via CSR
-    neighbor intersection — O(k · deg) probes against the plasma CSR,
-    run in a worker so the driver never maps the O(V+E) structure."""
+    """Exact float64 Adamic-Adar (and resource-allocation) for the k
+    winning pairs via CSR neighbor intersection — O(k · deg) probes
+    against the plasma CSR, run in a worker so the driver never maps
+    the O(V+E) structure."""
     offsets, nbrs, _ek, deg = (
         ray.get(csr_ref) if not isinstance(csr_ref, tuple) else csr_ref
     )
     aa = np.zeros(len(gu), dtype=np.float64)
+    ra = np.zeros(len(gu), dtype=np.float64)
     for i in range(len(gu)):
         cu = nbrs[offsets[gu[i]]:offsets[gu[i] + 1]]
         cv = nbrs[offsets[gv[i]]:offsets[gv[i] + 1]]
         common = np.intersect1d(cu, cv, assume_unique=True)
         if max_apex_degree is not None:
             common = common[deg[common] <= max_apex_degree]
-        aa[i] = (1.0 / np.log(deg[common].astype(np.float64))).sum()
-    return aa
+        d = deg[common].astype(np.float64)
+        aa[i] = (1.0 / np.log(d)).sum()
+        ra[i] = (1.0 / d).sum()
+    return aa, ra
 
 
 def adamic_adar(
@@ -181,6 +185,7 @@ def adamic_adar(
     k: int = 100,
     max_apex_degree: int | None = None,
     dense_max_vertices: int = 24_000,
+    extra_scores: bool = False,
 ) -> pa.Table:
     """Top-``k`` non-adjacent pairs by common-neighbor count, with the
     Adamic-Adar score. See the module docstring for the dataflow and
@@ -203,15 +208,17 @@ def adamic_adar(
 
     -> pa.Table (u, v, cn, aa, rk), rk 1..k by (cn DESC, u, v).
     """
-    empty = pa.table(
-        {
-            "u": pa.array([], pa.int64()),
-            "v": pa.array([], pa.int64()),
-            "cn": pa.array([], pa.int64()),
-            "aa": pa.array([], pa.float64()),
-            "rk": pa.array([], pa.int64()),
-        }
-    )
+    ecols = {
+        "u": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+        "cn": pa.array([], pa.int64()),
+        "aa": pa.array([], pa.float64()),
+    }
+    if extra_scores:
+        ecols["ra"] = pa.array([], pa.float64())
+        ecols["pref"] = pa.array([], pa.int64())
+    ecols["rk"] = pa.array([], pa.int64())
+    empty = pa.table(ecols)
     if not isinstance(edges, rd.Dataset):
         src, dst = edges
         edges = from_arrow_chunked(
@@ -230,13 +237,15 @@ def adamic_adar(
     ).materialize()
     if n <= dense_max_vertices:
         refs = list(simple.to_arrow_refs())
-        csr_ref, _deg_ref, mass_ref = _full_csr_build.remote(n, *refs)
+        csr_ref, deg_ref, mass_ref = _full_csr_build.remote(n, *refs)
         mass = ray.get(mass_ref)  # O(V) planning array only
         return _dense_adamic_adar(
-            csr_ref, mass, n, k=k, max_apex_degree=max_apex_degree
+            csr_ref, mass, n, k=k, max_apex_degree=max_apex_degree,
+            extra_scores=extra_scores, deg_ref=deg_ref,
         )
     return _sparse_adamic_adar(
-        simple, n, k=k, max_apex_degree=max_apex_degree, empty=empty
+        simple, n, k=k, max_apex_degree=max_apex_degree, empty=empty,
+        extra_scores=extra_scores,
     )
 
 
@@ -247,6 +256,7 @@ def _sparse_adamic_adar(
     k: int,
     max_apex_degree: int | None,
     empty: pa.Table,
+    extra_scores: bool = False,
 ) -> pa.Table:
     """Wedge-partial sort regime, fully Dataset-native (the 100-TB
     shape — NO CSR or broadcast adjacency anywhere): each apex's
@@ -260,7 +270,8 @@ def _sparse_adamic_adar(
     structure resident in any task is one apex group."""
     nn = np.int64(n)
     partial_schema = pa.schema(
-        [("key", pa.int64()), ("cn", pa.int64()), ("aa", pa.float64())]
+        [("key", pa.int64()), ("cn", pa.int64()), ("aa", pa.float64()),
+         ("ra", pa.float64())]
     )
     empty_partial = partial_schema.empty_table()
 
@@ -305,15 +316,21 @@ def _sparse_adamic_adar(
         seconds = nbr[expand_ranges(pos + 1, ends)]
         with np.errstate(divide="ignore"):  # deg-1 runs emit 0 wedges
             w_row = 1.0 / np.log(sizes.astype(np.float64))
-        w_aa = np.repeat(np.repeat(w_row, sizes), wn)
+        r_row = 1.0 / sizes.astype(np.float64)
+        rep = np.repeat(np.arange(len(sizes)), sizes)
+        rep = np.repeat(rep, wn)
+        w_aa = w_row[rep]
+        w_ra = r_row[rep]
         pk = firsts * nn + seconds
         ukey, inv, cnt = np.unique(pk, return_inverse=True, return_counts=True)
         aa = np.bincount(inv, weights=w_aa, minlength=len(ukey))
+        ra = np.bincount(inv, weights=w_ra, minlength=len(ukey))
         return pa.table(
             {
                 "key": ukey.astype(np.int64),
                 "cn": cnt.astype(np.int64),
                 "aa": aa.astype(np.float64),
+                "ra": ra.astype(np.float64),
             }
         )
 
@@ -330,6 +347,7 @@ def _sparse_adamic_adar(
                 "key": key,
                 "cn": np.full(len(key), -1, dtype=np.int64),
                 "aa": np.zeros(len(key), dtype=np.float64),
+                "ra": np.zeros(len(key), dtype=np.float64),
             },
             schema=partial_schema,
         )
@@ -346,12 +364,14 @@ def _sparse_adamic_adar(
         key = t.column("key").to_numpy(zero_copy_only=False)
         cn = t.column("cn").to_numpy(zero_copy_only=False)
         aa = t.column("aa").to_numpy(zero_copy_only=False)
+        ra = t.column("ra").to_numpy(zero_copy_only=False)
         # key-sorted (group-complete): reduceat over boundaries
         bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
         nonadj = np.minimum.reduceat(cn, bounds) != -1
         ukey = key[bounds][nonadj]
         tcn = np.add.reduceat(cn, bounds)[nonadj]
         taa = np.add.reduceat(aa, bounds)[nonadj]
+        tra = np.add.reduceat(ra, bounds)[nonadj]
         if len(ukey) == 0:
             return empty_partial
         order = np.lexsort((ukey, -tcn))[:k]
@@ -360,6 +380,7 @@ def _sparse_adamic_adar(
                 "key": ukey[order].astype(np.int64),
                 "cn": tcn[order].astype(np.int64),
                 "aa": taa[order].astype(np.float64),
+                "ra": tra[order].astype(np.float64),
             }
         )
 
@@ -375,17 +396,41 @@ def _sparse_adamic_adar(
     key = tops.column("key").to_numpy(zero_copy_only=False)
     cn = tops.column("cn").to_numpy(zero_copy_only=False)
     aa = tops.column("aa").to_numpy(zero_copy_only=False)
+    ra = tops.column("ra").to_numpy(zero_copy_only=False)
     order = np.lexsort((key, -cn))[:k]
-    key, cn, aa = key[order], cn[order], aa[order]
-    return pa.table(
-        {
-            "u": pa.array((key // nn).astype(np.int64)),
-            "v": pa.array((key % nn).astype(np.int64)),
-            "cn": pa.array(cn.astype(np.int64)),
-            "aa": pa.array(sql_round(aa)),
-            "rk": pa.array(np.arange(1, len(key) + 1, dtype=np.int64)),
-        }
-    )
+    key, cn, aa, ra = key[order], cn[order], aa[order], ra[order]
+    gu = (key // nn).astype(np.int64)
+    gv = (key % nn).astype(np.int64)
+    cols = {
+        "u": pa.array(gu),
+        "v": pa.array(gv),
+        "cn": pa.array(cn.astype(np.int64)),
+        "aa": pa.array(sql_round(aa)),
+    }
+    if extra_scores:
+        # O(V) undirected-degree fold from per-block partials — the
+        # only side array the driver holds, same budget as outdeg.
+        deg = np.zeros(n, dtype=np.int64)
+        for bu, bc in ray.get(
+            [_sym_deg_partial.remote(r) for r in simple.to_arrow_refs()]
+        ):
+            np.add.at(deg, bu, bc)
+        cols["ra"] = pa.array(sql_round(ra))
+        cols["pref"] = pa.array((deg[gu] * deg[gv]).astype(np.int64))
+    cols["rk"] = pa.array(np.arange(1, len(key) + 1, dtype=np.int64))
+    return pa.table(cols)
+
+
+@ray.remote
+def _sym_deg_partial(t: pa.Table):
+    """O(distinct vid) undirected-degree partial for one simple-edge
+    block (each (a, b) row contributes to both endpoints)."""
+    if t.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    u, c = np.unique(np.concatenate([a, b]), return_counts=True)
+    return u.astype(np.int64), c.astype(np.int64)
 
 
 @ray.remote
@@ -449,6 +494,8 @@ def _dense_adamic_adar(
     *,
     k: int,
     max_apex_degree: int | None,
+    extra_scores: bool = False,
+    deg_ref=None,
 ) -> pa.Table:
     """Broadcast-regime AA (see :func:`adamic_adar`): the O(V+E) CSR
     lives in plasma (worker-built, workers map it zero-copy), two-hop
@@ -479,16 +526,19 @@ def _dense_adamic_adar(
     cnt = np.concatenate([p[2] for p in parts])
     order = np.lexsort((gv, gu, -cnt))[:k]
     gu, gv, cnt = gu[order], gv[order], cnt[order]
-    aa = ray.get(_aa_rescore.remote(csr_ref, gu, gv, max_apex_degree))
-    return pa.table(
-        {
-            "u": pa.array(gu),
-            "v": pa.array(gv),
-            "cn": pa.array(cnt),
-            "aa": pa.array(sql_round(aa)),
-            "rk": pa.array(np.arange(1, len(gu) + 1, dtype=np.int64)),
-        }
-    )
+    aa, ra = ray.get(_aa_rescore.remote(csr_ref, gu, gv, max_apex_degree))
+    cols = {
+        "u": pa.array(gu),
+        "v": pa.array(gv),
+        "cn": pa.array(cnt),
+        "aa": pa.array(sql_round(aa)),
+    }
+    if extra_scores:
+        deg = ray.get(deg_ref)
+        cols["ra"] = pa.array(sql_round(ra))
+        cols["pref"] = pa.array((deg[gu] * deg[gv]).astype(np.int64))
+    cols["rk"] = pa.array(np.arange(1, len(gu) + 1, dtype=np.int64))
+    return pa.table(cols)
 
 
 def two_hop_size(

@@ -800,6 +800,22 @@ def q_adamic_adar(sf_dir: str) -> pa.Table:
 
 
 _AA_K = 100
+_LP_K = 50
+
+
+def q_link_predict(sf_dir: str) -> pa.Table:
+    """Link-prediction score suite over the simple co-occurrence graph:
+    the top-50 non-adjacent pairs by common-neighbor count with
+    Adamic-Adar, resource-allocation (Σ 1/deg over common neighbors)
+    and preferential-attachment (deg·deg) scores
+    (fogray.metrics.adamic_adar with extra_scores — same dataflow, two
+    more fold columns and one O(V) degree fold)."""
+    from .metrics import adamic_adar
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return adamic_adar(
+        ds.select_columns(["src", "dst"]), n, k=_LP_K, extra_scores=True
+    )
 
 
 def q_two_hop(sf_dir: str) -> pa.Table:
@@ -1686,6 +1702,36 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, u, v) AS BIGINT) AS rk
         FROM agg QUALIFY rk <= {_AA_K} ORDER BY rk
     """,
+    "link_predict": f"""
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        ),
+        sym AS MATERIALIZED (
+            SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        ),
+        deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY 1),
+        wedge AS (
+            SELECT s1.b AS u, s2.b AS v, s1.a AS apex
+            FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s1.b < s2.b
+        ),
+        agg AS (
+            SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS cn,
+                   SUM(1.0 / ln(CAST(deg.c AS DOUBLE))) AS aa,
+                   SUM(1.0 / CAST(deg.c AS DOUBLE)) AS ra
+            FROM wedge w
+            JOIN deg ON deg.v = w.apex
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.a = w.u AND und.b = w.v)
+            GROUP BY w.u, w.v
+        )
+        SELECT a.u, a.v, a.cn, ROUND(a.aa, 6) AS aa, ROUND(a.ra, 6) AS ra,
+               CAST(du.c * dv.c AS BIGINT) AS pref,
+               CAST(ROW_NUMBER() OVER (ORDER BY a.cn DESC, a.u, a.v)
+                    AS BIGINT) AS rk
+        FROM agg a JOIN deg du ON du.v = a.u JOIN deg dv ON dv.v = a.v
+        QUALIFY rk <= {_LP_K} ORDER BY rk
+    """,
     "scan_similarity": f"""
         WITH und AS MATERIALIZED (
             SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -1766,6 +1812,7 @@ QUERIES = {
     "ktruss": q_ktruss,
     "assortativity": q_assortativity,
     "adamic_adar": q_adamic_adar,
+    "link_predict": q_link_predict,
     "two_hop": q_two_hop,
     "modularity": q_modularity,
     "graph_walks": q_graph_walks,

@@ -114,6 +114,36 @@ def test_adamic_adar_sparse_path_matches_dense(ray_session):
         sc[["u", "v", "cn", "rk"]].values.tolist()
 
 
+def test_link_predict_extra_scores_both_regimes(ray_session):
+    """extra_scores=True (ra + pref) must agree between the dense CSR
+    regime and the wedge-partial sort regime, and with brute force."""
+    import math
+
+    rng = np.random.default_rng(7)
+    n = 28
+    src = rng.integers(0, n, 100)
+    dst = rng.integers(0, n, 100)
+    dense = adamic_adar(_edges_ds(src, dst), n, k=10, extra_scores=True).to_pandas()
+    sparse = adamic_adar(
+        _edges_ds(src, dst), n, k=10, extra_scores=True, dense_max_vertices=0
+    ).to_pandas()
+    assert list(dense.columns) == ["u", "v", "cn", "aa", "ra", "pref", "rk"]
+    assert dense[["u", "v", "cn", "pref", "rk"]].values.tolist() == \
+        sparse[["u", "v", "cn", "pref", "rk"]].values.tolist()
+    assert np.allclose(dense["ra"], sparse["ra"], atol=2e-6)
+    # brute-force ra / pref for the winners
+    adj = {u: set() for u in range(n)}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {u: len(adj[u]) for u in range(n)}
+    for row in dense.itertuples():
+        common = adj[row.u] & adj[row.v]
+        assert row.ra == pytest.approx(sum(1.0 / deg[w] for w in common), abs=2e-6)
+        assert row.pref == deg[row.u] * deg[row.v]
+
+
 def test_adamic_adar_apex_cap(ray_session):
     # star + one extra edge: hub 0 has degree 4; capping below that
     # removes every wedge through the hub
