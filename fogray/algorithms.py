@@ -46,6 +46,19 @@ def spmv(engine: GraphEngine, *, ckpt_dir=None, resume=False) -> RunResult:
     return engine.run(PROGRAMS["spmv"], {}, ckpt_dir=ckpt_dir, resume=resume)
 
 
+def wpagerank(
+    engine: GraphEngine, wsum, niters: int = 10, *, ckpt_dir=None, resume=False
+) -> RunResult:
+    """Weighted FOG-semantics PageRank (programs.WeightedPageRank);
+    ``wsum`` is the O(V) per-vertex out-weight sum (exact float64 —
+    co-occurrence weights are integer counts)."""
+    from .programs import WeightedPageRank
+
+    return engine.run(
+        WeightedPageRank(wsum), {"niters": niters}, ckpt_dir=ckpt_dir, resume=resume
+    )
+
+
 def katz(engine: GraphEngine, niters: int = 8, *, ckpt_dir=None, resume=False) -> RunResult:
     return engine.run(
         PROGRAMS["katz"], {"niters": niters}, ckpt_dir=ckpt_dir, resume=resume

@@ -229,6 +229,56 @@ class PersonalizedPageRank(VertexProgram):
         return completed_iters >= params.get("niters", 10)
 
 
+class WeightedPageRank(VertexProgram):
+    """Weighted FOG-semantics PageRank: the same non-standard mechanics
+    as :class:`PageRank` (per-edge teleport 0.15, accumulate-no-reset,
+    self-loops via the unit CTE row, fixed iterations —
+    application/pagerank.hpp:43-128) with every edge's share scaled by
+    its weight: val(u→v) = (0.85·r(u)/wsum(u))·w(u,v) + 0.15, where
+    wsum(u) = Σ_out-edges w. The float association (0.85·r)/wsum·w is
+    written term-for-term like the SQL mirror; wsum is computed once
+    by an O(V) per-block fold and lives IN state so scatter_view stays
+    element-wise (the resident/dist slicing contract)."""
+
+    name = "wpagerank"
+    engine = "global"
+    combine = "sum"
+
+    def __init__(self, wsum=None):
+        self.wsum = None if wsum is None else np.asarray(wsum, dtype=np.float64)
+
+    def init(self, n, outdeg, indeg, **params):
+        if self.wsum is None or len(self.wsum) != n:
+            raise ValueError("WeightedPageRank requires a full wsum array")
+        return {
+            "rank": np.ones(n, dtype=np.float64),
+            "wsum": np.maximum(self.wsum, 1.0),
+        }, None
+
+    def scatter_view(self, state):
+        return {"contrib": 0.85 * state["rank"] / state["wsum"]}
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["contrib"][s] * w + 0.15
+
+    def dense_gather(self, state):
+        return state["contrib"], True, 0.15
+
+    def apply(self, state, ids, vals, preds=None):
+        state["rank"][ids] += vals
+        return ids
+
+    def apply_dense(self, state, acc):
+        state["rank"] += acc
+        return _EMPTY_IDS
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= params.get("niters", 10)
+
+    def fixed_iters(self, params):
+        return int(params.get("niters", 10))
+
+
 class KCoreRound(VertexProgram):
     """ONE degree-recount round of k-core peeling over a SYMMETRIC edge
     set (every edge stored in both directions, as the co-occurrence

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -449,6 +450,42 @@ def q_katz(sf_dir: str) -> pa.Table:
     ids = _touched(eng)
     return pa.table(
         {"vid": ids.astype(np.int64), "katz": sql_round(res.state["x"][ids])}
+    )
+
+
+@ray.remote
+def _wsum_partial(t: pa.Table):
+    """O(distinct src) per-block out-weight-sum partial — the weighted
+    twin of the out-degree fold; float64 sums of integer-valued
+    co-occurrence counts are exact in any order."""
+    if t.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    w = t.column("weight").to_numpy(zero_copy_only=False)
+    u, inv = np.unique(s, return_inverse=True)
+    return u.astype(np.int64), np.bincount(inv, weights=w, minlength=len(u))
+
+
+def q_wpagerank(sf_dir: str) -> pa.Table:
+    """Weighted FOG-semantics PageRank over the co-occurrence graph
+    (fogray.programs.WeightedPageRank): each edge's share is scaled by
+    its co-occurrence weight over the source's total out-weight; 10
+    fixed iterations. wsum comes from an O(V) per-block fold; the
+    oracle's recursive CTE applies the identical per-edge expression."""
+    eng, n = _cooc_engine(sf_dir)
+    ds, _ = cooccurrence_edges_ds(sf_dir)
+    wsum = np.zeros(n, dtype=np.float64)
+    for bu, bw in ray.get(
+        [_wsum_partial.remote(r) for r in ds.to_arrow_refs()]
+    ):
+        np.add.at(wsum, bu, bw)
+    res = alg.wpagerank(eng, wsum, niters=10)
+    ids = _touched(eng)
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "wrank": sql_round(res.state["rank"][ids]),
+        }
     )
 
 
@@ -1402,6 +1439,30 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT v AS vid, ROUND(r, 6) AS rank FROM pr WHERE iter = 10 ORDER BY vid
     """,
+    "wpagerank": f"""
+        WITH RECURSIVE
+        edges AS ({_COOC_SQL}),
+        ws AS (SELECT src, SUM(weight) AS ws FROM edges GROUP BY src),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        mat AS (
+            SELECT e.src AS src, e.dst AS dst, e.weight AS w8, ws.ws AS ws,
+                   FALSE AS selfloop
+            FROM edges e JOIN ws ON ws.src = e.src
+            UNION ALL
+            SELECT v, v, 0.0, 1.0, TRUE FROM verts
+        ),
+        pr(iter, v, r) AS (
+            SELECT 0, v, CAST(1.0 AS DOUBLE) FROM verts
+            UNION ALL
+            SELECT pr.iter + 1, mat.dst,
+                   SUM(CASE WHEN mat.selfloop THEN pr.r
+                            ELSE 0.85 * pr.r / mat.ws * mat.w8 + 0.15 END)
+            FROM pr JOIN mat ON mat.src = pr.v
+            WHERE pr.iter < 10
+            GROUP BY pr.iter + 1, mat.dst
+        )
+        SELECT v AS vid, ROUND(r, 6) AS wrank FROM pr WHERE iter = 10 ORDER BY vid
+    """,
     "connected_components": f"""
         WITH RECURSIVE
         edges AS (SELECT src, dst FROM ({_COOC_SQL})),
@@ -1789,6 +1850,7 @@ QUERIES = {
     "graph_meta": q_graph_meta,
     "out_degrees": q_out_degrees,
     "pagerank": q_pagerank,
+    "wpagerank": q_wpagerank,
     "ppr": q_ppr,
     "hits": q_hits,
     "kcore": q_kcore,
