@@ -380,6 +380,45 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def q_emb_gram(sf_dir: str) -> pa.Table:
+    """Distributed Gram matrix over the embedding corpus: each block
+    computes its (dim × dim) XᵀX partial with ONE float64 matmul (the
+    covariance/PCA building block — partial-sum map_batches, tiny
+    driver fold of #blocks dim² arrays, upper triangle reported).
+    The exchange is blocks × dim² floats regardless of corpus size."""
+    from ..util import list_col_matrix
+
+    emb = _embs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.list_(pa.float64()))})
+        x = list_col_matrix(t.column("embedding"), np.float64)
+        g = x.T @ x
+        return pa.table({"g": pa.array([g.ravel()], pa.list_(pa.float64()))})
+
+    parts = _collect(emb.map_batches(partial, batch_format="pyarrow"))
+    mats = [np.asarray(v) for v in parts.column("g").to_pylist()]
+    if not mats:
+        return pa.table(
+            {"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+             "g": pa.array([], pa.float64())}
+        )
+    total = np.sum(mats, axis=0)
+    dim = int(round(len(total) ** 0.5))
+    g = total.reshape(dim, dim)
+    iu, ju = np.triu_indices(dim)
+    from ..util import sql_round
+
+    return pa.table(
+        {
+            "i": pa.array((iu + 1).astype(np.int64)),
+            "j": pa.array((ju + 1).astype(np.int64)),
+            "g": pa.array(sql_round(g[iu, ju]), pa.float64()),
+        }
+    )
+
+
 def q_emb_kmeans(sf_dir: str) -> pa.Table:
     """Distributed k-means cluster profile over the embedding corpus:
     the IVF coarse quantizer's Lloyd loop (partial-sum map_batches per
@@ -529,6 +568,16 @@ def q_txt_pii(sf_dir: str) -> pa.Table:
 
     t = _collect(text.pii_scrub(_docs(sf_dir), inject=True))
     return sorted_table(t, ["doc_id"])
+
+
+def q_txt_chunk(sf_dir: str) -> pa.Table:
+    """Overlapping token-window chunking (16-token windows, stride 12 —
+    fogray.datapipes.text.chunk_documents), the RAG/context-packing
+    flat_map; windows hash via single-space re-join."""
+    from ..util import sorted_table
+
+    t = _collect(text.chunk_documents(_docs(sf_dir)))
+    return sorted_table(t, ["doc_id", "chunk_id"])
 
 
 def q_evt_funnel(sf_dir: str) -> pa.Table:
@@ -1276,6 +1325,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "emb_kmeans": q_emb_kmeans,
+    "emb_gram": q_emb_gram,
     "mm_features": q_mm_features,
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
@@ -1286,6 +1336,7 @@ QUERIES = {
     "txt_decontaminate": q_txt_decontaminate,
     "txt_repetition": q_txt_repetition,
     "txt_pii_scrub": q_txt_pii,
+    "txt_chunk": q_txt_chunk,
     "evt_funnel": q_evt_funnel,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
@@ -2300,6 +2351,16 @@ ORACLE_SQL = {
                    {_EMB_D.replace('embedding', 'b.embedding')}) >= 0.4
         ORDER BY va, vb
     """,
+    "emb_gram": f"""
+        WITH x AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT a.i AS i, b.i AS j, ROUND(SUM(a.v * b.v), 6) AS g
+        FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "ann_topk": f"""
         WITH q AS (
             SELECT vec_id AS qid, {_EMB_D} AS qe FROM embeddings WHERE vec_id < 10
@@ -2446,6 +2507,25 @@ ORACLE_SQL = {
         SELECT doc_id, n_emails, n_phones,
                CAST(length(t2) AS BIGINT) AS red_len, md5(t2) AS red_md5
         FROM p ORDER BY doc_id
+    """,
+    "txt_chunk": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, 12)) AS start
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(start / 12 AS BIGINT) AS chunk_id,
+               CAST(start AS BIGINT) AS start_tok,
+               CAST(LEAST(16, len(toks) - start) AS BIGINT) AS n_tok,
+               md5(array_to_string(toks[start + 1:start + 16], ' ')) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_id
     """,
     "evt_funnel": """
         WITH v AS (SELECT user_id, MIN(ts) AS ts_view FROM events

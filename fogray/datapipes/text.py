@@ -1076,3 +1076,69 @@ def pii_scrub(ds, text_col: str = "text", inject: bool = False):
     return ds.map_batches(
         lambda t: pii_scrub_batch(t, text_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (RAG / context packing)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12  # overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+def chunk_batch(
+    t: pa.Table,
+    text_col: str = "text",
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> pa.Table:
+    """flat_map one documents batch into overlapping token windows:
+    chunk c covers tokens [c·stride, c·stride + window) for every
+    start < n_tokens (whitespace tokens, empties dropped — the same
+    rule as ``list_filter(regexp_split_to_array(text, '\\s+'),
+    x -> x <> '')``). Emits (doc_id, chunk_id, start_tok, n_tok,
+    chunk_md5) where chunk_md5 hashes the single-space re-join of the
+    window (whitespace-normalized, like the fingerprint ops). Token
+    splitting is per-document (same budget as md5_fingerprint_batch);
+    a 100-TB corpus runs this inside map_batches, so the loop is over
+    one batch's docs, never the corpus."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_tok", pa.int64()),
+            ("chunk_md5", pa.string()),
+        ]
+    )
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    docs, chunks, starts, ntoks, md5s = [], [], [], [], []
+    for did, s in zip(ids, t.column(text_col).to_pylist()):
+        toks = s.split()
+        for c, start in enumerate(range(0, len(toks), stride)):
+            win = toks[start:start + window]
+            docs.append(did)
+            chunks.append(c)
+            starts.append(start)
+            ntoks.append(len(win))
+            md5s.append(hashlib.md5(" ".join(win).encode()).hexdigest())
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "chunk_id": pa.array(chunks, pa.int64()),
+            "start_tok": pa.array(starts, pa.int64()),
+            "n_tok": pa.array(ntoks, pa.int64()),
+            "chunk_md5": pa.array(md5s, pa.string()),
+        },
+        schema=out_schema,
+    )
+
+
+def chunk_documents(ds, text_col: str = "text", window: int = CHUNK_TOKENS,
+                    stride: int = CHUNK_STRIDE):
+    return ds.map_batches(
+        lambda t: chunk_batch(t, text_col, window, stride),
+        batch_format="pyarrow",
+    )

@@ -884,3 +884,94 @@ def partition_modularity(edges, labels_ref) -> pa.Table:
             "m2": pa.array([m2], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# edge reciprocity (directed graphs)
+# ---------------------------------------------------------------------------
+
+
+def edge_reciprocity(edges) -> pa.Table:
+    """Reciprocity of a DIRECTED distinct edge set (self-loops already
+    dropped): the fraction of directed edges whose reverse edge also
+    exists. Dataset-native: each block pre-combines its rows into
+    (min, max) unordered-pair counts, ONE (a, b) sort makes every pair
+    group-complete, each block emits a single (n_edges, n_recip)
+    partial, and the driver folds O(blocks) rows — no adjacency
+    structure anywhere. A pair group's total count is 1 (one-way) or 2
+    (reciprocated) because the input is distinct and loop-free.
+
+    -> pa.Table 1 row: (n_edges, n_recip, reciprocity) with
+    reciprocity = round(n_recip / n_edges, 6).
+    """
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        key = np.stack([a, b])
+        u, cnt = np.unique(key, axis=1, return_counts=True)
+        return pa.table(
+            {"a": u[0], "b": u[1], "c": cnt.astype(np.int64)}, schema=pair_schema
+        )
+
+    part_schema = pa.schema([("n_edges", pa.int64()), ("n_recip", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        key = a * (b.max() + 1) + b if len(a) else a
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        c = c[order]
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tot = np.add.reduceat(c, bounds)
+        return pa.table(
+            {
+                "n_edges": pa.array([int(tot.sum())], pa.int64()),
+                "n_recip": pa.array([int((tot[tot == 2]).sum())], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    parts = pa.concat_tables(
+        ray.get(
+            key_grouped_block_map(
+                edges.select_columns(["src", "dst"])
+                .map_batches(pairs, batch_format="pyarrow")
+                .sort(["a", "b"]),
+                ["a", "b"],
+                fold,
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    n_edges = int(pa.compute.sum(parts.column("n_edges")).as_py() or 0)
+    n_recip = int(pa.compute.sum(parts.column("n_recip")).as_py() or 0)
+    ratio = sql_round(np.array([n_recip / n_edges if n_edges else 0.0]))
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_recip": pa.array([n_recip], pa.int64()),
+            "reciprocity": pa.array(ratio, pa.float64()),
+        }
+    )

@@ -1180,6 +1180,21 @@ def q_sample_fanout(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["src", "rk"])
 
 
+def q_reciprocity(sf_dir: str) -> pa.Table:
+    """Edge reciprocity of the DIRECTED part-sequence graph
+    (fogray.metrics.edge_reciprocity): block-local unordered-pair
+    pre-combine, ONE (a, b) sort, O(blocks) scalar partials."""
+    from .metrics import edge_reciprocity
+
+    t = sequence_edges(sf_dir)
+    return edge_reciprocity(
+        (
+            t.column("src").to_numpy(zero_copy_only=False),
+            t.column("dst").to_numpy(zero_copy_only=False),
+        )
+    )
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -1825,6 +1840,20 @@ ORACLE_SQL: dict[str, str] = {
         JOIN deg db ON db.v = und.b
         ORDER BY u, v
     """,
+    "reciprocity": f"""
+        WITH e AS ({_SEQ_SQL}),
+        p AS (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(c) AS BIGINT) AS n_edges,
+               CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 2 ELSE 0 END), 0)
+                    AS BIGINT) AS n_recip,
+               ROUND(CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 2 ELSE 0 END), 0)
+                          AS DOUBLE) / SUM(c), 6) AS reciprocity
+        FROM p
+    """,
     "scc": f"""
         WITH RECURSIVE
         edges AS ({_SEQ_SQL}),
@@ -1880,4 +1909,5 @@ QUERIES = {
     "graph_walks": q_graph_walks,
     "sample_fanout": q_sample_fanout,
     "scc": q_scc,
+    "reciprocity": q_reciprocity,
 }
