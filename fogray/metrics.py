@@ -975,3 +975,102 @@ def edge_reciprocity(edges) -> pa.Table:
             "reciprocity": pa.array(ratio, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle counting (the butterfly/C4 motif)
+# ---------------------------------------------------------------------------
+
+
+def four_cycles(edges, n: int) -> pa.Table:
+    """Exact count of 4-cycles in the simple undirected graph:
+    C4 = ½ Σ_{unordered pairs {u,v}} C(cn(u,v), 2) — every 4-cycle
+    u–w–v–x–u is determined by a diagonal pair {u,v} plus two of its
+    common neighbors, and has exactly two diagonals, hence the ½.
+
+    Same Dataset-native wedge dataflow as the sparse adamic-adar path
+    (ONE (apex, nbr) sort → group-complete per-apex wedge expansion with
+    in-block per-pair pre-combine → ONE pair-key sort → group-complete
+    Σ C(cn, 2) scalar partials), except adjacent pairs are KEPT (a
+    4-cycle's diagonal may be an edge) so no marker union is needed.
+    The driver folds O(blocks) int rows (Python ints — overflow-proof).
+
+    -> pa.Table 1 row: (c4,).
+    """
+    from .engine import expand_ranges
+
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+    normalized = edges.map_batches(_normalize, batch_format="pyarrow").materialize()
+    if normalized.count() == 0:
+        return pa.table({"c4": pa.array([0], pa.int64())})
+    simple = key_grouped_block_map(
+        normalized.sort(["a", "b"]), ["a", "b"], _dedup_block
+    )
+    nn = np.int64(n)
+    pair_schema = pa.schema([("key", pa.int64()), ("cn", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "apex": np.concatenate([a, b]).astype(np.int64),
+                "nbr": np.concatenate([b, a]).astype(np.int64),
+            }
+        )
+
+    def wedge_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        apex = t.column("apex").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, apex[1:] != apex[:-1]])
+        sizes = np.diff(np.r_[starts, len(apex)])
+        ends = np.repeat(np.cumsum(sizes), sizes)
+        pos = np.arange(len(nbr), dtype=np.int64)
+        wn = ends - pos - 1
+        if int(wn.sum()) == 0:
+            return pair_schema.empty_table()
+        firsts = np.repeat(nbr, wn)
+        seconds = nbr[expand_ranges(pos + 1, ends)]
+        pk = firsts * nn + seconds
+        ukey, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {"key": ukey.astype(np.int64), "cn": cnt.astype(np.int64)},
+            schema=pair_schema,
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"p": pa.array([], pa.int64())})
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        cn = t.column("cn").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tot = np.add.reduceat(cn, bounds)
+        return pa.table(
+            {"p": pa.array([int((tot * (tot - 1) // 2).sum())], pa.int64())}
+        )
+
+    adj = key_grouped_block_map(
+        simple.map_batches(sym, batch_format="pyarrow").sort(["apex", "nbr"]),
+        ["apex"],
+        wedge_partials,
+    )
+    parts = pa.concat_tables(
+        ray.get(
+            key_grouped_block_map(adj.sort(["key"]), ["key"], fold)
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    total = sum(parts.column("p").to_pylist())  # Python ints
+    return pa.table({"c4": pa.array([total // 2], pa.int64())})

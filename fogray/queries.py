@@ -1180,6 +1180,16 @@ def q_sample_fanout(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["src", "rk"])
 
 
+def q_four_cycles(sf_dir: str) -> pa.Table:
+    """Exact 4-cycle (butterfly diagonal) count over the simple
+    co-occurrence graph (fogray.metrics.four_cycles): the adamic-adar
+    wedge dataflow with adjacent pairs kept, folded to ½ Σ C(cn, 2)."""
+    from .metrics import four_cycles
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return four_cycles(ds.select_columns(["src", "dst"]), n)
+
+
 def q_reciprocity(sf_dir: str) -> pa.Table:
     """Edge reciprocity of the DIRECTED part-sequence graph
     (fogray.metrics.edge_reciprocity): block-local unordered-pair
@@ -1840,6 +1850,25 @@ ORACLE_SQL: dict[str, str] = {
         JOIN deg db ON db.v = und.b
         ORDER BY u, v
     """,
+    "four_cycles": f"""
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        ),
+        sym AS MATERIALIZED (
+            SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        ),
+        wedge AS (
+            SELECT s1.b AS u, s2.b AS v
+            FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s1.b < s2.b
+        ),
+        agg AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM wedge GROUP BY u, v
+        )
+        SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) / 4 AS BIGINT) AS c4
+        FROM agg
+    """,
     "reciprocity": f"""
         WITH e AS ({_SEQ_SQL}),
         p AS (
@@ -1910,4 +1939,5 @@ QUERIES = {
     "sample_fanout": q_sample_fanout,
     "scc": q_scc,
     "reciprocity": q_reciprocity,
+    "four_cycles": q_four_cycles,
 }

@@ -245,3 +245,27 @@ def test_two_hop_shuffle_matches_broadcast(ray_session):
         reach.discard(v)
         out[v] = len(reach)
     assert dict(zip(bc.vid.tolist(), bc.two_hop.tolist())) == out
+
+
+def test_four_cycles_bruteforce(ray_session):
+    """four_cycles vs itertools enumeration on a random simple graph."""
+    from itertools import combinations
+
+    from fogray.metrics import four_cycles
+
+    rng = np.random.default_rng(9)
+    n = 14
+    src = rng.integers(0, n, 60)
+    dst = rng.integers(0, n, 60)
+    adj = {u: set() for u in range(n)}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = 0
+    for u, v in combinations(range(n), 2):
+        c = len(adj[u] & adj[v])
+        want += c * (c - 1) // 2
+    want //= 2
+    got = four_cycles(_edges_ds(src, dst), n).column("c4")[0].as_py()
+    assert got == want
