@@ -368,6 +368,14 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return similarity.ann_topk_bruteforce(_embs(sf_dir), qids, qvecs, k=10)
 
 
+def q_ann_range(sf_dir: str) -> pa.Table:
+    """Cosine range search: all corpus vectors within cosine ≥ 0.35 of
+    the 10 broadcast query vectors
+    (fogray.datapipes.similarity.ann_range_search)."""
+    qids, qvecs = _query_vectors(sf_dir)
+    return similarity.ann_range_search(_embs(sf_dir), qids, qvecs, tau=0.35)
+
+
 def q_ann_ivf(sf_dir: str) -> pa.Table:
     qids, qvecs = _query_vectors(sf_dir)
     return similarity.ann_topk_ivf(
@@ -1323,6 +1331,7 @@ QUERIES = {
     "feat_assemble": q_feat_assemble,
     "dd_embed_cosine": q_dd_embed_cosine,
     "ann_topk": q_ann_topk,
+    "ann_range": q_ann_range,
     "ann_ivf": q_ann_ivf,
     "emb_kmeans": q_emb_kmeans,
     "emb_gram": q_emb_gram,
@@ -2377,6 +2386,19 @@ ORACLE_SQL = {
             FROM s
         )
         SELECT qid, nid, ROUND(sc, 6) AS score FROM r WHERE rn <= 10
+        ORDER BY qid, nid
+    """,
+    "ann_range": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, {_EMB_D} AS qe FROM embeddings WHERE vec_id < 10
+        )
+        SELECT q.qid, e.vec_id AS nid,
+               ROUND(list_cosine_similarity(
+                   q.qe, {_EMB_D.replace('embedding', 'e.embedding')}), 6) AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.qid
+          AND list_cosine_similarity(
+                  q.qe, {_EMB_D.replace('embedding', 'e.embedding')}) >= 0.35
         ORDER BY qid, nid
     """,
     "rel_topk": """

@@ -337,3 +337,56 @@ def ann_topk_ivf(
             "score": pa.array(out_s, type=pa.float64()),
         }
     )
+
+
+def ann_range_search(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine RANGE search (the radius-query twin of
+    :func:`ann_topk_bruteforce`): every (query, vector) pair with
+    cosine ≥ ``tau``, self-matches excluded. The query matrix is
+    broadcast once via ``ray.put``; each block emits only its matching
+    rows (one Q×B matmul, boolean select — the exchange is the result
+    size, never Q×N). -> (qid, nid, score) sorted by (qid, nid)."""
+    qunit = _unit(np.asarray(query_vecs, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((qids, qunit))
+    out_schema = pa.schema(
+        [("qid", pa.int64()), ("nid", pa.int64()), ("score", pa.float64())]
+    )
+
+    def block_range(t: pa.Table) -> pa.Table:
+        q_ids, q_unit = ray.get(qref)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids, vecs = _to_matrix(t, id_col, vec_col)
+        cos = q_unit @ _unit(vecs).T  # Q x B
+        hit = cos >= tau
+        hit &= ids[None, :] != q_ids[:, None]
+        qi, bi = np.nonzero(hit)
+        return pa.table(
+            {
+                "qid": pa.array(q_ids[qi], pa.int64()),
+                "nid": pa.array(ids[bi], pa.int64()),
+                "score": pa.array(sql_round(cos[qi, bi]), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    out = pa.concat_tables(
+        ray.get(
+            emb_ds.map_batches(block_range, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    from ..util import sorted_table
+
+    return sorted_table(out, ["qid", "nid"]) if out.num_rows else out
