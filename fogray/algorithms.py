@@ -134,6 +134,56 @@ def hits(engine: GraphEngine, niters: int = 5) -> RunResult:
     )
 
 
+def salsa(engine: GraphEngine, niters: int = 4) -> RunResult:
+    """SALSA hubs-and-authorities (Lempel & Moran 2000): per iteration
+    an authority half-step auth(v) = Σ_in hub(u)/outdeg(u) on the
+    FORWARD views, then a hub half-step hub(u) = Σ_out auth(v)/indeg(v)
+    on the BACKWARD views, from hub₀ = 1. No normalization — the
+    degree-normalized walk conserves mass (unlike HITS). Zero-outdeg
+    vertices never scatter, so their hub is finalized to the empty-sum
+    0 once at the end (the oracle's COALESCE), exactly like zero-indeg
+    authorities stay 0. The per-vertex hub/outdeg (auth/indeg) arrays
+    are derived ONCE per half-step — an O(V) divide instead of O(E)."""
+    from .dist_engine import DistGraphEngine
+    from .programs import PROGRAMS as _P
+
+    if isinstance(engine, DistGraphEngine):
+        raise NotImplementedError(
+            "salsa's half-step schedule is driven externally; run it on "
+            "fogray.engine.GraphEngine (state is two floats per vertex)"
+        )
+    t_start = time.perf_counter()
+    n = engine.n
+    out_safe = np.maximum(engine.outdeg.astype(np.float64), 1.0)
+    in_safe = np.maximum(engine.indeg.astype(np.float64), 1.0)
+    state = {
+        "hub": np.ones(n, dtype=np.float64),
+        "auth": np.zeros(n, dtype=np.float64),
+    }
+    metrics: list[dict] = []
+    steps = 0
+    for _ in range(niters):
+        state["hub_over_out"] = state["hub"] / out_safe
+        _, m = engine.superstep(_P["salsa_auth"], state, None, FWD)
+        steps += 1
+        m["superstep"] = steps
+        metrics.append(m)
+        state["auth_over_in"] = state["auth"] / in_safe
+        _, m = engine.superstep(_P["salsa_hub"], state, None, BWD)
+        steps += 1
+        m["superstep"] = steps
+        metrics.append(m)
+    state["hub"][engine.outdeg == 0] = 0.0  # empty out-sum
+    return RunResult(
+        state=state,
+        frontier=None,
+        supersteps=steps,
+        metrics=metrics,
+        num_edges=engine.num_edges,
+        wall_seconds=time.perf_counter() - t_start,
+    )
+
+
 def kcore(engine: GraphEngine, k: int, *, max_rounds: int = 10_000) -> RunResult:
     """k-core decomposition by synchronous peeling over a symmetric
     edge set: every round recounts alive-neighbor degrees in one GLOBAL

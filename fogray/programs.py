@@ -403,6 +403,79 @@ class HitsHub(VertexProgram):
         return completed_iters >= 1
 
 
+class SalsaAuth(VertexProgram):
+    """One authority half-step of SALSA (Lempel & Moran 2000, public
+    algorithm): every vertex sends hub/outdeg along out-edges, so each
+    vertex gathers auth(v) = Σ_in hub(u)/outdeg(u) — the random-walk
+    (degree-normalized) twin of HITS. State is managed by
+    :func:`fogray.algorithms.salsa`, which precomputes the per-vertex
+    ``hub_over_out`` array before each half-step (one O(V) divide
+    replaces an O(E) per-edge divide)."""
+
+    name = "salsa_auth"
+    engine = "global"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("SALSA state is managed by fogray.algorithms.salsa")
+
+    def scatter_view(self, state):
+        return {"hub_over_out": state["hub_over_out"]}
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["hub_over_out"][s]
+
+    def dense_gather(self, state):
+        return state["hub_over_out"], False, 0.0
+
+    def apply(self, state, ids, vals, preds=None):
+        a = np.zeros(len(state["auth"]), dtype=np.float64)
+        a[ids] = vals
+        state["auth"] = a
+        return ids
+
+    def apply_dense(self, state, acc):
+        state["auth"] = acc
+        return _EMPTY_IDS
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= 1
+
+
+class SalsaHub(VertexProgram):
+    """One hub half-step of SALSA: hub(u) = Σ_out auth(v)/indeg(v),
+    gathered on the BACKWARD edge views (emission target = src)."""
+
+    name = "salsa_hub"
+    engine = "global"
+    combine = "sum"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("SALSA state is managed by fogray.algorithms.salsa")
+
+    def scatter_view(self, state):
+        return {"auth_over_in": state["auth_over_in"]}
+
+    def scatter(self, state, s, d, w, direction):
+        return s, state["auth_over_in"][d]
+
+    def dense_gather(self, state):
+        return state["auth_over_in"], False, 0.0
+
+    def apply(self, state, ids, vals, preds=None):
+        h = np.zeros(len(state["hub"]), dtype=np.float64)
+        h[ids] = vals
+        state["hub"] = h
+        return ids
+
+    def apply_dense(self, state, acc):
+        state["hub"] = acc
+        return _EMPTY_IDS
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= 1
+
+
 class SpMV(VertexProgram):
     """FOG SpMV — application/spmv.hpp: x=1.0, y=0.0; one GLOBAL
     iteration of y(v) += x(u)*w(u,v); self-loops included."""
@@ -873,6 +946,8 @@ PROGRAMS = {
         PageRank(),
         HitsAuthority(),
         HitsHub(),
+        SalsaAuth(),
+        SalsaHub(),
         SpMV(),
         ConnectedComponents(),
         LabelPropagation(),

@@ -1190,6 +1190,68 @@ def q_four_cycles(sf_dir: str) -> pa.Table:
     return four_cycles(ds.select_columns(["src", "dst"]), n)
 
 
+def q_salsa(sf_dir: str) -> pa.Table:
+    """SALSA hub/authority scores after 4 iterations over the DIRECTED
+    part-sequence graph (fogray.algorithms.salsa: degree-normalized
+    HITS — auth(v) = Σ_in hub/outdeg, hub(u) = Σ_out auth/indeg; no
+    normalization, the walk conserves mass). The oracle unrolls the
+    same half-steps as materialized CTEs with identical per-edge
+    h/outdeg divisions."""
+    eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
+    try:
+        res = alg.salsa(eng, niters=4)
+        ids = _touched(eng)
+        return pa.table(
+            {
+                "vid": ids.astype(np.int64),
+                "hub": sql_round(res.state["hub"][ids]),
+                "auth": sql_round(res.state["auth"][ids]),
+            }
+        )
+    finally:
+        eng.shutdown()
+
+
+def _salsa_sql(niters: int = 4) -> str:
+    """Unrolled SALSA mirror over the sequence graph: a{i}(v) =
+    Σ_in h{i-1}(u)/outdeg(u), h{i}(u) = Σ_out a{i}(v)/indeg(v), from
+    h0 = 1; empty sums COALESCE to 0 (zero-outdeg hubs, zero-indeg
+    authorities)."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED ({_SEQ_SQL}),
+        od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+        idg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY dst),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+        ),
+        h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS h FROM verts)"""
+    ]
+    for i in range(1, niters + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+            SELECT t.v, COALESCE(SUM(p.h / od.d), 0.0) AS a
+            FROM verts t
+            LEFT JOIN edges e ON e.dst = t.v
+            LEFT JOIN od ON od.src = e.src
+            LEFT JOIN h{i - 1} p ON p.v = e.src
+            GROUP BY t.v)""")
+        parts.append(f"""h{i} AS MATERIALIZED (
+            SELECT t.v, COALESCE(SUM(p.a / idg.d), 0.0) AS h
+            FROM verts t
+            LEFT JOIN edges e ON e.src = t.v
+            LEFT JOIN idg ON idg.dst = e.dst
+            LEFT JOIN a{i} p ON p.v = e.dst
+            GROUP BY t.v)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT v AS vid, ROUND(h{niters}.h, 6) AS hub, ROUND(a{niters}.a, 6) AS auth
+        FROM verts JOIN h{niters} USING (v) JOIN a{niters} USING (v)
+        ORDER BY vid
+    """
+    )
+
+
 def q_reciprocity(sf_dir: str) -> pa.Table:
     """Edge reciprocity of the DIRECTED part-sequence graph
     (fogray.metrics.edge_reciprocity): block-local unordered-pair
@@ -1869,6 +1931,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) / 4 AS BIGINT) AS c4
         FROM agg
     """,
+    "salsa": _salsa_sql(4),
     "reciprocity": f"""
         WITH e AS ({_SEQ_SQL}),
         p AS (
@@ -1939,5 +2002,6 @@ QUERIES = {
     "sample_fanout": q_sample_fanout,
     "scc": q_scc,
     "reciprocity": q_reciprocity,
+    "salsa": q_salsa,
     "four_cycles": q_four_cycles,
 }
