@@ -552,7 +552,8 @@ def _combine_edge_credits(simple: rd.Dataset, credits: rd.Dataset) -> rd.Dataset
     )
 
 
-def triangle_per_edge_ds(edges, n: int, closure: str = "auto"):
+def triangle_per_edge_ds(edges, n: int, closure: str = "auto",
+                         simple: "rd.Dataset | None" = None):
     """Per-EDGE common-neighbor (triangle) counts, Dataset-native:
     every closed wedge (apex < first < second in rank order)
     attributes one triangle to each of its THREE edges, so an edge's
@@ -593,7 +594,8 @@ def triangle_per_edge_ds(edges, n: int, closure: str = "auto"):
          "c": pa.array([], pa.int64())}
     )
 
-    simple = _simple_dedup_ds(edges, n)
+    if simple is None:
+        simple = _simple_dedup_ds(edges, n)
     if simple is None:
         return None, np.zeros(n, dtype=np.int64)
     if closure == "auto":
@@ -710,12 +712,18 @@ def ktruss_edges(edges, n: int, k: int, rounds: int = 4, closure: str = "auto"):
     edge arrays); only the FINAL surviving edge set is pulled. Returns
     the canonical (a < b) surviving simple edges."""
     cur = edges
+    cur_simple = None  # rounds >= 2 feed back the ALREADY-canonical
+    # distinct (a, b) survivor Dataset, skipping the normalize +
+    # dedup sort that only round 1's raw input needs (measured ~2x
+    # on the sf0.1 suite entry)
     e0 = np.empty(0, dtype=np.int64)
     thresh = k - 2
     prev_count = None
     survivors = None
     for _ in range(max(1, rounds)):
-        support, _deg = triangle_per_edge_ds(cur, n, closure=closure)
+        support, _deg = triangle_per_edge_ds(
+            cur, n, closure=closure, simple=cur_simple
+        )
         if support is None:
             return e0, e0
 
@@ -733,9 +741,13 @@ def ktruss_edges(edges, n: int, k: int, rounds: int = 4, closure: str = "auto"):
         if n_kept == total:
             break  # fixpoint: every later round is the identity
         prev_count = n_kept
-        cur = survivors.map_batches(
-            lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"
-        )
+        # compact: the filtered survivor Dataset inherits one (mostly
+        # tiny) block per support block; feeding that back multiplies
+        # every per-block fixed cost (CSR-build refs, combine sort) —
+        # a few balanced blocks is the right layout for the next round
+        cur_simple = survivors.repartition(
+            max(1, min(32, -(-n_kept // 100_000)))
+        ).materialize()
     tabs = [
         t for t in ray.get(survivors.to_arrow_refs()) if t.num_rows
     ]
