@@ -1252,6 +1252,47 @@ def _salsa_sql(niters: int = 4) -> str:
     )
 
 
+_SNP_K = 50
+
+
+def q_bib_coupling(sf_dir: str) -> pa.Table:
+    """Bibliographic coupling over the directed sequence graph: top-50
+    src pairs by shared out-neighbors
+    (fogray.metrics.shared_neighbor_pairs, mode="out")."""
+    from .metrics import shared_neighbor_pairs
+
+    t = sequence_edges(sf_dir)
+    return shared_neighbor_pairs(
+        (t.column("src").to_numpy(zero_copy_only=False),
+         t.column("dst").to_numpy(zero_copy_only=False)),
+        _seq_n(t), k=_SNP_K, mode="out",
+    )
+
+
+def q_co_citation(sf_dir: str) -> pa.Table:
+    """Co-citation over the directed sequence graph: top-50 dst pairs
+    by shared in-neighbors (shared_neighbor_pairs, mode="in")."""
+    from .metrics import shared_neighbor_pairs
+
+    t = sequence_edges(sf_dir)
+    return shared_neighbor_pairs(
+        (t.column("src").to_numpy(zero_copy_only=False),
+         t.column("dst").to_numpy(zero_copy_only=False)),
+        _seq_n(t), k=_SNP_K, mode="in",
+    )
+
+
+def _seq_n(t: pa.Table) -> int:
+    if t.num_rows == 0:
+        return 1
+    return int(
+        max(
+            t.column("src").to_numpy(zero_copy_only=False).max(),
+            t.column("dst").to_numpy(zero_copy_only=False).max(),
+        )
+    ) + 1
+
+
 def q_reciprocity(sf_dir: str) -> pa.Table:
     """Edge reciprocity of the DIRECTED part-sequence graph
     (fogray.metrics.edge_reciprocity): block-local unordered-pair
@@ -1932,6 +1973,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM agg
     """,
     "salsa": _salsa_sql(4),
+    "bib_coupling": f"""
+        WITH e AS MATERIALIZED ({_SEQ_SQL}),
+        w AS (
+            SELECT e1.src AS u, e2.src AS v
+            FROM e e1 JOIN e e2 ON e2.dst = e1.dst AND e1.src < e2.src
+        ),
+        agg AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn FROM w GROUP BY 1, 2)
+        SELECT u, v, cn,
+               CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, u, v) AS BIGINT) AS rk
+        FROM agg QUALIFY rk <= {_SNP_K} ORDER BY rk
+    """,
+    "co_citation": f"""
+        WITH e AS MATERIALIZED ({_SEQ_SQL}),
+        w AS (
+            SELECT e1.dst AS u, e2.dst AS v
+            FROM e e1 JOIN e e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        ),
+        agg AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn FROM w GROUP BY 1, 2)
+        SELECT u, v, cn,
+               CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, u, v) AS BIGINT) AS rk
+        FROM agg QUALIFY rk <= {_SNP_K} ORDER BY rk
+    """,
     "reciprocity": f"""
         WITH e AS ({_SEQ_SQL}),
         p AS (
@@ -2002,6 +2065,8 @@ QUERIES = {
     "sample_fanout": q_sample_fanout,
     "scc": q_scc,
     "reciprocity": q_reciprocity,
+    "bib_coupling": q_bib_coupling,
+    "co_citation": q_co_citation,
     "salsa": q_salsa,
     "four_cycles": q_four_cycles,
 }
