@@ -134,6 +134,34 @@ def hits(engine: GraphEngine, niters: int = 5) -> RunResult:
     )
 
 
+def anf_registers(
+    engine: GraphEngine, bucket: np.ndarray, rho: np.ndarray,
+    m: int = 16, hops: int = 2
+) -> np.ndarray:
+    """ANF/HyperBall register propagation: every vertex starts with its
+    own single HLL register (md5-derived bucket + leading-zero-run rho,
+    the repo's integer-exact sketch hashing), and ``hops`` rounds of
+    per-bucket MAX over in-neighbors ∪ self spread them — afterwards
+    register (v, b) holds the max rho of any bucket-b vertex within
+    ``hops`` of v, so the standard HLL estimator on v's row estimates
+    |ball(v, hops)| including v. Runs as m × hops engine supersteps of
+    the MIN machinery on negated registers (exact: registers are small
+    integers in float64). Returns the (n, m) register matrix."""
+    n = engine.n
+    regs = np.zeros((n, m), dtype=np.float64)
+    from .programs import PROGRAMS as _P
+
+    for b in range(m):
+        x = np.zeros(n, dtype=np.float64)
+        mask = bucket == b
+        x[mask] = -rho[mask].astype(np.float64)
+        state = {"reg": x}
+        for _ in range(hops):
+            engine.superstep(_P["anf_min"], state, None, FWD)
+        regs[:, b] = -state["reg"]
+    return regs
+
+
 def salsa(engine: GraphEngine, niters: int = 4) -> RunResult:
     """SALSA hubs-and-authorities (Lempel & Moran 2000): per iteration
     an authority half-step auth(v) = Σ_in hub(u)/outdeg(u) on the

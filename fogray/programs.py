@@ -476,6 +476,37 @@ class SalsaHub(VertexProgram):
         return completed_iters >= 1
 
 
+class AnfMin(VertexProgram):
+    """One max-propagation superstep of the ANF/HyperBall neighborhood
+    function (Palmer et al. 2002 / Boldi et al. 2011, public
+    algorithms) for ONE HLL bucket, expressed through the engine's MIN
+    machinery on NEGATED registers: reg(v) <- min(reg(v), min_in reg(u))
+    with reg = -rho. Driven per (bucket, hop) by
+    :func:`fogray.algorithms.anf_registers`."""
+
+    name = "anf_min"
+    engine = "global"
+    combine = "min"
+
+    def init(self, n, outdeg, indeg, **params):
+        raise RuntimeError("ANF state is managed by fogray.algorithms.anf_registers")
+
+    def scatter_view(self, state):
+        return {"reg": state["reg"]}
+
+    def scatter(self, state, s, d, w, direction):
+        return d, state["reg"][s]
+
+    def apply(self, state, ids, vals, preds=None):
+        cur = state["reg"][ids]
+        take = vals < cur
+        state["reg"][ids[take]] = vals[take]
+        return ids[take]
+
+    def done(self, completed_iters, frontier_count, params):
+        return completed_iters >= 1
+
+
 class SpMV(VertexProgram):
     """FOG SpMV — application/spmv.hpp: x=1.0, y=0.0; one GLOBAL
     iteration of y(v) += x(u)*w(u,v); self-loops included."""
@@ -948,6 +979,7 @@ PROGRAMS = {
         HitsHub(),
         SalsaAuth(),
         SalsaHub(),
+        AnfMin(),
         SpMV(),
         ConnectedComponents(),
         LabelPropagation(),

@@ -1293,6 +1293,65 @@ def _seq_n(t: pa.Table) -> int:
     ) + 1
 
 
+def _md5_bucket_rho(vids: np.ndarray, m_bits: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vid HLL register (bucket, rho) from md5 hex — the identical
+    integer-exact hex-run rule as the sketch oracles (first hex char =
+    bucket over 16; rho = 4·(leading-'0' run of the 31-char tail) +
+    position of the first set bit in the next hex char; 125 caps the
+    all-zero tail). O(V) driver-side at gate scale; a corpus-scale run
+    computes this inside map_batches."""
+    import hashlib
+
+    bucket = np.empty(len(vids), dtype=np.int64)
+    rho = np.empty(len(vids), dtype=np.int64)
+    for i, v in enumerate(vids):
+        hx = hashlib.md5(str(int(v)).encode()).hexdigest()
+        bucket[i] = int(hx[0], 16)
+        tail = hx[1:]
+        z = len(tail) - len(tail.lstrip("0"))
+        if z >= len(tail):
+            rho[i] = 125
+        else:
+            c = int(tail[z], 16)
+            rho[i] = 4 * z + (1 if c >= 8 else 2 if c >= 4 else 3 if c >= 2 else 4)
+    return bucket, rho
+
+
+def q_anf_reach(sf_dir: str) -> pa.Table:
+    """ANF/HyperBall 2-hop neighborhood-size estimate per vertex over
+    the DIRECTED sequence graph (fogray.algorithms.anf_registers): each
+    vertex's single md5 HLL register max-propagates along in-edges for
+    2 hops (16 buckets × 2 hops engine MIN supersteps on negated
+    registers — exact small-integer floats), then the standard
+    bias-corrected HLL estimator with the linear-counting small-range
+    branch scores each row. The oracle unrolls the same propagation as
+    sparse (v, bucket, MAX rho) CTEs and applies the identical
+    estimator expression."""
+    eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
+    try:
+        ids = _touched(eng)
+        bucket = np.full(n, -1, dtype=np.int64)
+        rho = np.zeros(n, dtype=np.int64)
+        b_t, r_t = _md5_bucket_rho(ids)
+        bucket[ids], rho[ids] = b_t, r_t
+        regs = alg.anf_registers(eng, bucket, rho, m=16, hops=2)
+        r = regs[ids]  # (|touched|, 16)
+        total = np.power(2.0, -r).sum(axis=1)  # exact powers of two
+        zeros = (r == 0).sum(axis=1)
+        raw = 0.673 * 256.0 / total
+        lin = zeros > 0
+        est = np.where(
+            (raw <= 40.0) & lin,
+            16.0 * np.log(16.0 / np.maximum(zeros, 1)),
+            raw,
+        )
+        return pa.table(
+            {"vid": ids.astype(np.int64), "reach_est": sql_round(est)}
+        )
+    finally:
+        eng.shutdown()
+
+
 def q_reciprocity(sf_dir: str) -> pa.Table:
     """Edge reciprocity of the DIRECTED part-sequence graph
     (fogray.metrics.edge_reciprocity): block-local unordered-pair
@@ -1973,6 +2032,60 @@ ORACLE_SQL: dict[str, str] = {
         FROM agg
     """,
     "salsa": _salsa_sql(4),
+    "anf_reach": f"""
+        WITH edges AS MATERIALIZED ({_SEQ_SQL}),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+        ),
+        h AS (SELECT v, md5(CAST(v AS VARCHAR)) AS hx FROM verts),
+        d AS (
+            SELECT v,
+                   CAST(('0x' || substr(hx, 1, 1)) AS UBIGINT) AS bucket,
+                   length(regexp_extract(substr(hx, 2), '^0*')) AS zhex,
+                   substr(substr(hx, 2),
+                          length(regexp_extract(substr(hx, 2), '^0*')) + 1,
+                          1) AS c
+            FROM h
+        ),
+        r0 AS MATERIALIZED (
+            SELECT v, bucket,
+                   CASE WHEN c = '' THEN 125
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 8 THEN 4*zhex + 1
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 4 THEN 4*zhex + 2
+                        WHEN CAST(('0x' || c) AS UBIGINT) >= 2 THEN 4*zhex + 3
+                        ELSE 4*zhex + 4 END AS rho
+            FROM d
+        ),
+        r1 AS MATERIALIZED (
+            SELECT v, bucket, MAX(rho) AS rho FROM (
+                SELECT v, bucket, rho FROM r0
+                UNION ALL
+                SELECT e.dst AS v, r0.bucket, r0.rho
+                FROM edges e JOIN r0 ON r0.v = e.src
+            ) GROUP BY v, bucket
+        ),
+        r2 AS MATERIALIZED (
+            SELECT v, bucket, MAX(rho) AS rho FROM (
+                SELECT v, bucket, rho FROM r1
+                UNION ALL
+                SELECT e.dst AS v, r1.bucket, r1.rho
+                FROM edges e JOIN r1 ON r1.v = e.src
+            ) GROUP BY v, bucket
+        ),
+        s AS (
+            SELECT v, SUM(POWER(2.0, -rho)) AS snz,
+                   CAST(COUNT(*) AS BIGINT) AS nz
+            FROM r2 GROUP BY v
+        )
+        SELECT v AS vid,
+               ROUND(CASE WHEN 0.673 * 256.0 / (snz + (16 - nz)) <= 40.0
+                               AND nz < 16
+                          THEN 16.0 * LN(16.0 / (16 - nz))
+                          ELSE 0.673 * 256.0 / (snz + (16 - nz)) END,
+                     6) AS reach_est
+        FROM s ORDER BY vid
+    """,
     "bib_coupling": f"""
         WITH e AS MATERIALIZED ({_SEQ_SQL}),
         w AS (
@@ -2067,6 +2180,7 @@ QUERIES = {
     "reciprocity": q_reciprocity,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
+    "anf_reach": q_anf_reach,
     "salsa": q_salsa,
     "four_cycles": q_four_cycles,
 }
