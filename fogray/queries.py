@@ -1352,6 +1352,29 @@ def q_anf_reach(sf_dir: str) -> pa.Table:
         eng.shutdown()
 
 
+def q_degree_powerlaw(sf_dir: str) -> pa.Table:
+    """Continuous power-law MLE over the co-occurrence out-degree
+    distribution (Clauset-Shalizi-Newman 2009 eq. 3.1):
+    alpha = 1 + n / Σ ln(d / dmin) over degrees >= dmin = 2. Degrees
+    are the engine's O(V) setup arrays — no edge pass; the fold is one
+    exact Σ ln over the degree vector, mirrored term-for-term by SQL."""
+    eng, n = _cooc_engine(sf_dir)
+    d = eng.outdeg[eng.outdeg >= 2].astype(np.float64)
+    cnt = int(len(d))
+    if cnt == 0:
+        return pa.table(
+            {"n_tail": pa.array([0], pa.int64()),
+             "alpha": pa.array([None], pa.float64())}
+        )
+    alpha = 1.0 + cnt / np.log(d / 2.0).sum()
+    return pa.table(
+        {
+            "n_tail": pa.array([cnt], pa.int64()),
+            "alpha": pa.array(sql_round(np.array([alpha])), pa.float64()),
+        }
+    )
+
+
 def q_reciprocity(sf_dir: str) -> pa.Table:
     """Edge reciprocity of the DIRECTED part-sequence graph
     (fogray.metrics.edge_reciprocity): block-local unordered-pair
@@ -2032,6 +2055,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM agg
     """,
     "salsa": _salsa_sql(4),
+    "degree_powerlaw": f"""
+        WITH deg AS (
+            SELECT src, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM ({_COOC_SQL}) GROUP BY src
+        ),
+        tail AS (SELECT d FROM deg WHERE d >= 2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+               ROUND(1.0 + COUNT(*) / SUM(LN(d / 2.0)), 6) AS alpha
+        FROM tail
+    """,
     "anf_reach": f"""
         WITH edges AS MATERIALIZED ({_SEQ_SQL}),
         verts AS MATERIALIZED (
@@ -2181,6 +2214,7 @@ QUERIES = {
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,
+    "degree_powerlaw": q_degree_powerlaw,
     "salsa": q_salsa,
     "four_cycles": q_four_cycles,
 }
