@@ -588,6 +588,18 @@ def q_txt_chunk(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id", "chunk_id"])
 
 
+def q_evt_late(sf_dir: str) -> pa.Table:
+    """Watermark late-event counts per user under the deterministic
+    splitmix arrival permutation (fogray.datapipes.streams.late_events,
+    lateness 60s)."""
+    from . import streams
+    from ..util import sorted_table
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
+    t = _collect(streams.late_events(ds, lateness_s=60))
+    return sorted_table(t, ["user_id"])
+
+
 def q_evt_funnel(sf_dir: str) -> pa.Table:
     """Per-user ordered conversion funnel
     (fogray.datapipes.streams.funnel): first view, first click strictly
@@ -1347,6 +1359,7 @@ QUERIES = {
     "txt_pii_scrub": q_txt_pii,
     "txt_chunk": q_txt_chunk,
     "evt_funnel": q_evt_funnel,
+    "evt_late": q_evt_late,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
     "mm_frames": q_mm_frames,
@@ -2549,6 +2562,24 @@ ORACLE_SQL = {
                md5(array_to_string(toks[start + 1:start + 16], ' ')) AS chunk_md5
         FROM c ORDER BY doc_id, chunk_id
     """,
+    "evt_late": (lambda hv_sql: f"""
+        WITH arr AS ({hv_sql}),
+        j AS (SELECT e.user_id, e.ts, e.event_id, arr.hv
+              FROM events e JOIN arr USING (event_id)),
+        w AS (SELECT user_id, ts,
+                     MAX(ts) OVER (PARTITION BY user_id ORDER BY hv, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS wm
+              FROM j)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(CASE WHEN ts < wm - INTERVAL 60 SECOND
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+        FROM w GROUP BY user_id ORDER BY user_id
+    """)(__import__("fogray.queries", fromlist=["_DET_W_SQL"])._DET_W_SQL[
+        :__import__("fogray.queries", fromlist=["_DET_W_SQL"])._DET_W_SQL.rindex("SELECT")
+    ].replace(
+        "__EDGES__", "(SELECT event_id AS src, event_id AS dst FROM events)"
+    ) + "SELECT src AS event_id, f >> 11 AS hv FROM s3"),
     "evt_funnel": """
         WITH v AS (SELECT user_id, MIN(ts) AS ts_view FROM events
                    WHERE event_type = 'view' GROUP BY 1),

@@ -777,3 +777,83 @@ def rolling_mean(ds, *, window: int = 3) -> rd.Dataset:
         ["user_id"],
         roll_block,
     )
+
+
+def late_events(ds, *, lateness_s: int = 60) -> rd.Dataset:
+    """Watermark-style late-event detection: replaying each user's
+    stream in a deterministic ARRIVAL permutation (the splitmix53 hash
+    of event_id — the synthetic events are generated in event-time
+    order, so a fixture permutation stands in for network arrival,
+    exactly like the PII injection fixture), an event is late when its
+    event time ``ts`` lags the user's running watermark — the max ts of
+    all PRIOR arrivals — by more than ``lateness_s`` seconds. The
+    out-of-orderness signal every streaming ingest needs before
+    windowing. ONE (user_id, hv, event_id) sort; each group-complete
+    user block is a segmented shifted running max (integer
+    microseconds, exact).
+
+    -> (user_id, n_events, n_late) per user — only O(users) rows leave
+    each block.
+    """
+    from ..sources import splitmix53
+
+    def add_hv(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        x = (eid.astype(np.uint64) << np.uint64(32)) ^ eid.astype(np.uint64)
+        return t.append_column("hv", pa.array(splitmix53(x), pa.uint64()))
+
+    def late_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_late": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        hv = t.column("hv").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, hv, u))
+        u, ts = u[order], ts[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_user)
+        sizes = np.diff(np.r_[starts, len(u)])
+        # running max of ts within each user run, shifted by one
+        cm = np.maximum.accumulate(ts)
+        # reset at user boundaries: recompute via segmented trick
+        seg_base = np.repeat(starts, sizes)
+        idx = np.arange(len(u))
+        cm = ts.copy()
+        # segmented cumulative max: iterate log2(maxrun) doublings
+        shift = 1
+        while shift < sizes.max():
+            src = idx - shift
+            valid = src >= seg_base
+            np.maximum(cm, np.where(valid, cm[np.maximum(src, 0)], np.iinfo(np.int64).min), out=cm, where=valid)
+            shift <<= 1
+        prev_max = np.empty(len(u), dtype=np.int64)
+        prev_max[1:] = cm[:-1]
+        # first arrival has no watermark: seed with its own ts so the
+        # subtraction below cannot wrap int64 (min - 60s overflows)
+        prev_max[new_user] = ts[new_user]
+        late = ts < prev_max - np.int64(lateness_s) * np.int64(1_000_000)
+        late[new_user] = False
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts].astype(np.int64)),
+                "n_events": pa.array(sizes.astype(np.int64)),
+                "n_late": pa.array(n_late.astype(np.int64)),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["event_id", "ts", "user_id"])
+        .map_batches(add_hv, batch_format="pyarrow")
+        .sort(["user_id", "hv", "event_id"]),
+        ["user_id"],
+        late_block,
+    )

@@ -826,14 +826,28 @@ def q_assortativity(sf_dir: str) -> pa.Table:
     return pa.table({"assortativity": val})
 
 
+@functools.lru_cache(maxsize=2)
+def _aa_full_cached(sf_dir: str, _session: str) -> pa.Table:
+    """ONE extra_scores adamic-adar run per (sf_dir, session) serves
+    both link-prediction queries: the top-50 by the all-integer
+    (cn DESC, u, v) order is a prefix of the top-100, so adamic_adar
+    projects columns and link_predict takes the head — the pipeline is
+    deterministic and was the suite's second-largest duplicated cost."""
+    from .metrics import adamic_adar
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return adamic_adar(
+        ds.select_columns(["src", "dst"]), n, k=_AA_K, extra_scores=True
+    )
+
+
 def q_adamic_adar(sf_dir: str) -> pa.Table:
     """Link prediction over the simple co-occurrence graph: top-100
     non-adjacent pairs by common-neighbor count with Adamic-Adar scores
     (fogray.metrics.adamic_adar; exact — no apex cap at gate scale)."""
-    from .metrics import adamic_adar
-
-    ds, n = cooccurrence_edges_ds(sf_dir)
-    return adamic_adar(ds.select_columns(["src", "dst"]), n, k=_AA_K)
+    return _aa_full_cached(sf_dir, _ray_session_key()).select(
+        ["u", "v", "cn", "aa", "rk"]
+    )
 
 
 _AA_K = 100
@@ -846,13 +860,9 @@ def q_link_predict(sf_dir: str) -> pa.Table:
     Adamic-Adar, resource-allocation (Σ 1/deg over common neighbors)
     and preferential-attachment (deg·deg) scores
     (fogray.metrics.adamic_adar with extra_scores — same dataflow, two
-    more fold columns and one O(V) degree fold)."""
-    from .metrics import adamic_adar
-
-    ds, n = cooccurrence_edges_ds(sf_dir)
-    return adamic_adar(
-        ds.select_columns(["src", "dst"]), n, k=_LP_K, extra_scores=True
-    )
+    more fold columns and one O(V) degree fold; shares the session's
+    one extra_scores run with q_adamic_adar)."""
+    return _aa_full_cached(sf_dir, _ray_session_key()).slice(0, _LP_K)
 
 
 def q_two_hop(sf_dir: str) -> pa.Table:
