@@ -1184,3 +1184,100 @@ def shared_neighbor_pairs(edges, n: int, *, k: int = 50, mode: str = "out") -> p
             "rk": pa.array(np.arange(1, len(key) + 1, dtype=np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-WL color refinement (Weisfeiler-Leman vertex features)
+# ---------------------------------------------------------------------------
+
+
+def wl_refinement(edges, n: int, *, rounds: int = 2) -> "tuple[np.ndarray, np.ndarray]":
+    """1-dimensional Weisfeiler-Leman color refinement over a DIRECTED
+    distinct edge set (in-neighbor multisets), the classic
+    graph-isomorphism vertex feature: from the uniform color
+    c0 = md5(''), each round rehashes every vertex as
+    md5(own || '|' || comma-join(sorted in-neighbor colors)) — vertices
+    with no in-edges hash md5(own || '|'). Deterministic and mirrored
+    literally by the SQL oracle's ordered string_agg.
+
+    Dataflow per round: the O(V) 32-hex color array broadcasts once via
+    ``ray.put``; the (dst, src)-sorted edge Dataset (sorted ONCE, blocks
+    reused every round) maps group-complete dst blocks to (vid, color)
+    updates. The in-block per-group join+md5 is a Python loop over the
+    block's groups — the same per-row hashing budget as the md5
+    fingerprint ops.
+
+    Returns (touched_vids, colors[touched_vids])."""
+    import hashlib
+
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    touched = np.zeros(n, dtype=bool)
+    has_in = np.zeros(n, dtype=bool)
+    for t in ray.get(edges.to_arrow_refs()):
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        touched[s] = True
+        touched[d] = True
+        has_in[d] = True
+    sorted_ds = edges.sort(["dst", "src"]).materialize()
+    colors = np.full(n, hashlib.md5(b"").hexdigest(), dtype="<U32")
+
+    upd_schema = pa.schema([("vid", pa.int64()), ("c", pa.string())])
+
+    for _ in range(rounds):
+        cref = ray.put(colors)
+
+        def block(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return upd_schema.empty_table()
+            cols_all = ray.get(cref)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            o = np.lexsort((s, d))
+            s, d = s[o], d[o]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            ends = np.r_[starts[1:], len(d)]
+            nbr_c = cols_all[s]
+            vids, new_c = [], []
+            for a, b in zip(starts, ends):
+                v = int(d[a])
+                joined = ",".join(sorted(nbr_c[a:b]))
+                vids.append(v)
+                new_c.append(
+                    hashlib.md5(
+                        (str(cols_all[v]) + "|" + joined).encode()
+                    ).hexdigest()
+                )
+            return pa.table(
+                {"vid": pa.array(vids, pa.int64()),
+                 "c": pa.array(new_c, pa.string())},
+                schema=upd_schema,
+            )
+
+        upds = pa.concat_tables(
+            ray.get(
+                key_grouped_block_map(sorted_ds, ["dst"], block)
+                .materialize()
+                .to_arrow_refs()
+            )
+        )
+        nxt = colors.copy()
+        # no-in-edge touched vertices rehash over the empty multiset
+        for v in np.flatnonzero(touched & ~has_in):
+            nxt[v] = hashlib.md5((str(colors[v]) + "|").encode()).hexdigest()
+        uv = upds.column("vid").to_numpy(zero_copy_only=False)
+        nxt[uv] = np.asarray(upds.column("c").to_pylist(), dtype="<U32")
+        colors = nxt
+
+    ids = np.flatnonzero(touched)
+    return ids, colors[ids]

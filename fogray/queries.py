@@ -1385,6 +1385,25 @@ def q_degree_powerlaw(sf_dir: str) -> pa.Table:
     )
 
 
+def q_wl_colors(sf_dir: str) -> pa.Table:
+    """2-round 1-WL color refinement over the directed sequence graph
+    (fogray.metrics.wl_refinement) — the per-vertex isomorphism feature
+    a graph-ML pipeline hashes before training; the oracle rebuilds the
+    identical colors with ordered string_agg + md5."""
+    from .metrics import wl_refinement
+
+    t = sequence_edges(sf_dir)
+    ids, cols = wl_refinement(
+        (t.column("src").to_numpy(zero_copy_only=False),
+         t.column("dst").to_numpy(zero_copy_only=False)),
+        _seq_n(t), rounds=2,
+    )
+    return pa.table(
+        {"vid": pa.array(ids.astype(np.int64)),
+         "wl_color": pa.array([str(c) for c in cols], pa.string())}
+    )
+
+
 def q_reciprocity(sf_dir: str) -> pa.Table:
     """Edge reciprocity of the DIRECTED part-sequence graph
     (fogray.metrics.edge_reciprocity): block-local unordered-pair
@@ -2065,6 +2084,35 @@ ORACLE_SQL: dict[str, str] = {
         FROM agg
     """,
     "salsa": _salsa_sql(4),
+    "wl_colors": f"""
+        WITH edges AS MATERIALIZED ({_SEQ_SQL}),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+        ),
+        c0 AS (SELECT v, md5('') AS c FROM verts),
+        c1 AS MATERIALIZED (
+            SELECT t.v,
+                   md5(ANY_VALUE(cv.c) || '|' ||
+                       COALESCE(string_agg(cu.c, ',' ORDER BY cu.c), '')) AS c
+            FROM verts t
+            JOIN c0 cv ON cv.v = t.v
+            LEFT JOIN edges e ON e.dst = t.v
+            LEFT JOIN c0 cu ON cu.v = e.src
+            GROUP BY t.v
+        ),
+        c2 AS MATERIALIZED (
+            SELECT t.v,
+                   md5(ANY_VALUE(cv.c) || '|' ||
+                       COALESCE(string_agg(cu.c, ',' ORDER BY cu.c), '')) AS c
+            FROM verts t
+            JOIN c1 cv ON cv.v = t.v
+            LEFT JOIN edges e ON e.dst = t.v
+            LEFT JOIN c1 cu ON cu.v = e.src
+            GROUP BY t.v
+        )
+        SELECT v AS vid, c AS wl_color FROM c2 ORDER BY vid
+    """,
     "degree_powerlaw": f"""
         WITH deg AS (
             SELECT src, CAST(COUNT(*) AS DOUBLE) AS d
@@ -2225,6 +2273,7 @@ QUERIES = {
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,
     "degree_powerlaw": q_degree_powerlaw,
+    "wl_colors": q_wl_colors,
     "salsa": q_salsa,
     "four_cycles": q_four_cycles,
 }
