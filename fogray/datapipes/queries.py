@@ -427,6 +427,61 @@ def q_emb_gram(sf_dir: str) -> pa.Table:
     )
 
 
+def _gram_total(sf_dir: str) -> np.ndarray:
+    """Driver fold of the per-block XᵀX partials (see q_emb_gram)."""
+    from ..util import list_col_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.list_(pa.float64()))})
+        x = list_col_matrix(t.column("embedding"), np.float64)
+        return pa.table({"g": pa.array([(x.T @ x).ravel()],
+                                       pa.list_(pa.float64()))})
+
+    parts = _collect(_embs(sf_dir).map_batches(partial, batch_format="pyarrow"))
+    mats = [np.asarray(v) for v in parts.column("g").to_pylist()]
+    if not mats:
+        return np.zeros((0, 0))
+    total = np.sum(mats, axis=0)
+    dim = int(round(len(total) ** 0.5))
+    return total.reshape(dim, dim)
+
+
+def q_emb_pca(sf_dir: str) -> pa.Table:
+    """First-principal-direction projection of every embedding: the
+    distributed Gram fold (q_emb_gram's partial-sum dataflow) feeds 4
+    driver-side power iterations on the dim × dim matrix from v0 = 1
+    (normalized once by max |v|, the eigenvector-centrality pattern),
+    then the unit-free direction broadcasts back and each block
+    projects with ONE matvec — the PCA building block with only
+    blocks × dim² + blocks × rows exchange."""
+    from ..util import list_col_matrix, sorted_table, sql_round
+
+    g = _gram_total(sf_dir)
+    if g.size == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "pc1": pa.array([], pa.float64())})
+    v = np.ones(g.shape[0], dtype=np.float64)
+    for _ in range(4):
+        v = g @ v
+    pc = v / np.abs(v).max()
+    pcref = ray.put(pc)
+
+    def proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "pc1": pa.array([], pa.float64())})
+        x = list_col_matrix(t.column("embedding"), np.float64)
+        s = x @ ray.get(pcref)
+        return pa.table(
+            {"vec_id": t.column("vec_id"),
+             "pc1": pa.array(sql_round(s), pa.float64())}
+        )
+
+    out = _collect(_embs(sf_dir).map_batches(proj, batch_format="pyarrow"))
+    return sorted_table(out, ["vec_id"])
+
+
 def q_emb_kmeans(sf_dir: str) -> pa.Table:
     """Distributed k-means cluster profile over the embedding corpus:
     the IVF coarse quantizer's Lloyd loop (partial-sum map_batches per
@@ -1347,6 +1402,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "emb_kmeans": q_emb_kmeans,
     "emb_gram": q_emb_gram,
+    "emb_pca": q_emb_pca,
     "mm_features": q_mm_features,
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
@@ -2400,6 +2456,37 @@ ORACLE_SQL = {
         )
         SELECT qid, nid, ROUND(sc, 6) AS score FROM r WHERE rn <= 10
         ORDER BY qid, nid
+    """,
+    "emb_pca": f"""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        g AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS g
+            FROM x a JOIN x b ON b.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ),
+        v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS val FROM g),
+        v1 AS MATERIALIZED (
+            SELECT g.i, SUM(g.g * p.val) AS val FROM g JOIN v0 p ON p.i = g.j
+            GROUP BY g.i),
+        v2 AS MATERIALIZED (
+            SELECT g.i, SUM(g.g * p.val) AS val FROM g JOIN v1 p ON p.i = g.j
+            GROUP BY g.i),
+        v3 AS MATERIALIZED (
+            SELECT g.i, SUM(g.g * p.val) AS val FROM g JOIN v2 p ON p.i = g.j
+            GROUP BY g.i),
+        v4 AS MATERIALIZED (
+            SELECT g.i, SUM(g.g * p.val) AS val FROM g JOIN v3 p ON p.i = g.j
+            GROUP BY g.i),
+        pc AS (
+            SELECT i, val / (SELECT MAX(ABS(val)) FROM v4) AS c FROM v4
+        )
+        SELECT x.vec_id, ROUND(SUM(x.v * pc.c), 6) AS pc1
+        FROM x JOIN pc ON pc.i = x.i
+        GROUP BY x.vec_id ORDER BY vec_id
     """,
     "ann_range": f"""
         WITH q AS (

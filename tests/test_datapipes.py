@@ -39,7 +39,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_group_quantiles", "rel_pivot", "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel", "evt_late",
-     "txt_repetition", "txt_pii_scrub", "txt_chunk", "emb_gram", "dd_span_overlap", "rel_zscore", "rel_diff",
+     "txt_repetition", "txt_pii_scrub", "txt_chunk", "emb_gram", "emb_pca", "dd_span_overlap", "rel_zscore", "rel_diff",
      "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split",
      "rel_ntile", "evt_rolling", "sink_partitioned", "txt_pmi", "rel_rollup",
      "rel_weighted", "rel_corr", "agg_kmv_users", "evt_mode", "evt_ewma",
