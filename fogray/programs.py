@@ -255,11 +255,21 @@ class WeightedPageRank(VertexProgram):
             "wsum": np.maximum(self.wsum, 1.0),
         }, None
 
+    def init_span(self, lo, hi, outdeg, indeg, **params):
+        if self.wsum is None:
+            raise ValueError("WeightedPageRank requires a full wsum array")
+        return {
+            "rank": np.ones(hi - lo, dtype=np.float64),
+            "wsum": np.maximum(self.wsum[lo:hi], 1.0),
+        }, None
+
     def scatter_view(self, state):
         return {"contrib": 0.85 * state["rank"] / state["wsum"]}
 
     def scatter(self, state, s, d, w, direction):
-        return d, state["contrib"][s] * w + 0.15
+        if "contrib" in state:
+            return d, state["contrib"][s] * w + 0.15
+        return d, 0.85 * state["rank"][s] / state["wsum"][s] * w + 0.15
 
     def dense_gather(self, state):
         return state["contrib"], True, 0.15

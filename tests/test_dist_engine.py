@@ -403,3 +403,18 @@ def test_dist_parity_sf01_scc_sequence(ray_session):
     finally:
         bro.shutdown()
         dist.shutdown()
+
+
+@pytest.mark.parametrize("name", GRAPHS)
+def test_wpagerank(engines, name):
+    """Dist-engine parity for weighted PageRank (per-edge share scaled
+    by weight over the source's out-weight sum, FOG mechanics)."""
+    eng, (src, dst, w, n) = engines[name]
+    wsum = np.bincount(src, weights=w, minlength=n)
+    res = alg.wpagerank(eng, wsum, niters=10)
+    r = np.ones(n, dtype=np.float64)
+    ws = np.maximum(wsum, 1.0)
+    for _ in range(10):
+        vals = 0.85 * r[src] / ws[src] * w + 0.15
+        r = r + np.bincount(dst, weights=vals, minlength=n)
+    np.testing.assert_allclose(res.state["rank"], r, rtol=1e-9, atol=1e-9)
