@@ -982,7 +982,38 @@ def edge_reciprocity(edges) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def four_cycles(edges, n: int) -> pa.Table:
+@ray.remote
+def _c4_chunk(csr_ref, lo: int, hi: int):
+    """Σ C(cn, 2) over unordered pairs (u, v) with u ∈ [lo, hi), v > u:
+    expand the chunk's two-hop walks from the plasma CSR and bincount
+    them into the dense (hi-lo) × n count block — the adamic-adar chunk
+    kernel with the top-k machinery replaced by ONE scalar fold, so
+    nothing but one int leaves the task. Adjacent pairs are kept (a
+    4-cycle's diagonal may be an edge)."""
+    from .engine import expand_ranges
+
+    offsets, nbrs, _ek, _deg = (
+        ray.get(csr_ref) if not isinstance(csr_ref, tuple) else csr_ref
+    )
+    n = len(offsets) - 1
+    if hi <= lo:
+        return 0
+    ids = np.arange(lo, hi, dtype=np.int64)
+    sizes = offsets[ids + 1] - offsets[ids]
+    w = nbrs[expand_ranges(offsets[ids], offsets[ids + 1])]
+    u_per_w = np.repeat(ids, sizes)
+    wsz = offsets[w + 1] - offsets[w]
+    v = nbrs[expand_ranges(offsets[w], offsets[w + 1])]
+    u_all = np.repeat(u_per_w, wsz)
+    m = v > u_all  # upper triangle; also drops v == u
+    if not m.any():
+        return 0
+    key = (u_all[m] - lo) * n + v[m]
+    cn = np.bincount(key, minlength=(hi - lo) * n)
+    return int((cn * (cn - 1) // 2).sum())
+
+
+def four_cycles(edges, n: int, *, dense_max_vertices: int = 24_000) -> pa.Table:
     """Exact count of 4-cycles in the simple undirected graph:
     C4 = ½ Σ_{unordered pairs {u,v}} C(cn(u,v), 2) — every 4-cycle
     u–w–v–x–u is determined by a diagonal pair {u,v} plus two of its
@@ -1015,6 +1046,31 @@ def four_cycles(edges, n: int) -> pa.Table:
     simple = key_grouped_block_map(
         normalized.sort(["a", "b"]), ["a", "b"], _dedup_block
     )
+    if n <= dense_max_vertices:
+        # broadcast regime: worker-built CSR, equal-WORK chunks, one
+        # scalar per task — no pair exchange anywhere (56s -> ~3s on
+        # the sf0.1 co-occurrence graph vs the wedge-sort path)
+        refs = list(simple.materialize().to_arrow_refs())
+        csr_ref, _deg_ref, mass_ref = _full_csr_build.remote(n, *refs)
+        mass = ray.get(mass_ref)
+        if mass is None or not len(mass):
+            return pa.table({"c4": pa.array([0], pa.int64())})
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        ntasks = max(1, min(4 * cpus, n // 8 or 1))
+        targets = np.linspace(0, mass[-1], ntasks + 1)[1:-1]
+        max_rows = max(1, (16 << 20) // max(n, 1))
+        bounds = np.unique(
+            np.r_[0, np.searchsorted(mass, targets),
+                  np.arange(0, n, max_rows), n]
+        )
+        parts = ray.get(
+            [
+                _c4_chunk.remote(csr_ref, int(lo), int(hi))
+                for lo, hi in zip(bounds[:-1], bounds[1:])
+                if hi > lo
+            ]
+        )
+        return pa.table({"c4": pa.array([sum(parts) // 2], pa.int64())})
     nn = np.int64(n)
     pair_schema = pa.schema([("key", pa.int64()), ("cn", pa.int64())])
 

@@ -269,3 +269,8 @@ def test_four_cycles_bruteforce(ray_session):
     want //= 2
     got = four_cycles(_edges_ds(src, dst), n).column("c4")[0].as_py()
     assert got == want
+    # sparse (wedge-sort) regime must agree with the dense chunk kernel
+    got_sparse = four_cycles(
+        _edges_ds(src, dst), n, dense_max_vertices=0
+    ).column("c4")[0].as_py()
+    assert got_sparse == want
