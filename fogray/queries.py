@@ -1404,6 +1404,16 @@ def q_wl_colors(sf_dir: str) -> pa.Table:
     )
 
 
+def q_densest(sf_dir: str) -> pa.Table:
+    """Batched densest-subgraph peeling trajectory over the simple
+    co-occurrence graph (fogray.metrics.densest_subgraph_rounds,
+    4 rounds of the exact-integer deg·V ≤ 2E drop)."""
+    from .metrics import densest_subgraph_rounds
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return densest_subgraph_rounds(ds.select_columns(["src", "dst"]), n, rounds=4)
+
+
 def q_reciprocity(sf_dir: str) -> pa.Table:
     """Edge reciprocity of the DIRECTED part-sequence graph
     (fogray.metrics.edge_reciprocity): block-local unordered-pair
@@ -2084,6 +2094,123 @@ ORACLE_SQL: dict[str, str] = {
         FROM agg
     """,
     "salsa": _salsa_sql(4),
+    "densest": f"""
+        WITH         und0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({_COOC_SQL}) WHERE src <> dst
+        ),
+        deg0 AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und0 UNION ALL SELECT b FROM und0
+            ) GROUP BY v
+        ),
+        st0 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                   CAST(COALESCE(SUM(d), 0) / 2 AS BIGINT) AS ne
+            FROM deg0
+        ),
+        keep0 AS (
+            SELECT v FROM deg0
+            WHERE d * (SELECT nv FROM st0) > 2 * (SELECT ne FROM st0)
+        ),
+        und1 AS MATERIALIZED (
+            SELECT u.a, u.b FROM und0 u
+            JOIN keep0 ka ON ka.v = u.a
+            JOIN keep0 kb ON kb.v = u.b
+        ),
+        deg1 AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und1 UNION ALL SELECT b FROM und1
+            ) GROUP BY v
+        ),
+        st1 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                   CAST(COALESCE(SUM(d), 0) / 2 AS BIGINT) AS ne
+            FROM deg1
+        ),
+        keep1 AS (
+            SELECT v FROM deg1
+            WHERE d * (SELECT nv FROM st1) > 2 * (SELECT ne FROM st1)
+        ),
+        und2 AS MATERIALIZED (
+            SELECT u.a, u.b FROM und1 u
+            JOIN keep1 ka ON ka.v = u.a
+            JOIN keep1 kb ON kb.v = u.b
+        ),
+        deg2 AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und2 UNION ALL SELECT b FROM und2
+            ) GROUP BY v
+        ),
+        st2 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                   CAST(COALESCE(SUM(d), 0) / 2 AS BIGINT) AS ne
+            FROM deg2
+        ),
+        keep2 AS (
+            SELECT v FROM deg2
+            WHERE d * (SELECT nv FROM st2) > 2 * (SELECT ne FROM st2)
+        ),
+        und3 AS MATERIALIZED (
+            SELECT u.a, u.b FROM und2 u
+            JOIN keep2 ka ON ka.v = u.a
+            JOIN keep2 kb ON kb.v = u.b
+        ),
+        deg3 AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und3 UNION ALL SELECT b FROM und3
+            ) GROUP BY v
+        ),
+        st3 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                   CAST(COALESCE(SUM(d), 0) / 2 AS BIGINT) AS ne
+            FROM deg3
+        ),
+        keep3 AS (
+            SELECT v FROM deg3
+            WHERE d * (SELECT nv FROM st3) > 2 * (SELECT ne FROM st3)
+        ),
+        und4 AS MATERIALIZED (
+            SELECT u.a, u.b FROM und3 u
+            JOIN keep3 ka ON ka.v = u.a
+            JOIN keep3 kb ON kb.v = u.b
+        ),
+        deg4 AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und4 UNION ALL SELECT b FROM und4
+            ) GROUP BY v
+        ),
+        st4 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+                   CAST(COALESCE(SUM(d), 0) / 2 AS BIGINT) AS ne
+            FROM deg4
+        )
+        SELECT 0 AS round, nv AS n_vertices, ne AS n_edges,
+               ROUND(CASE WHEN nv = 0 THEN 0.0
+                          ELSE ne * 1.0 / nv END, 6) AS density
+        FROM st0
+        UNION ALL
+        SELECT 1 AS round, nv AS n_vertices, ne AS n_edges,
+               ROUND(CASE WHEN nv = 0 THEN 0.0
+                          ELSE ne * 1.0 / nv END, 6) AS density
+        FROM st1
+        UNION ALL
+        SELECT 2 AS round, nv AS n_vertices, ne AS n_edges,
+               ROUND(CASE WHEN nv = 0 THEN 0.0
+                          ELSE ne * 1.0 / nv END, 6) AS density
+        FROM st2
+        UNION ALL
+        SELECT 3 AS round, nv AS n_vertices, ne AS n_edges,
+               ROUND(CASE WHEN nv = 0 THEN 0.0
+                          ELSE ne * 1.0 / nv END, 6) AS density
+        FROM st3
+        UNION ALL
+        SELECT 4 AS round, nv AS n_vertices, ne AS n_edges,
+               ROUND(CASE WHEN nv = 0 THEN 0.0
+                          ELSE ne * 1.0 / nv END, 6) AS density
+        FROM st4
+        ORDER BY round
+    """,
     "wl_colors": f"""
         WITH edges AS MATERIALIZED ({_SEQ_SQL}),
         verts AS MATERIALIZED (
@@ -2274,6 +2401,7 @@ QUERIES = {
     "anf_reach": q_anf_reach,
     "degree_powerlaw": q_degree_powerlaw,
     "wl_colors": q_wl_colors,
+    "densest": q_densest,
     "salsa": q_salsa,
     "four_cycles": q_four_cycles,
 }
