@@ -1270,6 +1270,35 @@ def q_evt_retention(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["cohort_day", "day_offset"])
 
 
+def q_rel_anti(sf_dir: str) -> pa.Table:
+    """Anti-join: customers with NO order above the 300k price bar
+    (fogray.datapipes.relational.anti_join — sort-union marker pattern,
+    no hash join, no broadcast; the filter pushes into the right-side
+    read)."""
+    from . import relational
+    from ..util import sorted_table
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 300000.0))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = relational.anti_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        keep_cols=["c_mktsegment"],
+    )
+    t = _collect(out)
+    t = t.rename_columns(["c_custkey", "c_mktsegment"])
+    return sorted_table(t, ["c_custkey"])
+
+
 def q_rel_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff (fogray.datapipes.relational.snapshot_diff):
     old = docs with doc_id % 5 != 4; new = docs with doc_id % 7 != 0,
@@ -1439,6 +1468,7 @@ QUERIES = {
     "rel_minmax": q_rel_minmax,
     "rel_zscore": q_rel_zscore,
     "rel_diff": q_rel_diff,
+    "rel_anti": q_rel_anti,
     "evt_transitions": q_evt_transitions,
     "evt_retention": q_evt_retention,
     "txt_bigram_lm": q_txt_bigram_lm,
@@ -2667,6 +2697,13 @@ ORACLE_SQL = {
     ].replace(
         "__EDGES__", "(SELECT event_id AS src, event_id AS dst FROM events)"
     ) + "SELECT src AS event_id, f >> 11 AS hv FROM s3"),
+    "rel_anti": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+        ORDER BY c_custkey
+    """,
     "evt_funnel": """
         WITH v AS (SELECT user_id, MIN(ts) AS ts_view FROM events
                    WHERE event_type = 'view' GROUP BY 1),

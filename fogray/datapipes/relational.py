@@ -1762,3 +1762,67 @@ def weighted_sample(
     order = np.lexsort((kk, -sk))[:k]  # key ASC tiebreak (unreachable)
     sel = parts.take(pa.array(np.sort(order)))
     return sel.select([key_col, weight_col]).sort_by(key_col)
+
+
+# ---------------------------------------------------------------------------
+# anti-join (sort-union marker pattern)
+# ---------------------------------------------------------------------------
+
+
+def anti_join(left, right, *, left_key: str, right_key: str, keep_cols: list):
+    """Rows of ``left`` whose key appears NOWHERE in ``right`` — the
+    NOT-EXISTS filter every incremental ingest runs, Dataset-native at
+    any scale: right keys pre-distinct per block and tagged mark=1,
+    left rows tagged mark=0, both meet in ONE key sort; each
+    group-complete block keeps the left rows of groups holding no
+    marker. No broadcast, no hash join — the exchange ships left rows
+    once plus O(distinct right keys)."""
+    import ray.data as rd
+
+    from ..derive import key_grouped_block_map
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {"k": t.column(left_key).cast(pa.int64())}
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        cols["mark"] = pa.array(
+            np.zeros(t.num_rows, dtype=np.int8), pa.int8()
+        )
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k = t.column(right_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = np.unique(k)
+        cols = {"k": pa.array(u, pa.int64())}
+        for c in keep_cols:
+            cols[c] = pa.nulls(len(u), tag_right.types[c])
+        cols["mark"] = pa.array(np.ones(len(u), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    tag_right.types = {}
+    lt = left.map_batches(tag_left, batch_format="pyarrow").materialize()
+    sch = lt.schema().base_schema
+    for c in keep_cols:
+        tag_right.types[c] = sch.field(c).type
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["k", *keep_cols])
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        mark = t.column("mark").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sizes = np.diff(np.r_[starts, len(ks)])
+        has_mark = np.zeros(len(starts), dtype=bool)
+        np.logical_or.at(
+            has_mark,
+            np.repeat(np.arange(len(starts)), sizes),
+            mark[order] == 1,
+        )
+        dead_keys = ks[starts][has_mark]
+        keep = (mark == 0) & ~np.isin(k, dead_keys)
+        return t.filter(pa.array(keep)).select(["k", *keep_cols])
+
+    return key_grouped_block_map(lt.union(rt).sort(["k"]), ["k"], fold)
