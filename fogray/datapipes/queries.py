@@ -388,6 +388,42 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def q_ann_recall(sf_dir: str) -> pa.Table:
+    """Recall@10 of the IVF index against exact brute force, per query
+    — the evaluation harness every ANN deployment needs: both pipelines
+    run distributed (shared dataflow with ann_topk / ann_ivf), the
+    driver intersects two k-row sets per query."""
+    from ..util import sql_round
+
+    qids, qvecs = _query_vectors(sf_dir)
+    exact = similarity.ann_topk_bruteforce(_embs(sf_dir), qids, qvecs, k=10)
+    ivf = similarity.ann_topk_ivf(
+        _embs(sf_dir), qids, qvecs, k=10, nlist=16, nprobe=4
+    )
+    ex = {}
+    for q_, n_ in zip(exact.column("qid").to_pylist(),
+                      exact.column("nid").to_pylist()):
+        ex.setdefault(q_, set()).add(n_)
+    iv = {}
+    for q_, n_ in zip(ivf.column("qid").to_pylist(),
+                      ivf.column("nid").to_pylist()):
+        iv.setdefault(q_, set()).add(n_)
+    rows = sorted(ex)
+    hits = np.array(
+        [len(ex[q_] & iv.get(q_, set())) for q_ in rows], dtype=np.int64
+    )
+    denom = np.array([len(ex[q_]) for q_ in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "qid": pa.array(np.array(rows, dtype=np.int64)),
+            "n_hits": pa.array(hits),
+            "recall": pa.array(
+                sql_round(hits / np.maximum(denom, 1)), pa.float64()
+            ),
+        }
+    )
+
+
 def q_emb_gram(sf_dir: str) -> pa.Table:
     """Distributed Gram matrix over the embedding corpus: each block
     computes its (dim × dim) XᵀX partial with ONE float64 matmul (the
@@ -1428,6 +1464,7 @@ QUERIES = {
     "dd_embed_cosine": q_dd_embed_cosine,
     "ann_topk": q_ann_topk,
     "ann_range": q_ann_range,
+    "ann_recall": q_ann_recall,
     "ann_ivf": q_ann_ivf,
     "emb_kmeans": q_emb_kmeans,
     "emb_gram": q_emb_gram,
@@ -2399,6 +2436,8 @@ ORACLE_SQL = {
         GROUP BY 1 ORDER BY 1
     """,
     "ann_ivf": _ann_ivf_oracle_sql(),
+    "ann_recall": None,  # assembled below from the ann_topk / ann_ivf mirrors
+
     "emb_kmeans": _kmeans_oracle_sql(),
     "mm_features": _mm_features_oracle_sql(),
     "dd_minhash_lsh": _minhash_oracle_sql(),
@@ -3138,3 +3177,17 @@ ORACLE_SQL = {
         ORDER BY l.user_id, event_id_l, event_id_r
     """,
 }
+
+
+ORACLE_SQL["ann_recall"] = f"""
+    WITH exact AS ({ORACLE_SQL["ann_topk"]}),
+    approx AS ({ORACLE_SQL["ann_ivf"]}),
+    hits AS (
+        SELECT e.qid, CAST(COUNT(a.nid) AS BIGINT) AS n_hits,
+               CAST(COUNT(*) AS BIGINT) AS denom
+        FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.nid = e.nid
+        GROUP BY e.qid
+    )
+    SELECT qid, n_hits, ROUND(n_hits * 1.0 / denom, 6) AS recall
+    FROM hits ORDER BY qid
+"""

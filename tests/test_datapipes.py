@@ -32,7 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "agg_hll_by_type", "agg_window_hll", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
      "dd_incremental", "feat_assemble",
-     "dd_embed_cosine", "ann_topk", "ann_range", "ann_ivf", "emb_kmeans", "mm_features",
+     "dd_embed_cosine", "ann_topk", "ann_range", "ann_recall", "ann_ivf", "emb_kmeans", "mm_features",
      "mm_frames",
      "rel_topk",
      "rel_sample", "rel_stratified", "rel_join_revenue", "rel_quantiles",
