@@ -1143,6 +1143,64 @@ def q_rel_weighted(sf_dir: str) -> pa.Table:
     return relational.weighted_sample(ds, key_col="doc_id", weight_col="w", k=100)
 
 
+def q_feat_target_encode(sf_dir: str) -> pa.Table:
+    """Smoothed target encoding of event_type by value (the classic
+    categorical-feature stage): enc(c) = (sum_c + m·prior) / (n_c + m)
+    with m = 10 and prior = the global mean. All sums are EXACT int64
+    cents from per-block partials (shuffle-free — O(categories) rows
+    fold on the driver); the single float division per category is
+    mirrored term-for-term by the oracle."""
+    from ..util import sorted_table, sql_round
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()), ("cents", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        et = np.asarray(t.column("event_type").to_pylist())
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100.0).astype(np.int64)
+        u, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(u.tolist(), pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents, minlength=len(u)).astype(np.int64)
+                ),
+            },
+            schema=part_schema,
+        )
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    et = np.asarray(parts.column("event_type").to_pylist())
+    n_p = parts.column("n").to_numpy(zero_copy_only=False)
+    c_p = parts.column("cents").to_numpy(zero_copy_only=False)
+    u, inv = np.unique(et, return_inverse=True)
+    n = np.zeros(len(u), dtype=np.int64)
+    cents = np.zeros(len(u), dtype=np.int64)
+    np.add.at(n, inv, n_p)
+    np.add.at(cents, inv, c_p)
+    total_n = int(n.sum())
+    total_c = int(cents.sum())
+    prior = (total_c / 100.0) / total_n if total_n else 0.0
+    m = 10.0
+    enc = (cents / 100.0 + m * prior) / (n + m)
+    return pa.table(
+        {
+            "event_type": pa.array(u.tolist(), pa.string()),
+            "n": pa.array(n),
+            "enc": pa.array(sql_round(enc), pa.float64()),
+        }
+    )
+
+
 def q_sink_partitioned(sf_dir: str) -> pa.Table:
     """Resumable partitioned-parquet round-trip
     (fogray.datapipes.sink.write_partitioned / read_partitioned): write
@@ -1506,6 +1564,7 @@ QUERIES = {
     "rel_zscore": q_rel_zscore,
     "rel_diff": q_rel_diff,
     "rel_anti": q_rel_anti,
+    "feat_target_encode": q_feat_target_encode,
     "evt_transitions": q_evt_transitions,
     "evt_retention": q_evt_retention,
     "txt_bigram_lm": q_txt_bigram_lm,
@@ -2736,6 +2795,21 @@ ORACLE_SQL = {
     ].replace(
         "__EDGES__", "(SELECT event_id AS src, event_id AS dst FROM events)"
     ) + "SELECT src AS event_id, f >> 11 AS hv FROM s3"),
+    "feat_target_encode": """
+        WITH g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY event_type
+        ),
+        tot AS (SELECT SUM(cents) AS tc, SUM(n) AS tn FROM g)
+        SELECT g.event_type, g.n,
+               ROUND((g.cents / 100.0
+                      + 10.0 * ((SELECT tc FROM tot) / 100.0
+                                / (SELECT tn FROM tot)))
+                     / (g.n + 10.0), 6) AS enc
+        FROM g ORDER BY event_type
+    """,
     "rel_anti": """
         SELECT c_custkey, c_mktsegment FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
