@@ -90,6 +90,51 @@ def q_txt_langid(sf_dir: str) -> pa.Table:
     return _collect(text.lang_id(_docs(sf_dir)))
 
 
+def q_txt_langid_eval(sf_dir: str) -> pa.Table:
+    """Language-ID confusion matrix — the eval-harness twin of
+    ann_recall: an actor-pool stage scores each batch (LangId profiles
+    compiled once per actor) and groups predictions against the SAME
+    batch's labeled ``lang`` column — labels ride with the block, so
+    there is NO label broadcast; only exact (lang, pred, n) partials
+    leave each task."""
+    from ..util import sorted_table
+
+    part_schema = pa.schema(
+        [("lang", pa.string()), ("pred_lang", pa.string()), ("n", pa.int64())]
+    )
+
+    class ConfusionPartial:
+        def __init__(self):
+            self.scorer = text.LangId()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return part_schema.empty_table()
+            pred = self.scorer(t).column("pred_lang").to_pylist()
+            lang = t.column("lang").to_pylist()
+            keys = np.asarray(
+                ["\x1f".join(k) for k in zip(lang, pred)]
+            )
+            u, inv = np.unique(keys, return_inverse=True)
+            n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            pairs = [x.split("\x1f") for x in u.tolist()]
+            return pa.table(
+                {"lang": pa.array([a for a, _ in pairs], pa.string()),
+                 "pred_lang": pa.array([b for _, b in pairs], pa.string()),
+                 "n": pa.array(n)},
+                schema=part_schema,
+            )
+
+    parts = _collect(
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text", "lang"])
+        .map_batches(ConfusionPartial, concurrency=(1, 4), batch_format="pyarrow")
+    )
+    df = parts.to_pandas().groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    return sorted_table(pa.Table.from_pandas(df, preserve_index=False),
+                        ["lang", "pred_lang"])
+
+
 def q_txt_quality(sf_dir: str) -> pa.Table:
     return _collect(text.quality_scores(_docs(sf_dir)))
 
@@ -1497,6 +1542,7 @@ QUERIES = {
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
     "txt_langid": q_txt_langid,
+    "txt_langid_eval": q_txt_langid_eval,
     "txt_quality": q_txt_quality,
     "txt_top_tokens": q_txt_top_tokens,
     "txt_bpe_pairs": q_txt_bpe_pairs,
@@ -3264,4 +3310,13 @@ ORACLE_SQL["ann_recall"] = f"""
     )
     SELECT qid, n_hits, ROUND(n_hits * 1.0 / denom, 6) AS recall
     FROM hits ORDER BY qid
+"""
+
+
+ORACLE_SQL["txt_langid_eval"] = f"""
+    WITH preds AS ({ORACLE_SQL["txt_langid"]})
+    SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM preds p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang
+    ORDER BY d.lang, p.pred_lang
 """

@@ -27,7 +27,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["txt_stats", "txt_fingerprint", "txt_langid", "txt_quality",
+    ["txt_stats", "txt_fingerprint", "txt_langid", "txt_langid_eval", "txt_quality",
      "txt_top_tokens", "txt_bpe_pairs", "corpus_mix_weights",
      "txt_cms_tokens", "txt_unigram_nll", "txt_tfidf", "agg_hll_users", "agg_hll_by_type", "agg_window_hll", "dd_exact",
      "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "dd_cluster",
