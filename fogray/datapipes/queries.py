@@ -724,6 +724,17 @@ def q_txt_chunk(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id", "chunk_id"])
 
 
+def q_evt_rolling_median(sf_dir: str) -> pa.Table:
+    """Per-user trailing 5-event rolling median of value
+    (fogray.datapipes.streams.rolling_median)."""
+    from . import streams
+    from ..util import sorted_table
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
+    t = _collect(streams.rolling_median(ds, window=5))
+    return sorted_table(t, ["event_id"])
+
+
 def q_evt_late(sf_dir: str) -> pa.Table:
     """Watermark late-event counts per user under the deterministic
     splitmix arrival permutation (fogray.datapipes.streams.late_events,
@@ -1586,6 +1597,7 @@ QUERIES = {
     "txt_chunk": q_txt_chunk,
     "evt_funnel": q_evt_funnel,
     "evt_late": q_evt_late,
+    "evt_rolling_median": q_evt_rolling_median,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
     "mm_frames": q_mm_frames,
@@ -2855,6 +2867,14 @@ ORACLE_SQL = {
                                 / (SELECT tn FROM tot)))
                      / (g.n + 10.0), 6) AS enc
         FROM g ORDER BY event_type
+    """,
+    "evt_rolling_median": """
+        SELECT event_id, user_id,
+               ROUND(MEDIAN(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0,
+                   6) AS roll_median
+        FROM events ORDER BY event_id
     """,
     "rel_anti": """
         SELECT c_custkey, c_mktsegment FROM customer c

@@ -857,3 +857,71 @@ def late_events(ds, *, lateness_s: int = 60) -> rd.Dataset:
         ["user_id"],
         late_block,
     )
+
+
+def rolling_median(ds, *, window: int = 5) -> rd.Dataset:
+    """Trailing per-user rolling MEDIAN of ``value`` over the last
+    ``window`` events (SQL ``MEDIAN(...) OVER (ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``), ordered by (ts, event_id) — the
+    outlier-robust twin of :func:`rolling_mean`. Exact: medians select
+    (or average two of) the int64-cents values, so both sides compute
+    the identical rational before the shared 6-decimal round. The
+    window is materialized as ``window`` shifted views of the block
+    (vector ops, no per-row loop); ramp-up rows use the short prefix
+    like the SQL window.
+
+    -> (event_id, user_id, roll_median)
+    """
+
+    def roll_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "roll_median": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, v = u[order], eid[order], v[order]
+        cents = np.round(v * 100.0).astype(np.int64)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])
+        )
+        cnt = np.minimum(rank + 1, window).astype(np.int64)
+        # (n, window) matrix of the trailing values: column j holds the
+        # value j rows back, padded with +inf outside the window/run
+        mat = np.full((n, window), np.iinfo(np.int64).max, dtype=np.int64)
+        idx = np.arange(n)
+        for j in range(window):
+            src = idx - j
+            ok = (src >= 0) & (j <= rank)
+            mat[ok, j] = cents[src[ok]]
+        mat.sort(axis=1)
+        lo_i = (cnt - 1) // 2
+        hi_i = cnt // 2
+        med = (mat[idx, lo_i] + mat[idx, hi_i]) / 2.0 / 100.0
+        from ..util import sql_round
+
+        return pa.table(
+            {
+                "event_id": pa.array(eid.astype(np.int64)),
+                "user_id": pa.array(u.astype(np.int64)),
+                "roll_median": pa.array(sql_round(med), pa.float64()),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["event_id", "ts", "user_id", "value"]).sort(
+            ["user_id", "ts", "event_id"]
+        ),
+        ["user_id"],
+        roll_block,
+    )

@@ -41,7 +41,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel", "evt_late", "rel_anti", "feat_target_encode",
      "txt_repetition", "txt_pii_scrub", "txt_chunk", "emb_gram", "emb_pca", "dd_span_overlap", "rel_zscore", "rel_diff",
      "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split",
-     "rel_ntile", "evt_rolling", "sink_partitioned", "txt_pmi", "rel_rollup",
+     "rel_ntile", "evt_rolling", "evt_rolling_median", "sink_partitioned", "txt_pmi", "rel_rollup",
      "rel_weighted", "rel_corr", "agg_kmv_users", "evt_mode", "evt_ewma",
      "txt_entropy", "rel_interp_quantiles", "evt_window_topk",
      "rel_unpivot", "evt_latest", "txt_bigram_nll", "rel_minmax",
