@@ -9,7 +9,7 @@ here (or in fogray) calls ray.init()/ray.shutdown().
 - ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
   section 2 — graph pipelines from fogray.queries, training-data
   pipelines from fogray.datapipes.queries. EVERY query is oracle-gated
-  (113/113 as of end of round 2): iterative pipelines mirror via
+  (139/139 as of round 3): iterative pipelines mirror via
   recursive or unrolled MATERIALIZED CTEs, sketches via md5-based
   SQL-reproducible hashing and estimator-exact integer mirrors.
 """
