@@ -694,6 +694,136 @@ def q_corpus_pack(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id"])
 
 
+_SELECT_BUDGET = 8000
+
+
+def q_corpus_select(sf_dir: str) -> pa.Table:
+    """Quality-ranked data selection under a global token budget (the
+    LLM-pipeline step after scoring: keep the best docs until the
+    budget is spent): docs ranked by (q_score DESC, doc_id), selected
+    while the running n_bpe_tokens total stays ≤ 8000. Deterministic
+    block-prefix selection — the scored Dataset sorts ONCE by the
+    unique (-q_score, doc_id) key, per-block token-sum metadata gives
+    each block its exclusive prefix, and blocks select locally (the
+    corpus_pack pattern); no collect, no second pass."""
+    from . import packing
+    from ..util import sorted_table
+
+    scores = text.quality_scores(_docs(sf_dir))
+
+    def rank_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "neg_q": pc.negate(t.column("q_score")),
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": t.column("n_bpe_tokens"),
+                "q_score": t.column("q_score"),
+            }
+        )
+
+    ranked = scores.map_batches(rank_key, batch_format="pyarrow").sort(
+        ["neg_q", "doc_id"]
+    )
+    refs, _rb, tok_base = packing.ordered_block_prefix(
+        ranked, ["neg_q", "doc_id"], weight_col="n_bpe_tokens"
+    )
+
+    @ray.remote
+    def select_block(t: pa.Table, base: int) -> pa.Table:
+        nq = t.column("neg_q").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = t.column("n_bpe_tokens").to_numpy(zero_copy_only=False)
+        qv = t.column("q_score").to_numpy(zero_copy_only=False)
+        o = np.lexsort((did, nq))
+        did, nt, qv = did[o], nt[o], qv[o]
+        cum = base + np.cumsum(nt)
+        keep = cum <= _SELECT_BUDGET
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep].astype(np.int64)),
+                "n_bpe_tokens": pa.array(nt[keep].astype(np.int64)),
+                "q_score": pa.array(qv[keep], pa.float64()),
+            }
+        )
+
+    parts = ray.get(
+        [select_block.remote(r, int(b)) for r, b in zip(refs, tok_base)]
+    )
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_bpe_tokens": pa.array([], pa.int64()),
+             "q_score": pa.array([], pa.float64())}
+        )
+    return sorted_table(pa.concat_tables(parts), ["doc_id"])
+
+
+def q_evt_ab_test(sf_dir: str) -> pa.Table:
+    """Two-sample experiment readout: users split A/B by user_id parity,
+    per-variant value mean + Welch t statistic, all moments folded from
+    per-block EXACT int64-cents partials (n, Σc, Σc²) — the one float
+    expression at the end is mirrored term-for-term by the oracle."""
+    from ..util import sql_round
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    part_schema = pa.schema(
+        [("v", pa.int64()), ("n", pa.int64()), ("s", pa.int64()),
+         ("ss", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        v = (u % 2).astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array(np.array([0, 1], dtype=np.int64)),
+                "n": pa.array(np.bincount(v, minlength=2).astype(np.int64)),
+                "s": pa.array(np.bincount(v, weights=c, minlength=2).astype(np.int64)),
+                "ss": pa.array(
+                    np.bincount(v, weights=c.astype(np.float64) * c, minlength=2)
+                    .astype(np.int64)
+                ),
+            },
+            schema=part_schema,
+        )
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    import math
+
+    n = [0, 0]
+    sc = [0, 0]
+    ssc = [0, 0]
+    for v, nn, s_, ss_ in zip(parts.column("v").to_pylist(),
+                              parts.column("n").to_pylist(),
+                              parts.column("s").to_pylist(),
+                              parts.column("ss").to_pylist()):
+        n[v] += nn
+        sc[v] += s_
+        ssc[v] += ss_  # Python ints: overflow-proof fold
+    mean_c = [sc[i] / n[i] for i in (0, 1)]
+    var_c = [(ssc[i] - sc[i] * mean_c[i]) / (n[i] - 1) for i in (0, 1)]
+    t_stat = (mean_c[0] - mean_c[1]) / math.sqrt(
+        var_c[0] / n[0] + var_c[1] / n[1]
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([n[0]], pa.int64()),
+            "n_b": pa.array([n[1]], pa.int64()),
+            "mean_a": pa.array(sql_round(np.array([mean_c[0] / 100.0]))),
+            "mean_b": pa.array(sql_round(np.array([mean_c[1] / 100.0]))),
+            "t_stat": pa.array(sql_round(np.array([t_stat]))),
+        }
+    )
+
+
 def q_txt_repetition(sf_dir: str) -> pa.Table:
     """Duplicate-bigram repetition signal
     (fogray.datapipes.text.repetition)."""
@@ -1623,6 +1753,8 @@ QUERIES = {
     "rel_diff": q_rel_diff,
     "rel_anti": q_rel_anti,
     "feat_target_encode": q_feat_target_encode,
+    "corpus_select": q_corpus_select,
+    "evt_ab_test": q_evt_ab_test,
     "evt_transitions": q_evt_transitions,
     "evt_retention": q_evt_retention,
     "txt_bigram_lm": q_txt_bigram_lm,
@@ -3339,4 +3471,40 @@ ORACLE_SQL["txt_langid_eval"] = f"""
     FROM preds p JOIN documents d ON d.doc_id = p.doc_id
     GROUP BY d.lang, p.pred_lang
     ORDER BY d.lang, p.pred_lang
+"""
+
+
+ORACLE_SQL["corpus_select"] = f"""
+    WITH scored AS ({ORACLE_SQL["txt_quality"]}),
+    r AS (
+        SELECT doc_id, n_bpe_tokens, q_score,
+               SUM(n_bpe_tokens) OVER (
+                   ORDER BY q_score DESC, doc_id) AS cum
+        FROM scored
+    )
+    SELECT doc_id, n_bpe_tokens, q_score FROM r
+    WHERE cum <= {_SELECT_BUDGET} ORDER BY doc_id
+"""
+
+ORACLE_SQL["evt_ab_test"] = """
+    WITH g AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)
+                        * CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS ss
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT v, n, s / CAST(n AS DOUBLE) AS mean_c,
+               (ss - s * (s / CAST(n AS DOUBLE))) / (n - 1) AS var_c
+        FROM g
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean_c / 100.0, 6) AS mean_a,
+           ROUND(b.mean_c / 100.0, 6) AS mean_b,
+           ROUND((a.mean_c - b.mean_c)
+                 / SQRT(a.var_c / a.n + b.var_c / b.n), 6) AS t_stat
+    FROM m a JOIN m b ON a.v = 0 AND b.v = 1
 """

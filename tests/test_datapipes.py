@@ -38,7 +38,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_sample", "rel_stratified", "rel_join_revenue", "rel_quantiles",
      "rel_group_quantiles", "rel_pivot", "corpus_curate",
      "agg_histogram", "evt_window", "evt_sliding", "evt_asof",
-     "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel", "evt_late", "rel_anti", "feat_target_encode",
+     "evt_range", "evt_sessions", "evt_user_stats", "evt_funnel", "evt_late", "rel_anti", "feat_target_encode", "corpus_select", "evt_ab_test",
      "txt_repetition", "txt_pii_scrub", "txt_chunk", "emb_gram", "emb_pca", "dd_span_overlap", "rel_zscore", "rel_diff",
      "evt_transitions", "evt_retention", "txt_bigram_lm", "rel_split",
      "rel_ntile", "evt_rolling", "evt_rolling_median", "sink_partitioned", "txt_pmi", "rel_rollup",
