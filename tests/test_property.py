@@ -165,3 +165,65 @@ def test_spmv_is_weighted_indegree_sum(ray_session, g):
     expected = np.zeros(n)
     np.add.at(expected, dst, w)  # x = 1.0 everywhere
     np.testing.assert_allclose(res.state["spmv_value"], expected, rtol=1e-9)
+
+
+@given(graphs())
+@_settings
+def test_sample_fanout_is_per_src_hash_topk(ray_session, g):
+    """sample_fanout: every src keeps exactly min(fanout, outdeg)
+    distinct neighbors, ranked by the splitmix hash — checked against a
+    direct numpy ranking of the deduped edge set."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from fogray.sources import splitmix53
+    from fogray.walks import sample_fanout
+
+    src, dst, w, n, parts = g
+    m = src != dst
+    src, dst = src[m], dst[m]
+    if len(src) == 0:
+        return
+    key = src * np.int64(n) + dst
+    _, first = np.unique(key, return_index=True)
+    src, dst = src[first], dst[first]
+    ds = rd.from_arrow(
+        pa.table({"src": src, "dst": dst})
+    ).repartition(parts)
+    out = pa.concat_tables(
+        ray.get(sample_fanout(ds, fanout=3).materialize().to_arrow_refs())
+    )
+    hv = splitmix53((src.astype(np.uint64) << np.uint64(32)) ^ dst.astype(np.uint64))
+    import pandas as pd
+
+    want = pd.DataFrame({"src": src, "dst": dst, "hv": hv})
+    want = want.sort_values(["src", "hv", "dst"])
+    want["rk"] = want.groupby("src").cumcount() + 1
+    want = want[want.rk <= 3][["src", "dst", "rk"]]
+    got = out.to_pandas()
+    k = ["src", "rk"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(k).reset_index(drop=True).astype("int64"),
+        want.sort_values(k).reset_index(drop=True).astype("int64"),
+    )
+
+
+@given(graphs())
+@_settings
+def test_reciprocity_matches_bruteforce(ray_session, g):
+    from fogray.metrics import edge_reciprocity
+
+    src, dst, w, n, parts = g
+    m = src != dst
+    src, dst = src[m], dst[m]
+    key = src * np.int64(n) + dst
+    _, first = np.unique(key, return_index=True)
+    src, dst = src[first], dst[first]
+    if len(src) == 0:
+        return
+    t = edge_reciprocity((src, dst))
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    n_recip = sum(1 for a, b in pairs if (b, a) in pairs)
+    assert t.column("n_edges")[0].as_py() == len(pairs)
+    assert t.column("n_recip")[0].as_py() == n_recip
