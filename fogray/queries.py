@@ -1429,6 +1429,19 @@ def q_reciprocity(sf_dir: str) -> pa.Table:
     )
 
 
+def q_motif_triads(sf_dir: str) -> pa.Table:
+    """Directed closed-triad census (cycle vs transitive) of the part
+    sequence graph (fogray.metrics.triad_census: mid-keyed wedge
+    expansion + fused-key membership fold, two sorts total)."""
+    from .metrics import triad_census
+
+    t = sequence_edges(sf_dir)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    n = int(max(s.max(), d.max())) + 1 if len(s) else 1
+    return triad_census((s, d), n)
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -2340,6 +2353,22 @@ ORACLE_SQL: dict[str, str] = {
                           AS DOUBLE) / SUM(c), 6) AS reciprocity
         FROM p
     """,
+    # closed-triad census: ordered closed 3-walks (each directed 3-cycle
+    # = 3 rotations, hence // 3) and ordered transitive triples — the
+    # same distinct directed edge set triad_census consumes
+    "motif_triads": f"""
+        WITH e AS MATERIALIZED ({_SEQ_SQL})
+        SELECT 'cycle' AS motif,
+               (SELECT COUNT(*) FROM e e1
+                JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src) // 3 AS cnt
+        UNION ALL
+        SELECT 'transitive',
+               (SELECT COUNT(*) FROM e e1
+                JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        ORDER BY motif
+    """,
     "scc": f"""
         WITH RECURSIVE
         edges AS ({_SEQ_SQL}),
@@ -2396,6 +2425,7 @@ QUERIES = {
     "sample_fanout": q_sample_fanout,
     "scc": q_scc,
     "reciprocity": q_reciprocity,
+    "motif_triads": q_motif_triads,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,
