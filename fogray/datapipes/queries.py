@@ -1273,6 +1273,59 @@ def q_rel_zscore(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["event_id"])
 
 
+def q_evt_cumsum(sf_dir: str) -> pa.Table:
+    """Per-user unbounded running totals (prefix scan)
+    (fogray.datapipes.streams.cumulative_stats)."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.cumulative_stats(_events(sf_dir)))
+    return sorted_table(t, ["event_id"])
+
+
+def q_rel_skyline(sf_dir: str) -> pa.Table:
+    """2-criteria Pareto front over part (max p_size, min
+    p_retailprice) (fogray.datapipes.relational.skyline)."""
+    from . import relational
+
+    parts = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+    return relational.skyline(
+        parts, id_col="p_partkey", max_col="p_size", min_col="p_retailprice"
+    )
+
+
+def q_rel_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) with money-exact
+    sums (fogray.datapipes.relational.cube_counts)."""
+    from . import relational
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return relational.cube_counts(
+        orders, d1="o_orderstatus", d2="o_orderpriority", value_col="o_totalprice"
+    )
+
+
+def q_rel_mad(sf_dir: str) -> pa.Table:
+    """Per-priority median absolute deviation of o_totalprice
+    (fogray.datapipes.relational.grouped_mad, two exact-median passes
+    over int64 cents)."""
+    from . import relational
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return relational.grouped_mad(
+        orders, group_col="o_orderpriority", value_col="o_totalprice"
+    )
+
+
 def q_txt_pmi(sf_dir: str) -> pa.Table:
     """Top-50 adjacent-token collocations with PMI
     (fogray.datapipes.text.token_pmi)."""
@@ -1680,6 +1733,10 @@ def q_evt_range(sf_dir: str) -> pa.Table:
 
 
 QUERIES = {
+    "evt_cumsum": q_evt_cumsum,
+    "rel_skyline": q_rel_skyline,
+    "rel_cube": q_rel_cube,
+    "rel_mad": q_rel_mad,
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
     "txt_langid": q_txt_langid,
@@ -2182,6 +2239,69 @@ def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8, seed: int = 7) -> st
     """
 
 ORACLE_SQL = {
+    "evt_cumsum": """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS cum_n,
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                     / 100.0, 6) AS cum_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id
+    """,
+    # 2-criteria skyline: p survives iff no q dominates it (>= / <= with
+    # one strict); money compares in exact hundredths like the Ray side
+    "rel_skyline": """
+        WITH p AS (
+            SELECT p_partkey, p_size, p_retailprice,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c
+            FROM part
+        )
+        SELECT p_partkey, p_size, p_retailprice
+        FROM p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p q
+            WHERE q.p_size >= p.p_size AND q.c <= p.c
+              AND (q.p_size > p.p_size OR q.c < p.c)
+        )
+        ORDER BY p_partkey
+    """,
+    "rel_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 6) AS total
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY 1, 2
+    """,
+    # MAD with the repo's discrete-quantile rule: the value at sorted
+    # index floor(0.5*(n-1)) per group, twice (median, then abs-dev)
+    "rel_mad": """
+        WITH c AS (
+            SELECT o_orderpriority AS g,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+        ),
+        s AS (
+            SELECT g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM c
+        ),
+        m AS (SELECT g, v AS med FROM s
+              WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)),
+        d AS (SELECT c.g, ABS(c.v - m.med) AS av FROM c JOIN m USING (g)),
+        s2 AS (
+            SELECT g, av,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY av) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM d
+        )
+        SELECT g AS o_orderpriority, ROUND(av / 100.0, 6) AS mad
+        FROM s2 WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT)
+        ORDER BY 1
+    """,
     "txt_stats": r"""
         SELECT doc_id,
                LENGTH(text) AS n_chars_obs,

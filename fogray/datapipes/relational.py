@@ -1826,3 +1826,216 @@ def anti_join(left, right, *, left_key: str, right_key: str, keep_cols: list):
         return t.filter(pa.array(keep)).select(["k", *keep_cols])
 
     return key_grouped_block_map(lt.union(rt).sort(["k"]), ["k"], fold)
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto-front) query
+# ---------------------------------------------------------------------------
+
+
+def skyline(
+    ds, *, id_col: str, max_col: str, min_col: str, cents: bool = True
+) -> pa.Table:
+    """2-criteria skyline (Börzsönyi et al. 2001): rows not dominated by
+    any other row, maximizing ``max_col`` while minimizing ``min_col``
+    (q dominates p iff q.max >= p.max, q.min <= p.min, one strict).
+    Duplicated criterion points do not dominate each other, so ties all
+    survive together.
+
+    Scale shape: the skyline operator is DISTRIBUTIVE — the global
+    skyline is a subset of the union of per-block local skylines — so
+    each block reduces to its local front (vectorized: sort by
+    (max DESC, min ASC), keep rows whose min equals their max-group's
+    best AND beats the strict running best of larger max values), and
+    the driver folds only the O(blocks x distinct-max) candidate rows
+    with the same kernel. ``min_col`` compares in int64 hundredths when
+    ``cents`` (float-exact money semantics, mirroring the oracle's
+    CAST(ROUND(x*100) AS BIGINT))."""
+
+    import ray
+
+    def local_front(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        mx = t.column(max_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mnv = t.column(min_col).to_numpy(zero_copy_only=False)
+        mn = np.round(mnv * 100.0).astype(np.int64) if cents else mnv.astype(np.int64)
+        order = np.lexsort((mn, -mx))
+        mx, mn = mx[order], mn[order]
+        starts = np.flatnonzero(np.r_[True, mx[1:] != mx[:-1]])
+        sizes = np.diff(np.r_[starts, len(mx)])
+        # best (lowest) min per max-group, and the strict prefix best of
+        # all LARGER max values (+inf sentinel for the largest)
+        best = mn[starts]
+        prefix = np.r_[np.iinfo(np.int64).max, np.minimum.accumulate(best)[:-1]]
+        keep_group = np.repeat(prefix, sizes)
+        keep = (mn == np.repeat(best, sizes)) & (mn < keep_group)
+        return t.take(pa.array(order[keep]))
+
+    parts = ds.select_columns([id_col, max_col, min_col]).map_batches(
+        local_front, batch_format="pyarrow"
+    )
+    cand = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs()))
+    out = local_front(cand)
+    return out.sort_by(id_col)
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (all grouping sets over two dimensions)
+# ---------------------------------------------------------------------------
+
+
+def cube_counts(ds, *, d1: str, d2: str, value_col: str) -> pa.Table:
+    """SQL ``GROUP BY CUBE(d1, d2)``: exact count + money sum for all
+    four grouping sets, rolled dims reported as NULL. One distributed
+    pass computes the FINEST (d1, d2) partials pre-combined per block
+    (int64 hundredths — exact, associativity-proof); the three coarser
+    sets are pure post-aggregation over that |d1|x|d2|-row table on the
+    driver, the textbook cube dataflow (Gray et al. 1997): low-cardinality
+    dims mean the fold input is tiny at ANY corpus size.
+
+    -> (d1, d2, n BIGINT, total DOUBLE) with NULL group markers."""
+    import pandas as pd
+    import ray
+
+    from ..util import sql_round
+
+    part_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        a = t.column(d1).to_numpy(zero_copy_only=False)
+        b = t.column(d2).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(
+            pd.Series([f"{x}\x1f{y}" for x, y in zip(a, b)]), sort=True
+        )
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        c = np.bincount(codes, weights=cents, minlength=len(uniq)).astype(np.int64)
+        aa, bb = zip(*(u.split("\x1f") for u in uniq))
+        return pa.table(
+            {"a": pa.array(aa, pa.string()), "b": pa.array(bb, pa.string()),
+             "n": n, "c": c},
+            schema=part_schema,
+        )
+
+    parts = ds.select_columns([d1, d2, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    fine = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs())).to_pandas()
+    fine = fine.groupby(["a", "b"], as_index=False).sum()
+    rows = []
+    for keys, grp in (
+        (("a", "b"), None),
+        (("a",), None),
+        (("b",), None),
+        ((), None),
+    ):
+        if keys:
+            agg = fine.groupby(list(keys), as_index=False)[["n", "c"]].sum()
+        else:
+            agg = pd.DataFrame(
+                {"n": [int(fine["n"].sum())], "c": [int(fine["c"].sum())]}
+            )
+        agg = agg.assign(
+            **{k: agg[k] if k in keys else None for k in ("a", "b")}
+        )
+        rows.append(agg[["a", "b", "n", "c"]])
+    allrows = pd.concat(rows, ignore_index=True)
+    return pa.table(
+        {
+            d1: pa.array(allrows["a"], pa.string()),
+            d2: pa.array(allrows["b"], pa.string()),
+            "n": pa.array(allrows["n"].astype(np.int64)),
+            "total": pa.array(
+                sql_round(allrows["c"].to_numpy(dtype=np.float64) / 100.0),
+                pa.float64(),
+            ),
+        }
+    ).sort_by([(d1, "ascending"), (d2, "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# per-group median absolute deviation (robust dispersion)
+# ---------------------------------------------------------------------------
+
+
+def grouped_mad(ds, *, group_col: str, value_col: str) -> pa.Table:
+    """Per-group median absolute deviation over int64 hundredths, with
+    the repo's discrete-quantile convention (value at sorted index
+    floor(0.5 * (n-1)), the grouped_quantiles rule, mirrored by the
+    oracle's ROW_NUMBER pick). Two passes, each the ONE-sort
+    group-complete exchange: pass 1 gets each group's cents median
+    (O(|groups|) rows), which broadcasts into a shuffle-free abs-dev
+    map, and pass 2 re-runs the same median kernel on deviations.
+
+    -> (group_col, mad DOUBLE = cents/100, 6-dp)."""
+    import ray
+
+    from ..util import sql_round
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({group_col: t.column(group_col), "v": cents})
+
+    cents_ds = ds.select_columns([group_col, value_col]).map_batches(
+        add_cents, batch_format="pyarrow"
+    )
+
+    def median_block(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        idx = starts + (ends - starts - 1) // 2
+        return pa.table({group_col: pa.array(g[idx]), "med": pa.array(v[idx])})
+
+    meds = pa.concat_tables(
+        ray.get(
+            key_grouped_block_map(
+                cents_ds.sort([group_col, "v"]), [group_col], median_block
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    med_map = dict(
+        zip(meds.column(group_col).to_pylist(), meds.column("med").to_pylist())
+    )
+
+    def absdev(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        m = np.asarray([med_map[x] for x in g.tolist()], dtype=np.int64)
+        return pa.table({group_col: t.column(group_col), "v": np.abs(v - m)})
+
+    devs = cents_ds.map_batches(absdev, batch_format="pyarrow")
+    mads = pa.concat_tables(
+        ray.get(
+            key_grouped_block_map(
+                devs.sort([group_col, "v"]), [group_col], median_block
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    return pa.table(
+        {
+            group_col: mads.column(group_col),
+            "mad": pa.array(
+                sql_round(
+                    mads.column("med").to_numpy(zero_copy_only=False) / 100.0
+                ),
+                pa.float64(),
+            ),
+        }
+    ).sort_by(group_col)

@@ -925,3 +925,58 @@ def rolling_median(ds, *, window: int = 5) -> rd.Dataset:
         ["user_id"],
         roll_block,
     )
+
+
+def cumulative_stats(ds) -> rd.Dataset:
+    """Per-user running totals over the FULL history — the
+    ``SUM/COUNT OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)`` prefix scan. Same shape as
+    :func:`rolling_mean` (ONE (user, ts, event_id) sort, group-complete
+    blocks, one vectorized cumsum per block) but unbounded: the prefix
+    never crosses blocks because the planner puts each user's whole
+    history in one task. Money-exact int64 hundredths.
+
+    -> (event_id, user_id, cum_n BIGINT, cum_value DOUBLE)
+    """
+
+    def cum_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "cum_n": pa.array([], pa.int64()),
+                "cum_value": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, v = u[order], eid[order], v[order]
+        cents = np.round(v * 100.0).astype(np.int64)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])
+        )
+        cum = np.cumsum(cents)
+        base = np.repeat(np.where(starts > 0, cum[starts - 1], 0), np.diff(np.r_[starts, n]))
+        return pa.table(
+            {
+                "event_id": pa.array(eid.astype(np.int64)),
+                "user_id": pa.array(u.astype(np.int64)),
+                "cum_n": pa.array(rank + 1),
+                "cum_value": pa.array(sql_round((cum - base) / 100.0), pa.float64()),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["event_id", "ts", "user_id", "value"]).sort(
+            ["user_id", "ts", "event_id"]
+        ),
+        ["user_id"],
+        cum_block,
+    )

@@ -15,7 +15,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def con():
     c = duckdb.connect()
     for t in ["documents", "embeddings", "events", "lineitem", "orders",
-              "customer", "nation"]:
+              "customer", "nation", "part"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     return c
 
@@ -45,7 +45,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_weighted", "rel_corr", "agg_kmv_users", "evt_mode", "evt_ewma",
      "txt_entropy", "rel_interp_quantiles", "evt_window_topk",
      "rel_unpivot", "evt_latest", "txt_bigram_nll", "rel_minmax",
-     "txt_hapax", "corpus_stats"],
+     "txt_hapax", "corpus_stats",
+     "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
