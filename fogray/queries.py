@@ -1442,6 +1442,18 @@ def q_motif_triads(sf_dir: str) -> pa.Table:
     return triad_census((s, d), n)
 
 
+def q_msf(sf_dir: str) -> pa.Table:
+    """Borůvka minimum spanning forest of the weighted co-occurrence
+    graph (fogray.msf.boruvka_msf). Unique under the strict
+    (weight, a, b) edge order; NOT SQL-expressible (iterative
+    contraction), so the exactness oracle is the pure-python Kruskal in
+    tests/test_metrics.py — the driver records the rows-only check."""
+    from .msf import boruvka_msf
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return boruvka_msf(ds, n)
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -2426,6 +2438,7 @@ QUERIES = {
     "scc": q_scc,
     "reciprocity": q_reciprocity,
     "motif_triads": q_motif_triads,
+    "msf": q_msf,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,

@@ -274,3 +274,81 @@ def test_four_cycles_bruteforce(ray_session):
         _edges_ds(src, dst), n, dense_max_vertices=0
     ).column("c4")[0].as_py()
     assert got_sparse == want
+
+
+# ---------------------------------------------------------------------------
+# Borůvka MSF vs pure-python Kruskal (the unique MSF under strict
+# (weight, a, b) order — the exactness oracle MSF's iterative
+# contraction cannot get from SQL)
+# ---------------------------------------------------------------------------
+
+
+def _kruskal(n, edges_wab):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted(edges_wab):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def _random_weighted_graph(seed, n, m):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, size=m)
+    b = rng.integers(0, n, size=m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    key = lo * n + hi
+    _, idx = np.unique(key, return_index=True)
+    lo, hi = lo[idx], hi[idx]
+    # integer-valued double weights with deliberate TIES (mod 7) so the
+    # strict (w, a, b) order is what disambiguates
+    w = (rng.integers(1, 8, size=len(lo))).astype(np.float64)
+    return lo, hi, w
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 40, 120), (2, 200, 900), (3, 500, 3000)])
+def test_boruvka_msf_matches_kruskal(ray_session, seed, n, m):
+    from fogray.msf import boruvka_msf
+
+    lo, hi, w = _random_weighted_graph(seed, n, m)
+    # symmetric directed input, as the co-occurrence derivation emits
+    src = np.r_[lo, hi]
+    dst = np.r_[hi, lo]
+    ww = np.r_[w, w]
+    t = pa.table({"src": src, "dst": dst, "weight": ww})
+    ds = rd.from_arrow(t).repartition(5)
+    got = boruvka_msf(ds, n)
+    want = _kruskal(n, list(zip(w.tolist(), lo.tolist(), hi.tolist())))
+    got_rows = list(
+        zip(
+            got.column("a").to_pylist(),
+            got.column("b").to_pylist(),
+            got.column("weight").to_pylist(),
+        )
+    )
+    assert got_rows == want
+
+
+def test_boruvka_msf_empty_and_singleton(ray_session):
+    from fogray.msf import boruvka_msf
+
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.float64()),
+        }
+    )
+    out = boruvka_msf(rd.from_arrow(empty), 4)
+    assert out.num_rows == 0
