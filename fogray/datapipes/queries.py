@@ -413,6 +413,51 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return similarity.ann_topk_bruteforce(_embs(sf_dir), qids, qvecs, k=10)
 
 
+def q_emb_knn_cc(sf_dir: str) -> pa.Table:
+    """Composite similarity × graph pipeline: the symmetrized exact
+    cosine 5-NN graph over ALL embeddings (every vector is a query —
+    fogray.datapipes.similarity.ann_topk_bruteforce with the whole
+    corpus broadcast, the documented small-corpus baseline; the scale
+    path swaps in the IVF/LSH index) fed into the FOG-semantics
+    min-label connected-components engine. The canonical
+    embedding-clustering step of a dedup pipeline: components = groups
+    of mutually-near documents.
+
+    -> (vec_id, component_root)"""
+    from .. import algorithms as alg
+    from ..config import EngineConfig
+    from ..engine import GraphEngine
+
+    ids, vecs = _query_vectors(sf_dir, n=1 << 62)
+    knn = similarity.ann_topk_bruteforce(_embs(sf_dir), ids, vecs, k=5)
+    q = knn.column("qid").to_numpy(zero_copy_only=False)
+    nid = knn.column("nid").to_numpy(zero_copy_only=False)
+    src = np.r_[q, nid]
+    dst = np.r_[nid, q]
+    n = int(ids.max()) + 1 if len(ids) else 1
+    eng = GraphEngine(n, arrays=(src, dst, None), cfg=EngineConfig(num_partitions=4))
+    try:
+        res = alg.connected_components(eng)
+    finally:
+        eng.shutdown()
+    vids = np.sort(ids.astype(np.int64))
+    # distinct-neighbor degree of the symmetrized graph fingerprints the
+    # exact kNN edge set (components alone can agree across different
+    # edge sets — the whole corpus is usually one blob)
+    key = src.astype(np.int64) * np.int64(n) + dst.astype(np.int64)
+    uk = np.unique(key)
+    deg = np.bincount((uk // n).astype(np.int64), minlength=n)
+    return pa.table(
+        {
+            "vec_id": pa.array(vids),
+            "component_root": pa.array(
+                res.state["component_root"][vids].astype(np.int64)
+            ),
+            "knn_degree": pa.array(deg[vids].astype(np.int64)),
+        }
+    )
+
+
 def q_ann_range(sf_dir: str) -> pa.Table:
     """Cosine range search: all corpus vectors within cosine ≥ 0.35 of
     the 10 broadcast query vectors
@@ -1734,6 +1779,7 @@ def q_evt_range(sf_dir: str) -> pa.Table:
 
 QUERIES = {
     "evt_cumsum": q_evt_cumsum,
+    "emb_knn_cc": q_emb_knn_cc,
     "rel_skyline": q_rel_skyline,
     "rel_cube": q_rel_cube,
     "rel_mad": q_rel_mad,
@@ -2239,6 +2285,38 @@ def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8, seed: int = 7) -> st
     """
 
 ORACLE_SQL = {
+    # symmetrized exact-cosine 5-NN graph, then min-reachable-id
+    # components over its closure (same recursion as connected_components
+    # / dd_cluster); the float tie rule matches ann_topk's
+    # (score DESC, nid) ROW_NUMBER exactly
+    "emb_knn_cc": f"""
+        WITH RECURSIVE
+        s AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   list_cosine_similarity({_EMB_D.replace('embedding', 'a.embedding')},
+                                          {_EMB_D.replace('embedding', 'b.embedding')}) AS sc
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id <> b.vec_id
+        ),
+        r AS (
+            SELECT u, v,
+                   ROW_NUMBER() OVER (PARTITION BY u ORDER BY sc DESC, v) AS rn
+            FROM s
+        ),
+        knn AS (SELECT u, v FROM r WHERE rn <= 5),
+        e AS (SELECT u, v FROM knn UNION SELECT v, u FROM knn),
+        reach(a, b) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT reach.a, e.v FROM reach JOIN e ON e.u = reach.b
+        )
+        ,
+        deg AS (SELECT u, COUNT(DISTINCT v) AS d FROM e GROUP BY u)
+        SELECT reach.a AS vec_id, MIN(reach.b) AS component_root,
+               ANY_VALUE(deg.d) AS knn_degree
+        FROM reach JOIN deg ON deg.u = reach.a
+        GROUP BY reach.a ORDER BY vec_id
+    """,
     "evt_cumsum": """
         SELECT event_id, user_id,
                COUNT(*) OVER w AS cum_n,
