@@ -1454,6 +1454,18 @@ def q_msf(sf_dir: str) -> pa.Table:
     return boruvka_msf(ds, n)
 
 
+def q_coloring(sf_dir: str) -> pa.Table:
+    """Jones-Plassmann greedy coloring of the co-occurrence graph
+    (fogray.coloring.jones_plassmann). Deterministic but NOT
+    SQL-expressible (data-dependent round count); the exactness oracle
+    is the pure-python round replica in tests/test_metrics.py — the
+    driver records the rows-only check."""
+    from .coloring import jones_plassmann
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return jones_plassmann(ds.select_columns(["src", "dst"]), n)
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -2439,6 +2451,7 @@ QUERIES = {
     "reciprocity": q_reciprocity,
     "motif_triads": q_motif_triads,
     "msf": q_msf,
+    "coloring": q_coloring,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,

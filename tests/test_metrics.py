@@ -352,3 +352,70 @@ def test_boruvka_msf_empty_and_singleton(ray_session):
     )
     out = boruvka_msf(rd.from_arrow(empty), 4)
     assert out.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# Jones-Plassmann coloring vs a pure-python replica of the same rounds
+# ---------------------------------------------------------------------------
+
+
+def _jp_replica(n, pairs, prio):
+    """Sequential replay of the Jones-Plassmann rounds with identical
+    winner and mex rules — the exactness oracle for the distributed
+    implementation."""
+    adj = {v: set() for v in set(x for p in pairs for x in p)}
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    color = {v: -1 for v in adj}
+    while any(c == -1 for c in color.values()):
+        winners = [
+            v
+            for v in adj
+            if color[v] == -1
+            and all(color[w] != -1 or prio[w] < prio[v] for w in adj[v])
+        ]
+        assigned = {}
+        for v in winners:
+            used = {color[w] for w in adj[v] if color[w] != -1}
+            c = 0
+            while c in used:
+                c += 1
+            assigned[v] = c
+        color.update(assigned)
+    return color
+
+
+def test_jones_plassmann_proper_and_deterministic(ray_session):
+    from fogray.coloring import jones_plassmann
+    from fogray.sources import det_weight
+
+    rng = np.random.default_rng(7)
+    n, m = 120, 500
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    src = np.r_[a, b].astype(np.int64)
+    dst = np.r_[b, a].astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(5)
+    got = jones_plassmann(ds, n)
+    vids = got.column("vid").to_numpy(zero_copy_only=False)
+    cols = got.column("color").to_numpy(zero_copy_only=False)
+    cmap = dict(zip(vids.tolist(), cols.tolist()))
+    # proper coloring: no edge monochromatic
+    for x, y in zip(a.tolist(), b.tolist()):
+        assert cmap[x] != cmap[y], (x, y)
+    # deterministic
+    got2 = jones_plassmann(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(9), n
+    )
+    assert got.equals(got2)
+    # exact round-replica match
+    touched = np.unique(np.r_[a, b])
+    h = det_weight(touched.astype(np.uint64), np.zeros(len(touched), dtype=np.uint64))
+    rank = np.argsort(np.argsort(h, kind="stable"), kind="stable")
+    prio = dict(zip(touched.tolist(), rank.tolist()))
+    want = _jp_replica(n, list(zip(a.tolist(), b.tolist())), prio)
+    assert cmap == want
