@@ -51,7 +51,8 @@ def _min_candidates(t: pa.Table, comp_ref) -> pa.Table:
     the lexicographically (w, a, b)-first candidate per component."""
     if t.num_rows == 0:
         return _CAND_SCHEMA.empty_table()
-    comp = ray.get(comp_ref) if not isinstance(comp_ref, np.ndarray) else comp_ref
+    # as a raw-task arg Ray auto-dereferences the ref before the call
+    comp = ray.get(comp_ref) if isinstance(comp_ref, ray.ObjectRef) else comp_ref
     u = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
     v = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
     w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -111,18 +112,18 @@ def boruvka_msf(edges, n: int) -> pa.Table:
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_w: list[np.ndarray] = []
+    # superstep loop over PINNED block refs with raw tasks (the
+    # dist_engine / coloring pattern): a fresh Dataset pipeline per
+    # round pays ~0.2s executor startup each
+    block_refs = edges.to_arrow_refs()
+    cand_task = ray.remote(_min_candidates)
     max_rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     for _ in range(max_rounds):
         comp_ref = ray.put(comp)
         tabs = [
             t
             for t in ray.get(
-                edges.map_batches(
-                    lambda t, r=comp_ref: _min_candidates(t, r),
-                    batch_format="pyarrow",
-                )
-                .materialize()
-                .to_arrow_refs()
+                [cand_task.remote(r, comp_ref) for r in block_refs]
             )
             # Ray emits zero-COLUMN blocks for empty inputs — drop them
             if t.num_rows > 0 and t.num_columns > 0
