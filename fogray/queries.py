@@ -1466,6 +1466,18 @@ def q_coloring(sf_dir: str) -> pa.Table:
     return jones_plassmann(ds.select_columns(["src", "dst"]), n)
 
 
+def q_matching(sf_dir: str) -> pa.Table:
+    """Mutual-minimum greedy maximal matching of the co-occurrence
+    graph (fogray.matching.greedy_matching). Deterministic under the
+    splitmix edge hash but iterative (not SQL-expressible); exactness
+    oracle = pure-python round replica in tests/test_metrics.py; the
+    driver records the rows-only check."""
+    from .matching import greedy_matching
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return greedy_matching(ds.select_columns(["src", "dst"]), n)
+
+
 def q_scc(sf_dir: str) -> pa.Table:
     eng, n = _engine_for(sequence_edges(sf_dir), weights=False)
     try:
@@ -2452,6 +2464,7 @@ QUERIES = {
     "motif_triads": q_motif_triads,
     "msf": q_msf,
     "coloring": q_coloring,
+    "matching": q_matching,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,

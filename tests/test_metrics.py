@@ -419,3 +419,71 @@ def test_jones_plassmann_proper_and_deterministic(ray_session):
     prio = dict(zip(touched.tolist(), rank.tolist()))
     want = _jp_replica(n, list(zip(a.tolist(), b.tolist())), prio)
     assert cmap == want
+
+
+# ---------------------------------------------------------------------------
+# greedy maximal matching vs a pure-python replica of the same rounds
+# ---------------------------------------------------------------------------
+
+
+def _matching_replica(pairs):
+    from fogray.sources import det_weight
+
+    live = {}
+    edges = set()
+    for x, y in pairs:
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+            live[x] = True
+            live[y] = True
+    out = []
+    while True:
+        cands = [(a, b) for a, b in edges if live[a] and live[b]]
+        if not cands:
+            break
+        pick = {}
+        for a, b in cands:
+            h = float(
+                det_weight(
+                    np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64)
+                )[0]
+            )
+            for v in (a, b):
+                k = (h, a, b)
+                if v not in pick or k < pick[v]:
+                    pick[v] = k
+        for a, b in cands:
+            h = float(
+                det_weight(
+                    np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64)
+                )[0]
+            )
+            if pick.get(a) == (h, a, b) and pick.get(b) == (h, a, b):
+                out.append((a, b))
+                live[a] = False
+                live[b] = False
+    return sorted(out)
+
+
+def test_greedy_matching_maximal_and_replica(ray_session):
+    from fogray.matching import greedy_matching
+
+    rng = np.random.default_rng(11)
+    n, m = 150, 600
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    src = np.r_[a, b].astype(np.int64)
+    dst = np.r_[b, a].astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(6)
+    got = greedy_matching(ds, n)
+    rows = list(zip(got.column("a").to_pylist(), got.column("b").to_pylist()))
+    # a matching: endpoints distinct
+    used = [x for p in rows for x in p]
+    assert len(used) == len(set(used))
+    # maximal: every edge has a matched endpoint
+    us = set(used)
+    for x, y in zip(a.tolist(), b.tolist()):
+        assert x in us or y in us
+    assert rows == _matching_replica(list(zip(a.tolist(), b.tolist())))
