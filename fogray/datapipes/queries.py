@@ -1371,6 +1371,20 @@ def q_rel_mad(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rel_top_share(sf_dir: str) -> pa.Table:
+    """Per-priority revenue concentration of the top 10% of orders
+    (fogray.datapipes.relational.grouped_top_share)."""
+    from . import relational
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return relational.grouped_top_share(
+        orders, group_col="o_orderpriority", value_col="o_totalprice", frac=0.1
+    )
+
+
 def q_txt_pmi(sf_dir: str) -> pa.Table:
     """Top-50 adjacent-token collocations with PMI
     (fogray.datapipes.text.token_pmi)."""
@@ -1783,6 +1797,7 @@ QUERIES = {
     "rel_skyline": q_rel_skyline,
     "rel_cube": q_rel_cube,
     "rel_mad": q_rel_mad,
+    "rel_top_share": q_rel_top_share,
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
     "txt_langid": q_txt_langid,
@@ -2352,6 +2367,27 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY 1, 2
+    """,
+    # top-decile concentration: SUM over any tie-resolution of the top
+    # ceil(0.1*n) rows is the same multiset sum, so ROW_NUMBER ordering
+    # by value alone is exact
+    "rel_top_share": """
+        WITH c AS (
+            SELECT o_orderpriority AS g,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+        ),
+        r AS (
+            SELECT g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM c
+        )
+        SELECT g AS o_orderpriority,
+               ROUND(SUM(CASE WHEN rn <= CAST(CEIL(0.1 * n) AS BIGINT)
+                              THEN v ELSE 0 END) * 1.0 / SUM(v), 6)
+                   AS top_share
+        FROM r GROUP BY g ORDER BY g
     """,
     # MAD with the repo's discrete-quantile rule: the value at sorted
     # index floor(0.5*(n-1)) per group, twice (median, then abs-dev)

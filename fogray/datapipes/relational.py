@@ -2039,3 +2039,69 @@ def grouped_mad(ds, *, group_col: str, value_col: str) -> pa.Table:
             ),
         }
     ).sort_by(group_col)
+
+
+# ---------------------------------------------------------------------------
+# per-group top-decile concentration (revenue share of the top 10%)
+# ---------------------------------------------------------------------------
+
+
+def grouped_top_share(
+    ds, *, group_col: str, value_col: str, frac: float = 0.1
+) -> pa.Table:
+    """Per-group concentration: the share of the group's total captured
+    by its top ``ceil(frac * n)`` rows by value — the "top decile takes
+    what fraction of revenue" readout. ONE (group, value) sort makes
+    each group a contiguous run in a group-complete block where the
+    top-k sum is a suffix cumsum pick; int64 hundredths keep both sums
+    exact, so the final ratio is one float op mirrored by the oracle
+    (ties at the k-boundary don't matter — any tie-resolution sums the
+    same multiset).
+
+    -> (group_col, top_share DOUBLE) sorted by group."""
+    import math
+
+    import ray
+
+    from ..util import sql_round
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({group_col: t.column(group_col), "v": cents})
+
+    cents_ds = ds.select_columns([group_col, value_col]).map_batches(
+        add_cents, batch_format="pyarrow"
+    )
+
+    def share_block(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, g))
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        shares = np.empty(len(starts), dtype=np.float64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            k = int(math.ceil(frac * (e - s)))
+            top = int(v[s : s + k].sum())
+            tot = int(v[s:e].sum())
+            shares[i] = top / tot if tot else 0.0
+        return pa.table(
+            {
+                group_col: pa.array(g[starts]),
+                "top_share": pa.array(sql_round(shares), pa.float64()),
+            }
+        )
+
+    out = pa.concat_tables(
+        ray.get(
+            key_grouped_block_map(
+                cents_ds.sort([group_col, "v"]), [group_col], share_block
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    return out.sort_by(group_col)

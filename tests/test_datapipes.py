@@ -46,7 +46,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_entropy", "rel_interp_quantiles", "evt_window_topk",
      "rel_unpivot", "evt_latest", "txt_bigram_nll", "rel_minmax",
      "txt_hapax", "corpus_stats",
-     "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc"],
+     "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc",
+     "rel_top_share"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
