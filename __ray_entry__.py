@@ -8,10 +8,13 @@ here (or in fogray) calls ray.init()/ray.shutdown().
   on the distributed engine; returns the per-vertex rank table.
 - ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
   section 2 — graph pipelines from fogray.queries, training-data
-  pipelines from fogray.datapipes.queries. EVERY query is oracle-gated
-  (139/139 as of round 3): iterative pipelines mirror via
-  recursive or unrolled MATERIALIZED CTEs, sketches via md5-based
-  SQL-reproducible hashing and estimator-exact integer mirrors.
+  pipelines from fogray.datapipes.queries. 148 of 151 queries are
+  SQL-oracle-gated (iterative pipelines mirror via recursive or
+  unrolled MATERIALIZED CTEs, sketches via md5-based SQL-reproducible
+  hashing and estimator-exact integer mirrors); msf / coloring /
+  matching are contraction-style iteratives no SQL can express — each
+  has a pure-python exactness oracle in pytest and a rows-only driver
+  check.
 """
 
 from __future__ import annotations
