@@ -1872,10 +1872,17 @@ def skyline(
         keep = (mn == np.repeat(best, sizes)) & (mn < keep_group)
         return t.take(pa.array(order[keep]))
 
+    from ..util import collect_tables
+
     parts = ds.select_columns([id_col, max_col, min_col]).map_batches(
         local_front, batch_format="pyarrow"
     )
-    cand = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs()))
+    cand = collect_tables(
+        parts, pa.schema([(id_col, pa.int64()), (max_col, pa.int32()),
+                          (min_col, pa.float64())])
+    )
+    if cand.num_rows == 0:
+        return cand
     out = local_front(cand)
     return out.sort_by(id_col)
 
@@ -1924,10 +1931,12 @@ def cube_counts(ds, *, d1: str, d2: str, value_col: str) -> pa.Table:
             schema=part_schema,
         )
 
+    from ..util import collect_tables
+
     parts = ds.select_columns([d1, d2, value_col]).map_batches(
         partial, batch_format="pyarrow"
     )
-    fine = pa.concat_tables(ray.get(parts.materialize().to_arrow_refs())).to_pandas()
+    fine = collect_tables(parts, part_schema).to_pandas()
     fine = fine.groupby(["a", "b"], as_index=False).sum()
     rows = []
     for keys, grp in (

@@ -1569,11 +1569,13 @@ def triad_census(edges, n: int) -> pa.Table:
             schema=fold_schema,
         )
 
+    from .util import collect_tables
+
     tagged = edges.map_batches(tag_mid, batch_format="pyarrow")
     wedges = key_grouped_block_map(tagged.sort(["mid", "tag"]), ["mid"], wedge_partials)
     members = edges.map_batches(tag_members, batch_format="pyarrow")
     partials = key_grouped_block_map(wedges.union(members).sort(["key"]), ["key"], fold)
-    folded = pa.concat_tables(ray.get(partials.materialize().to_arrow_refs()))
+    folded = collect_tables(partials, fold_schema)
     trans = int(pa.compute.sum(folded.column("trans")).as_py() or 0)
     walks = int(pa.compute.sum(folded.column("walks")).as_py() or 0)
     return pa.table(

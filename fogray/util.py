@@ -103,3 +103,23 @@ def from_arrow_chunked(table, num_blocks: int = 32):
     return rd.from_arrow(
         [table.slice(i * chunk, chunk) for i in range(num_blocks) if i * chunk < table.num_rows]
     )
+
+
+def collect_tables(ds, empty_schema=None):
+    """Materialize a Dataset and concat its Arrow blocks on the driver,
+    dropping the zero-COLUMN blocks Ray emits for empty inputs (they
+    break pa.concat_tables). Only for bounded results — partials,
+    dimension tables, O(V) state — never the full data. Returns
+    ``empty_schema.empty_table()`` (or an empty no-column table) when
+    nothing survives."""
+    import pyarrow as pa
+    import ray
+
+    tabs = [
+        t
+        for t in ray.get(ds.materialize().to_arrow_refs())
+        if t.num_rows > 0 and t.num_columns > 0
+    ]
+    if tabs:
+        return pa.concat_tables(tabs)
+    return empty_schema.empty_table() if empty_schema is not None else pa.table({})

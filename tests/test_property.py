@@ -227,3 +227,68 @@ def test_reciprocity_matches_bruteforce(ray_session, g):
     n_recip = sum(1 for a, b in pairs if (b, a) in pairs)
     assert t.column("n_edges")[0].as_py() == len(pairs)
     assert t.column("n_recip")[0].as_py() == n_recip
+
+
+@given(graphs())
+@_settings
+def test_triad_census_matches_bruteforce(ray_session, g):
+    """Cycle and transitive closed-triad counts vs an O(E·V) brute
+    force over the DISTINCT self-loop-free edge set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fogray.metrics import triad_census
+
+    src, dst, _, n, parts = g
+    m = src != dst
+    key = np.unique(src[m] * np.int64(n) + dst[m])
+    s, d = (key // n).astype(np.int64), (key % n).astype(np.int64)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[s, d] = True
+    walks = int(np.trace(np.linalg.matrix_power(adj.astype(np.int64), 3)))
+    trans = 0
+    for a, b in zip(s.tolist(), d.tolist()):
+        # ordered paths a->m->b closed by the shortcut a->b
+        trans += int(np.count_nonzero(adj[a] & adj[:, b]))
+    got = triad_census(
+        rd.from_arrow(pa.table({"src": s, "dst": d})).repartition(parts), n
+    )
+    vals = dict(
+        zip(got.column("motif").to_pylist(), got.column("cnt").to_pylist())
+    )
+    assert vals["cycle"] == walks // 3
+    assert vals["transitive"] == trans
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 60))
+@_settings
+def test_skyline_matches_bruteforce(ray_session, seed, n):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fogray.datapipes.relational import skyline
+
+    rng = np.random.default_rng(seed)
+    size = rng.integers(1, 8, n).astype(np.int32)
+    price = (rng.integers(100, 900, n) / 100.0).astype(np.float64)
+    t = pa.table(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "sz": size,
+            "pr": price,
+        }
+    )
+    got = skyline(
+        rd.from_arrow(t).repartition(4), id_col="id", max_col="sz", min_col="pr"
+    )
+    cents = np.round(price * 100).astype(np.int64)
+    keep = []
+    for i in range(n):
+        dominated = np.any(
+            (size >= size[i])
+            & (cents <= cents[i])
+            & ((size > size[i]) | (cents < cents[i]))
+        )
+        if not dominated:
+            keep.append(i)
+    assert got.column("id").to_pylist() == keep
