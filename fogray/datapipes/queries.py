@@ -1385,6 +1385,30 @@ def q_rel_top_share(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rel_gini(sf_dir: str) -> pa.Table:
+    """Per-priority Gini coefficient of order revenue
+    (fogray.datapipes.relational.grouped_gini)."""
+    from . import relational
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return relational.grouped_gini(
+        orders, group_col="o_orderpriority", value_col="o_totalprice"
+    )
+
+
+def q_evt_bursts(sf_dir: str) -> pa.Table:
+    """Per-user peak trailing-hour burst size
+    (fogray.datapipes.streams.burst_stats)."""
+    from . import streams
+    from ..util import sorted_table
+
+    t = _collect(streams.burst_stats(_events(sf_dir), window_s=3600))
+    return sorted_table(t, ["user_id"])
+
+
 def q_txt_pmi(sf_dir: str) -> pa.Table:
     """Top-50 adjacent-token collocations with PMI
     (fogray.datapipes.text.token_pmi)."""
@@ -1798,6 +1822,8 @@ QUERIES = {
     "rel_cube": q_rel_cube,
     "rel_mad": q_rel_mad,
     "rel_top_share": q_rel_top_share,
+    "rel_gini": q_rel_gini,
+    "evt_bursts": q_evt_bursts,
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
     "txt_langid": q_txt_langid,
@@ -2367,6 +2393,40 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY 1, 2
+    """,
+    # Gini over ascending cents: Σ i·x_(i) is invariant under tie
+    # permutations, so ROW_NUMBER ordering by value alone is exact
+    "rel_gini": """
+        WITH c AS (
+            SELECT o_orderpriority AS g,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders
+        ),
+        r AS (
+            SELECT g, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM c
+        )
+        SELECT g AS o_orderpriority,
+               ROUND(2.0 * SUM(rn * v) / (ANY_VALUE(n) * SUM(v))
+                     - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+        FROM r GROUP BY g ORDER BY g
+    """,
+    # trailing-window peak burst: RANGE frame includes peer timestamps
+    # on both edges, mirrored by the two-searchsorted count
+    "evt_bursts": """
+        WITH w AS (
+            SELECT user_id,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                 AND CURRENT ROW
+                   ) AS c
+            FROM events
+        )
+        SELECT user_id, MAX(c) AS max_burst
+        FROM w GROUP BY user_id ORDER BY user_id
     """,
     # top-decile concentration: SUM over any tie-resolution of the top
     # ceil(0.1*n) rows is the same multiset sum, so ROW_NUMBER ordering

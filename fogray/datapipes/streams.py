@@ -980,3 +980,52 @@ def cumulative_stats(ds) -> rd.Dataset:
         ["user_id"],
         cum_block,
     )
+
+
+def burst_stats(ds, *, window_s: int = 3600) -> rd.Dataset:
+    """Per-user peak burst rate: the maximum number of events inside
+    ANY trailing ``window_s`` window ending at an event (inclusive on
+    both window edges, matching SQL ``RANGE BETWEEN INTERVAL PRECEDING
+    AND CURRENT ROW`` — peer timestamps all count). The
+    rate-limit / abuse signal every event-ingest pipeline wants. ONE
+    (user, ts) sort; inside each user's group-complete run the window
+    count is two vectorized searchsorteds, no per-event loop.
+
+    -> (user_id, max_burst BIGINT)
+    """
+    us = np.int64(window_s) * 1_000_000  # ts is microseconds
+
+    def burst_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "max_burst": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        out_u = u[starts]
+        out_b = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            w = ts[s:e]
+            lo = np.searchsorted(w, w - us, side="left")
+            hi = np.searchsorted(w, w, side="right")
+            out_b[i] = int((hi - lo).max())
+        return pa.table(
+            {
+                "user_id": pa.array(out_u.astype(np.int64)),
+                "max_burst": pa.array(out_b),
+            }
+        )
+
+    return key_grouped_block_map(
+        ds.select_columns(["user_id", "ts"]).sort(["user_id", "ts"]),
+        ["user_id"],
+        burst_block,
+    )
