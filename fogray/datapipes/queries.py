@@ -1385,6 +1385,23 @@ def q_rel_top_share(sf_dir: str) -> pa.Table:
     )
 
 
+def q_agg_hll_setops(sf_dir: str) -> pa.Table:
+    """HLL union/intersection of click vs purchase user sets
+    (fogray.datapipes.sketches.hll_set_ops, inclusion-exclusion over
+    one three-register pass)."""
+    from . import sketches
+
+    return sketches.hll_set_ops(
+        _events(sf_dir),
+        col="user_id",
+        filter_col="event_type",
+        a_value="click",
+        b_value="purchase",
+        value_col="value",
+        min_value=80.0,
+    )
+
+
 def q_rel_gini(sf_dir: str) -> pa.Table:
     """Per-priority Gini coefficient of order revenue
     (fogray.datapipes.relational.grouped_gini)."""
@@ -1823,6 +1840,7 @@ QUERIES = {
     "rel_mad": q_rel_mad,
     "rel_top_share": q_rel_top_share,
     "rel_gini": q_rel_gini,
+    "agg_hll_setops": q_agg_hll_setops,
     "evt_bursts": q_evt_bursts,
     "txt_stats": q_txt_stats,
     "txt_fingerprint": q_txt_fingerprint,
@@ -2393,6 +2411,18 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY 1, 2
+    """,
+    # HLL set algebra: three estimator-exact mirrors composed, the
+    # intersection from the ROUNDED components exactly like the Ray side
+    "agg_hll_setops": f"""
+        SELECT a.est_distinct AS est_a,
+               b.est_distinct AS est_b,
+               u.est_distinct AS est_union,
+               ROUND(a.est_distinct + b.est_distinct - u.est_distinct, 6)
+                   AS est_intersect
+        FROM ({_hll_oracle_sql("(SELECT user_id FROM events WHERE value >= 80.0 AND event_type = 'click')", "user_id")}) a,
+             ({_hll_oracle_sql("(SELECT user_id FROM events WHERE value >= 80.0 AND event_type = 'purchase')", "user_id")}) b,
+             ({_hll_oracle_sql("(SELECT user_id FROM events WHERE value >= 80.0 AND event_type IN ('click', 'purchase'))", "user_id")}) u
     """,
     # Gini over ascending cents: Σ i·x_(i) is invariant under tie
     # permutations, so ROW_NUMBER ordering by value alone is exact

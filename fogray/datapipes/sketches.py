@@ -412,3 +412,85 @@ def kmv_distinct_by(ds, group_col: str, col: str, k: int = KMV_K) -> pa.Table:
             "n_rows": pa.array(n_rows, type=pa.int64()),
         }
     )
+
+
+def hll_set_ops(
+    ds,
+    *,
+    col: str,
+    filter_col: str,
+    a_value: str,
+    b_value: str,
+    value_col: str | None = None,
+    min_value: float = 0.0,
+) -> pa.Table:
+    """HLL set algebra over one pass: cardinality estimates of
+    {col : filter=a}, {col : filter=b}, their union (registers over
+    rows matching either), and the inclusion-exclusion intersection
+    est_a + est_b - est_union — the mergeable-sketch answer to "how
+    many users did BOTH" that never shuffles raw values. Each block
+    emits THREE 256-register partials (side-tagged), the driver folds
+    elementwise maxima; all four estimates are computed identically by
+    the SQL oracle from the rounded components, so the approximation is
+    exact-match checkable.
+
+    ``value_col``/``min_value`` add a numeric floor to both sides (e.g.
+    "users with a HIGH-VALUE click" vs "... purchase") — without it a
+    dense corpus makes A = B = union and the check degenerates.
+
+    -> one row (est_a, est_b, est_union, est_intersect), all DOUBLE."""
+    sides = {0: a_value, 1: b_value}
+    cols = [col, filter_col] + ([value_col] if value_col else [])
+    ds = ds.select_columns(cols)
+
+    def batch(t: pa.Table) -> pa.Table:
+        f = t.column(filter_col).cast(pa.string()).to_pylist() if t.num_rows else []
+        v = t.column(col).cast(pa.string()).to_pylist() if t.num_rows else []
+        if value_col is not None and t.num_rows:
+            ok = (
+                t.column(value_col).to_numpy(zero_copy_only=False) >= min_value
+            ).tolist()
+        else:
+            ok = [True] * len(v)
+        regs = []
+        tags = []
+        for tag, want in sides.items():
+            vals = [x for x, fv, o in zip(v, f, ok) if o and fv == want and x is not None]
+            regs.append(_register_partial(vals))
+            tags.append(np.full(HLL_M, tag, dtype=np.int64))
+        vals = [
+            x
+            for x, fv, o in zip(v, f, ok)
+            if o and fv in (a_value, b_value) and x is not None
+        ]
+        regs.append(_register_partial(vals))
+        tags.append(np.full(HLL_M, 2, dtype=np.int64))
+        return pa.table(
+            {
+                "tag": pa.array(np.concatenate(tags)),
+                "bucket": pa.array(np.tile(np.arange(HLL_M, dtype=np.int64), 3)),
+                "rho_max": pa.array(np.concatenate(regs)),
+            }
+        )
+
+    from ..util import collect_tables
+
+    parts = collect_tables(ds.map_batches(batch, batch_format="pyarrow"))
+    tag = parts.column("tag").to_numpy(zero_copy_only=False)
+    bucket = parts.column("bucket").to_numpy(zero_copy_only=False)
+    rho = parts.column("rho_max").to_numpy(zero_copy_only=False)
+    ests = []
+    for want in (0, 1, 2):
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        m = tag == want
+        np.maximum.at(regs, bucket[m], rho[m])
+        ests.append(float(sql_round(np.array([hll_estimate(regs)]))[0]))
+    inter = float(sql_round(np.array([ests[0] + ests[1] - ests[2]]))[0])
+    return pa.table(
+        {
+            "est_a": pa.array([ests[0]], pa.float64()),
+            "est_b": pa.array([ests[1]], pa.float64()),
+            "est_union": pa.array([ests[2]], pa.float64()),
+            "est_intersect": pa.array([inter], pa.float64()),
+        }
+    )
