@@ -59,6 +59,12 @@ def _init_ray(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
+        kw = {}
+        # iso-protocol workers run several Ray instances concurrently on
+        # one box — cap each object store so they don't overcommit shm
+        objstore_mb = os.environ.get("GRAFT_OBJSTORE_MB")
+        if objstore_mb:
+            kw["object_store_memory"] = int(objstore_mb) << 20
         ray.init(
             address="local",
             num_cpus=num_cpus,
@@ -67,6 +73,7 @@ def _init_ray(num_cpus: int) -> None:
             # keep stdout to exactly ONE JSON line: raylet/worker log
             # forwarding otherwise interleaves warnings into stdout
             log_to_driver=False,
+            **kw,
         )
 
 
@@ -371,6 +378,87 @@ def run_worker(
     }
 
 
+def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
+    """Iso-operating-point scaling protocol (``--scaling --iso``).
+
+    The plain two-level protocol measures the lo level on an otherwise
+    EMPTY box, where 4 active cores own the package's turbo headroom and
+    L3 — an operating point no node of a real N-node cluster ever sees
+    (at BOTH cluster sizes every node is fully loaded, so per-core
+    clocks and cache share are the same; only the software's scaling
+    differs). This protocol pins the hardware operating point equal at
+    both levels: the lo throughput is measured as the MEAN per-process
+    throughput of hi/lo CONCURRENT fresh lo-CPU runs of the identical
+    job (total busy cores = hi at both levels); the hi level is one
+    fresh hi-CPU run. efficiency = thr_hi / ((hi/lo) * mean_thr_lo).
+    Each object store is capped (GRAFT_OBJSTORE_MB, default 6144) so
+    concurrent instances don't overcommit shm."""
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4")) if lo is None else lo
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16")) if hi is None else hi
+    group = max(1, hi // lo)
+    env = dict(os.environ)
+    env["GRAFT_SF_DIR"] = sf_dir
+    env.setdefault("GRAFT_OBJSTORE_MB", "6144")
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def worker_cmd(k: int) -> list[str]:
+        return [sys.executable, os.path.abspath(__file__), "--worker", str(k),
+                "--synthetic"]
+
+    def last_json(stdout: str) -> dict:
+        return json.loads(
+            [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+        )
+
+    # hi level first (also warms the synthetic-graph cache for the group)
+    hi_best, hi_times = None, []
+    for _ in range(max(1, SCALING_REPEATS)):
+        proc = subprocess.run(
+            worker_cmd(hi), capture_output=True, text=True, env=env, cwd=here
+        )
+        d = last_json(proc.stdout)
+        hi_times.append(d["wall_s"])
+        if hi_best is None or d["edges_per_sec_per_iter"] > hi_best["edges_per_sec_per_iter"]:
+            hi_best = d
+    # lo level: rounds of `group` concurrent lo-CPU processes
+    lo_means, lo_rounds = [], []
+    for _ in range(max(1, SCALING_REPEATS)):
+        procs = [
+            subprocess.Popen(
+                worker_cmd(lo), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env, cwd=here,
+            )
+            for _ in range(group)
+        ]
+        thrs = []
+        for p in procs:
+            out, _ = p.communicate()
+            thrs.append(last_json(out)["edges_per_sec_per_iter"])
+        lo_rounds.append([round(t, 1) for t in thrs])
+        lo_means.append(sum(thrs) / len(thrs))
+    thr_lo = max(lo_means)
+    thr_hi = hi_best["edges_per_sec_per_iter"]
+    eff = thr_hi / (thr_lo * group)
+    return {
+        "metric": "scaling_efficiency_iso",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "num_cpus": hi,
+        "lo_cpus": lo,
+        "hi_cpus": hi,
+        "concurrent_lo_procs": group,
+        "throughput_lo_mean": round(thr_lo, 1),
+        "throughput_hi": round(thr_hi, 1),
+        "throughput_unit": "edges/s/iter",
+        "num_edges": hi_best["num_edges"],
+        "repeats": SCALING_REPEATS,
+        "pagerank_hi_reps": hi_times,
+        "lo_round_throughputs": lo_rounds,
+        "queries": {f"pagerank@{hi}cpus": hi_best["wall_s"]},
+    }
+
+
 def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None,
                 e2e: bool = False) -> dict:
     # Default pair 4 -> 16 (N and 4N): 16 leaves half the box's 32 cores
@@ -472,7 +560,9 @@ def _dispatch(argv: list[str]) -> dict:
             SF_DIR, k, synthetic="--synthetic" in argv, e2e="--e2e" in argv
         )
     elif "--scaling" in argv:
-        if "--e2e" in argv:
+        if "--iso" in argv:
+            out = run_scaling_iso(SF_DIR)
+        elif "--e2e" in argv:
             out = run_scaling(SF_DIR, e2e=True)
         elif "--kernel" in argv:
             out = run_scaling(SF_DIR, e2e=False)

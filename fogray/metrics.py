@@ -1584,3 +1584,113 @@ def triad_census(edges, n: int) -> pa.Table:
             "cnt": pa.array([walks // 3, trans], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# frequency-based (mode) label propagation — community LPA
+# ---------------------------------------------------------------------------
+
+
+def lpa_mode_rounds(edges, n: int, *, rounds: int = 4) -> pa.Table:
+    """Synchronous community label propagation (Raghavan et al. 2007),
+    distinct from the engine's min-label FOG semantics: every round,
+    each vertex adopts the MOST FREQUENT label among its in-neighbors
+    (ties break to the smallest label; isolated vertices keep their
+    label). Fixed ``rounds`` for a deterministic, SQL-unrollable
+    result.
+
+    Per round: broadcast the O(V) label array once, every edge block
+    pre-combines (dst, neighbor-label) counts (np.unique on fused
+    keys), ONE sort brings each dst's counts group-complete, and the
+    mode pick is a vectorized lexsort-first — the exchange ships
+    pre-combined label counts, never raw edges. -> (vid, label)."""
+    from .util import collect_tables
+
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    nn = np.int64(n)
+    cnt_schema = pa.schema([("v", pa.int64()), ("lab", pa.int64()), ("c", pa.int64())])
+
+    def count_block(t: pa.Table, lab_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        lab = ray.get(lab_ref) if isinstance(lab_ref, ray.ObjectRef) else lab_ref
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = d * nn + lab[s]
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "v": (uk // nn).astype(np.int64),
+                "lab": (uk % nn).astype(np.int64),
+                "c": c.astype(np.int64),
+            },
+            schema=cnt_schema,
+        )
+
+    mode_schema = pa.schema([("v", pa.int64()), ("lab", pa.int64())])
+
+    def mode_block(t: pa.Table) -> pa.Table:
+        """Blocks are v-COMPLETE (grouped on the dst column, not the
+        fused key — a dst's labels may straddle fused-key block cuts):
+        fold duplicate (v, lab) partials, then pick the per-v mode with
+        the (count DESC, label ASC) rule."""
+        if t.num_rows == 0:
+            return mode_schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        lab = t.column("lab").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        key = v * nn + lab
+        o = np.argsort(key, kind="stable")
+        key, c = key[o], c[o]
+        kb = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ukey = key[kb]
+        tot = np.add.reduceat(c, kb)
+        vv = (ukey // nn).astype(np.int64)
+        ll = (ukey % nn).astype(np.int64)
+        o2 = np.lexsort((ll, -tot, vv))
+        vv, ll = vv[o2], ll[o2]
+        first = np.r_[True, vv[1:] != vv[:-1]]
+        return pa.table({"v": vv[first], "lab": ll[first]}, schema=mode_schema)
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+        partials = edges.map_batches(
+            lambda t, r=lab_ref: count_block(t, r), batch_format="pyarrow"
+        )
+        modes = collect_tables(
+            key_grouped_block_map(partials.sort(["v", "lab"]), ["v"], mode_block),
+            mode_schema,
+        )
+        labels = labels.copy()
+        labels[modes.column("v").to_numpy(zero_copy_only=False)] = modes.column(
+            "lab"
+        ).to_numpy(zero_copy_only=False)
+    touched_mask = np.zeros(n, dtype=bool)
+
+    def touch_block(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"v": np.unique(np.r_[s, d]).astype(np.int64)})
+
+    tv = collect_tables(
+        edges.map_batches(touch_block, batch_format="pyarrow"),
+        pa.schema([("v", pa.int64())]),
+    )
+    touched = np.unique(tv.column("v").to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "vid": pa.array(touched.astype(np.int64)),
+            "label": pa.array(labels[touched].astype(np.int64)),
+        }
+    )

@@ -1442,6 +1442,22 @@ def q_motif_triads(sf_dir: str) -> pa.Table:
     return triad_census((s, d), n)
 
 
+def q_lpa_freq(sf_dir: str) -> pa.Table:
+    """Frequency-based (mode) community label propagation, 4 synchronous
+    rounds over the DIRECTED part-sequence graph
+    (fogray.metrics.lpa_mode_rounds — distinct from the engine's
+    min-label FOG cc semantics; the sparse directed graph keeps real
+    community structure where the dense co-occurrence blob collapses to
+    one label)."""
+    from .metrics import lpa_mode_rounds
+
+    t = sequence_edges(sf_dir)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    n = int(max(s.max(), d.max())) + 1 if len(s) else 1
+    return lpa_mode_rounds((s, d), n, rounds=4)
+
+
 def q_msf(sf_dir: str) -> pa.Table:
     """Borůvka minimum spanning forest of the weighted co-occurrence
     graph (fogray.msf.boruvka_msf). Unique under the strict
@@ -2389,6 +2405,46 @@ ORACLE_SQL: dict[str, str] = {
                           AS DOUBLE) / SUM(c), 6) AS reciprocity
         FROM p
     """,
+    # mode-LPA: 4 unrolled synchronous rounds, per-vertex most-frequent
+    # in-neighbor label with (count DESC, label ASC) tie rule
+    "lpa_freq": f"""
+        WITH edges AS MATERIALIZED ({_SEQ_SQL}),
+        verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        l0 AS (SELECT v, v AS lab FROM verts),
+        r1 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+               FROM edges e JOIN l0 l ON l.v = e.src GROUP BY 1, 2),
+        m1 AS (SELECT v, lab FROM (
+                   SELECT v, lab, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY c DESC, lab) AS rn FROM r1)
+               WHERE rn = 1),
+        l1 AS (SELECT l0.v, COALESCE(m.lab, l0.lab) AS lab
+               FROM l0 LEFT JOIN m1 m USING (v)),
+        r2 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+               FROM edges e JOIN l1 l ON l.v = e.src GROUP BY 1, 2),
+        m2 AS (SELECT v, lab FROM (
+                   SELECT v, lab, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY c DESC, lab) AS rn FROM r2)
+               WHERE rn = 1),
+        l2 AS (SELECT l1.v, COALESCE(m.lab, l1.lab) AS lab
+               FROM l1 LEFT JOIN m2 m USING (v)),
+        r3 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+               FROM edges e JOIN l2 l ON l.v = e.src GROUP BY 1, 2),
+        m3 AS (SELECT v, lab FROM (
+                   SELECT v, lab, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY c DESC, lab) AS rn FROM r3)
+               WHERE rn = 1),
+        l3 AS (SELECT l2.v, COALESCE(m.lab, l2.lab) AS lab
+               FROM l2 LEFT JOIN m3 m USING (v)),
+        r4 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+               FROM edges e JOIN l3 l ON l.v = e.src GROUP BY 1, 2),
+        m4 AS (SELECT v, lab FROM (
+                   SELECT v, lab, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY c DESC, lab) AS rn FROM r4)
+               WHERE rn = 1),
+        l4 AS (SELECT l3.v, COALESCE(m.lab, l3.lab) AS lab
+               FROM l3 LEFT JOIN m4 m USING (v))
+        SELECT v AS vid, lab AS label FROM l4 ORDER BY vid
+    """,
     # closed-triad census: ordered closed 3-walks (each directed 3-cycle
     # = 3 rotations, hence // 3) and ordered transitive triples — the
     # same distinct directed edge set triad_census consumes
@@ -2465,6 +2521,7 @@ QUERIES = {
     "msf": q_msf,
     "coloring": q_coloring,
     "matching": q_matching,
+    "lpa_freq": q_lpa_freq,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,
