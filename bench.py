@@ -21,6 +21,13 @@ is fixed-cost-bound at 32 CPUs) as the primary criterion number, and
 the whole flagship pipeline (under ``"e2e"``) as the supplementary
 one. ``--kernel`` / ``--e2e`` select a single protocol.
 
+``--scaling --iso``: iso-operating-point variant — the lo level is
+measured as the mean per-process throughput of hi/lo CONCURRENT fresh
+lo-CPU runs (total busy cores equal at both levels, so turbo/L3
+residency can't inflate the lo denominator; per-instance object store
+capped via GRAFT_OBJSTORE_MB). The fair single-box analog of N vs 4N
+fully-loaded nodes — see BASELINE.md round-3 analysis.
+
 ``--scaling --e2e``: same two-level fresh-process protocol, but each
 run is the WHOLE flagship pipeline (synthetic repo table -> derive
 co-occurrence edges -> build engine -> 10-iter PageRank; input
