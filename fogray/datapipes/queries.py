@@ -1600,6 +1600,64 @@ def q_sink_partitioned(sf_dir: str) -> pa.Table:
     return sorted_table(pa.Table.from_pandas(df, preserve_index=False), ["part"])
 
 
+def q_sink_jsonl(sf_dir: str) -> pa.Table:
+    """Resumable partitioned-JSONL round-trip
+    (fogray.datapipes.sink.write_jsonl_partitioned /
+    read_jsonl_partitioned): same manifest/_DONE contract as the
+    parquet sink, JSONL shards, content checked by the identical
+    per-partition aggregate oracle (so the JSON round-trip must
+    preserve doc ids, counts and char sums exactly)."""
+    import shutil
+    import tempfile
+
+    from . import sink
+    from ..util import sorted_table
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "fogray_sink_jsonl_rt_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = sink.write_jsonl_partitioned(
+        _docs(sf_dir), out_dir, key_col="doc_id", num_partitions=8
+    )
+    assert int(pc.sum(manifest.column("skipped")).as_py() or 0) == 0
+
+    back = sink.read_jsonl_partitioned(out_dir)
+
+    def agg(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        p = sink.partition_ids(ids, 8)
+        up, inv = np.unique(p, return_inverse=True)
+        bounds = np.r_[0, np.cumsum(np.bincount(inv))[:-1]]
+        by = np.argsort(inv, kind="stable")
+        return pa.table(
+            {
+                "part": pa.array(up),
+                "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+                "sum_chars": pa.array(
+                    np.bincount(inv, weights=nc).astype(np.int64)
+                ),
+                "min_doc": pa.array(
+                    np.minimum.reduceat(ids[by], bounds).astype(np.int64)
+                ),
+                "max_doc": pa.array(
+                    np.maximum.reduceat(ids[by], bounds).astype(np.int64)
+                ),
+            }
+        )
+
+    parts = _collect(back.map_batches(agg, batch_format="pyarrow"))
+    df = parts.to_pandas().groupby("part", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        min_doc=("min_doc", "min"),
+        max_doc=("max_doc", "max"),
+    )
+    return sorted_table(pa.Table.from_pandas(df, preserve_index=False), ["part"])
+
+
 def q_rel_ntile(sf_dir: str) -> pa.Table:
     """Equal-count decile binning (fogray.datapipes.relational.
     ntile_bins): NTILE(10) of value within event_type, event_id ties."""
@@ -1925,6 +1983,7 @@ QUERIES = {
     "evt_rolling": q_evt_rolling,
     "evt_ewma": q_evt_ewma,
     "sink_partitioned": q_sink_partitioned,
+    "sink_jsonl": q_sink_jsonl,
     "txt_pmi": q_txt_pmi,
     "rel_rollup": q_rel_rollup,
     "rel_weighted": q_rel_weighted,
@@ -3515,6 +3574,15 @@ ORACLE_SQL = {
             FROM h
         )
         SELECT doc_id, w FROM r WHERE rn <= 100 ORDER BY doc_id
+    """,
+    "sink_jsonl": """
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                    AS INT) % 8 AS part,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM documents GROUP BY 1 ORDER BY 1
     """,
     "sink_partitioned": """
         SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))

@@ -47,7 +47,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "rel_unpivot", "evt_latest", "txt_bigram_nll", "rel_minmax",
      "txt_hapax", "corpus_stats",
      "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc",
-     "rel_top_share", "rel_gini", "evt_bursts", "agg_hll_setops"],
+     "rel_top_share", "rel_gini", "evt_bursts", "agg_hll_setops",
+     "sink_jsonl"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
