@@ -1621,3 +1621,44 @@ def test_rollup_stats(ray_session):
     assert len(sub) == 1 and sub.iloc[0]["sum_value"] == 0.30 and sub.iloc[0]["n"] == 2
     tot = out[out["a"].isna() & out["b"].isna()]
     assert len(tot) == 1 and tot.iloc[0]["sum_value"] == 0.60 and tot.iloc[0]["n"] == 3
+
+
+def test_write_jsonl_partitioned_resume(ray_session, tmp_path):
+    """JSONL twin of the parquet sink resume contract: wiped partitions
+    rewrite, surviving partitions skip byte-identically, and a missing
+    _DONE marker fails the read loudly."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from fogray.datapipes import sink
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(120), pa.int64()),
+            "text": pa.array([f'li"ne\n{i}' for i in range(120)]),  # JSON-escaped
+        }
+    )
+    out = str(tmp_path / "jsink")
+    m1 = sink.write_jsonl_partitioned(
+        rd.from_arrow(t).repartition(4), out, key_col="doc_id", num_partitions=4
+    ).to_pandas()
+    assert m1["skipped"].sum() == 0 and m1["rows"].sum() == 120
+
+    back = sink.read_jsonl_partitioned(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == list(range(120))
+    assert back["text"].tolist() == [f'li"ne\n{i}' for i in range(120)]
+
+    shutil.rmtree(os.path.join(out, "part=0"))
+    m2 = sink.write_jsonl_partitioned(
+        rd.from_arrow(t).repartition(4), out, key_col="doc_id", num_partitions=4
+    ).to_pandas().set_index("part")
+    assert m2.loc[0, "skipped"] == 0
+    assert all(m2.loc[p, "skipped"] == 1 for p in (1, 2, 3))
+    back2 = sink.read_jsonl_partitioned(out).to_pandas()
+    assert sorted(back2["doc_id"].tolist()) == list(range(120))
+
+    os.remove(os.path.join(out, "part=3", "_DONE"))
+    with pytest.raises(ValueError):
+        sink.read_jsonl_partitioned(out)

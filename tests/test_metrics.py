@@ -487,3 +487,38 @@ def test_greedy_matching_maximal_and_replica(ray_session):
     for x, y in zip(a.tolist(), b.tolist()):
         assert x in us or y in us
     assert rows == _matching_replica(list(zip(a.tolist(), b.tolist())))
+
+
+def test_superstep_ops_on_star_graph(ray_session):
+    """Skew smoke: a hub-and-spokes star (one vertex adjacent to all)
+    is the worst-case degree distribution for the broadcast-superstep
+    family — coloring must 2-color it, matching must pick exactly one
+    hub edge, MSF must keep all spokes, triads must find none."""
+    from fogray.coloring import jones_plassmann
+    from fogray.matching import greedy_matching
+    from fogray.metrics import triad_census
+    from fogray.msf import boruvka_msf
+
+    n = 64
+    hub = 0
+    spokes = np.arange(1, n, dtype=np.int64)
+    src = np.r_[np.zeros(n - 1, dtype=np.int64), spokes]
+    dst = np.r_[spokes, np.zeros(n - 1, dtype=np.int64)]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    col = jones_plassmann(ds, n)
+    cm = dict(zip(col.column("vid").to_pylist(), col.column("color").to_pylist()))
+    assert all(cm[int(s)] != cm[hub] for s in spokes)
+    assert max(cm.values()) <= 1  # 2-colorable
+    mt = greedy_matching(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4), n
+    )
+    assert mt.num_rows == 1 and mt.column("a")[0].as_py() == hub
+    w = np.ones(len(src), dtype=np.float64)
+    msf = boruvka_msf(
+        rd.from_arrow(pa.table({"src": src, "dst": dst, "weight": np.r_[w]})), n
+    )
+    assert msf.num_rows == n - 1  # every spoke edge is in the forest
+    tc = triad_census(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4), n
+    )
+    assert tc.column("cnt").to_pylist() == [0, 0]
