@@ -1129,6 +1129,24 @@ def q_corpus_curate(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id"])
 
 
+def q_corpus_e2e(sf_dir: str) -> pa.Table:
+    """Flagship composed training-data pipeline: curate (quality filter
+    -> exact dedup -> hash sample, fogray.datapipes.curate) -> SEMI-join
+    the full documents back to the survivors (the sort-union probe,
+    relational.key_anti_semi_join) -> token-budget sequence packing
+    (packing.pack_sequences) — five stages, three exchanges, streaming
+    end to end. The oracle composes the curate and pack SQL mirrors."""
+    from . import curate, packing, relational
+    from ..util import sorted_table
+
+    survivors = curate.curate_corpus(_docs(sf_dir))
+    curated_docs = relational.key_anti_semi_join(
+        _docs(sf_dir), survivors, key_col="doc_id", semi=True
+    )
+    t = _collect(packing.pack_sequences(curated_docs, budget=256))
+    return sorted_table(t, ["doc_id"])
+
+
 def q_rel_stratified(sf_dir: str) -> pa.Table:
     from . import relational
     from ..util import sorted_table
@@ -1950,6 +1968,7 @@ QUERIES = {
     "evt_rolling_median": q_evt_rolling_median,
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
+    "corpus_e2e": q_corpus_e2e,
     "mm_frames": q_mm_frames,
     "rel_quantiles": q_rel_quantiles,
     "rel_interp_quantiles": q_rel_interp_quantiles,
@@ -2922,6 +2941,55 @@ ORACLE_SQL = {
         FROM f ORDER BY doc_id, frame_idx
     """,
     # one CTE per pipeline stage: score+filter, keeper-per-text, sample
+    # curate mirror composed with the pack mirror: pack runs over the
+    # curated survivor set in doc_id order
+    "corpus_e2e": r"""
+        WITH s AS MATERIALIZED (
+            SELECT doc_id, source, text,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                   length(regexp_split_to_array(text, '\s+')) AS nt,
+                   length(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       t -> t IN ('a','an','and','in','is','it','of','or',
+                                  'the','to'))) AS n_stop
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, text,
+                   ROUND(LEAST(1.0, n_bpe / 200.0)
+                         * (1.0 - 0.5 * (n_stop / GREATEST(nt, 1))), 6)
+                       AS q_score
+            FROM s
+        ),
+        f AS (SELECT * FROM q WHERE q_score >= 0.25),
+        k AS (
+            SELECT f.doc_id
+            FROM f
+            JOIN (SELECT text, MIN(doc_id) AS m FROM f GROUP BY text) g
+              ON g.text = f.text AND g.m = f.doc_id
+        ),
+        sel AS (SELECT doc_id FROM k
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '7f'),
+        t AS (
+            SELECT d.doc_id,
+                   length(list_filter(regexp_split_to_array(d.text, '\s+'),
+                                      x -> x <> '')) AS n_tokens
+            FROM documents d JOIN sel USING (doc_id)
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS st
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(st // 256 AS BIGINT) AS seq_id,
+               CAST(st % 256 AS BIGINT) AS seq_off
+        FROM c ORDER BY doc_id
+    """,
     "corpus_curate": r"""
         WITH s AS MATERIALIZED (
             SELECT doc_id, source, text,
