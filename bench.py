@@ -385,7 +385,8 @@ def run_worker(
     }
 
 
-def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
+def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None,
+                    e2e: bool = False) -> dict:
     """Iso-operating-point scaling protocol (``--scaling --iso``).
 
     The plain two-level protocol measures the lo level on an otherwise
@@ -407,29 +408,31 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None) -
     env["GRAFT_SF_DIR"] = sf_dir
     env.setdefault("GRAFT_OBJSTORE_MB", "6144")
     here = os.path.dirname(os.path.abspath(__file__))
+    thr_key = "files_per_sec" if e2e else "edges_per_sec_per_iter"
+    repeats = E2E_REPEATS if e2e else SCALING_REPEATS
 
     def worker_cmd(k: int) -> list[str]:
         return [sys.executable, os.path.abspath(__file__), "--worker", str(k),
-                "--synthetic"]
+                "--e2e" if e2e else "--synthetic"]
 
     def last_json(stdout: str) -> dict:
         return json.loads(
             [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
         )
 
-    # hi level first (also warms the synthetic-graph cache for the group)
+    # hi level first (also warms the synthetic input cache for the group)
     hi_best, hi_times = None, []
-    for _ in range(max(1, SCALING_REPEATS)):
+    for _ in range(max(1, repeats)):
         proc = subprocess.run(
             worker_cmd(hi), capture_output=True, text=True, env=env, cwd=here
         )
         d = last_json(proc.stdout)
         hi_times.append(d["wall_s"])
-        if hi_best is None or d["edges_per_sec_per_iter"] > hi_best["edges_per_sec_per_iter"]:
+        if hi_best is None or d[thr_key] > hi_best[thr_key]:
             hi_best = d
     # lo level: rounds of `group` concurrent lo-CPU processes
     lo_means, lo_rounds = [], []
-    for _ in range(max(1, SCALING_REPEATS)):
+    for _ in range(max(1, repeats)):
         procs = [
             subprocess.Popen(
                 worker_cmd(lo), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -440,14 +443,14 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None) -
         thrs = []
         for p in procs:
             out, _ = p.communicate()
-            thrs.append(last_json(out)["edges_per_sec_per_iter"])
+            thrs.append(last_json(out)[thr_key])
         lo_rounds.append([round(t, 1) for t in thrs])
         lo_means.append(sum(thrs) / len(thrs))
     thr_lo = max(lo_means)
-    thr_hi = hi_best["edges_per_sec_per_iter"]
+    thr_hi = hi_best[thr_key]
     eff = thr_hi / (thr_lo * group)
     return {
-        "metric": "scaling_efficiency_iso",
+        "metric": "scaling_efficiency_iso_e2e" if e2e else "scaling_efficiency_iso",
         "value": round(eff, 4),
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
@@ -457,12 +460,12 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None) -
         "concurrent_lo_procs": group,
         "throughput_lo_mean": round(thr_lo, 1),
         "throughput_hi": round(thr_hi, 1),
-        "throughput_unit": "edges/s/iter",
+        "throughput_unit": "files/s" if e2e else "edges/s/iter",
         "num_edges": hi_best["num_edges"],
-        "repeats": SCALING_REPEATS,
-        "pagerank_hi_reps": hi_times,
+        "repeats": repeats,
+        "hi_reps": hi_times,
         "lo_round_throughputs": lo_rounds,
-        "queries": {f"pagerank@{hi}cpus": hi_best["wall_s"]},
+        "queries": {f"{'flagship' if e2e else 'pagerank'}@{hi}cpus": hi_best["wall_s"]},
     }
 
 
@@ -568,7 +571,7 @@ def _dispatch(argv: list[str]) -> dict:
         )
     elif "--scaling" in argv:
         if "--iso" in argv:
-            out = run_scaling_iso(SF_DIR)
+            out = run_scaling_iso(SF_DIR, e2e="--e2e" in argv)
         elif "--e2e" in argv:
             out = run_scaling(SF_DIR, e2e=True)
         elif "--kernel" in argv:

@@ -1158,6 +1158,23 @@ def q_graph_meta(sf_dir: str) -> pa.Table:
 _WALK_STEPS = 6
 
 
+_BIASED_STEPS = 5
+
+
+def q_biased_walks(sf_dir: str) -> pa.Table:
+    """node2vec-style biased second-order walks over the co-occurrence
+    graph (fogray.walks.biased_walks): integer weights (return 1 /
+    triangle-closing 4 / exploring 2, i.e. p=2, q=2 scaled integral),
+    checked bit-for-bit against the unrolled weighted-pick DuckDB
+    mirror. Dataset shard path — edges never land on the driver."""
+    from . import walks
+
+    ds, _n = cooccurrence_edges_ds(sf_dir)
+    return sorted_table(
+        walks.biased_walks(ds, num_steps=_BIASED_STEPS), ["wid", "step"]
+    )
+
+
 def q_graph_walks(sf_dir: str) -> pa.Table:
     """Deterministic DeepWalk-style walk corpus over the co-occurrence
     graph: one walk per vertex, _WALK_STEPS splitmix-chosen steps
@@ -1600,6 +1617,79 @@ def _walks_oracle_sql(num_steps: int = 6) -> str:
     """
 
 
+def _biased_walks_oracle_sql(num_steps: int = 5) -> str:
+    """DuckDB mirror of :func:`fogray.walks.biased_walks`: the same hz
+    splitmix CTE chain as the uniform-walk mirror, then ``num_steps``
+    UNROLLED weighted-pick layers (window cumsum per walker over
+    ascending dst; candidate weights 1 / 4 / 2 by prev-return /
+    triangle-membership LEFT JOIN / exploration; pick = the candidate
+    whose [cum, cum+w) range contains h % total — all-integer, so the
+    mirror is bit-exact)."""
+    hz_chain = """
+    hw AS (SELECT DISTINCT src AS wid FROM edges),
+    hp AS (
+        SELECT wid, CAST(k AS BIGINT) AS step,
+               xor(CAST(wid AS UBIGINT) * CAST(4294967296 AS UBIGINT),
+                   CAST(k AS UBIGINT)) AS x0
+        FROM hw CROSS JOIN (SELECT unnest(range(%d)) AS k)
+    ),
+    h1 AS (SELECT wid, step, xor(x0, x0 >> 30) AS a FROM hp),
+    h1m AS (SELECT wid, step, CAST((
+        (CAST(a AS HUGEINT) * 484763065 +
+         ((CAST(a AS HUGEINT) %% 4294967296) * 3210233709 %% 4294967296)
+         * 4294967296)
+        %% 18446744073709551616) AS UBIGINT) AS x1 FROM h1),
+    h2 AS (SELECT wid, step, xor(x1, x1 >> 27) AS b FROM h1m),
+    h2m AS (SELECT wid, step, CAST((
+        (CAST(b AS HUGEINT) * 321982955 +
+         ((CAST(b AS HUGEINT) %% 4294967296) * 2496678331 %% 4294967296)
+         * 4294967296)
+        %% 18446744073709551616) AS UBIGINT) AS x2 FROM h2),
+    hz AS MATERIALIZED (
+        SELECT wid, step, xor(x2, x2 >> 31) >> 11 AS h FROM h2m
+    ),
+    s0 AS (SELECT wid, CAST(-1 AS BIGINT) AS prev, wid AS vid FROM hw)
+    """ % num_steps
+    layers = []
+    for k in range(1, num_steps + 1):
+        layers.append(f"""
+    c{k} AS MATERIALIZED (
+        SELECT s.wid, s.vid AS cur, e.dst,
+               CASE WHEN e.dst = s.prev THEN 1
+                    WHEN m.src IS NOT NULL THEN 4
+                    ELSE 2 END AS w
+        FROM s{k - 1} s
+        JOIN edges e ON e.src = s.vid
+        LEFT JOIN edges m ON m.src = s.prev AND m.dst = e.dst
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT wid, cur, dst, w,
+               COALESCE(SUM(w) OVER (PARTITION BY wid ORDER BY dst
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+               SUM(w) OVER (PARTITION BY wid) AS tot
+        FROM c{k}
+    ),
+    s{k} AS MATERIALIZED (
+        SELECT w.wid, w.cur AS prev, w.dst AS vid
+        FROM w{k} w JOIN hz h ON h.wid = w.wid AND h.step = {k - 1}
+        WHERE CAST(h.h % CAST(w.tot AS UBIGINT) AS BIGINT) >= w.cw
+          AND CAST(h.h % CAST(w.tot AS UBIGINT) AS BIGINT) < w.cw + w.w
+    )""")
+    selects = ["SELECT wid, CAST(0 AS BIGINT) AS step, vid FROM s0"] + [
+        f"SELECT wid, CAST({k} AS BIGINT), vid FROM s{k}"
+        for k in range(1, num_steps + 1)
+    ]
+    return (
+        f"WITH edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),\n"
+        + hz_chain
+        + ","
+        + ",".join(layers)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY wid, step"
+    )
+
+
 def _hits_oracle_sql(niters: int = 5) -> str:
     """DuckDB mirror of :func:`fogray.algorithms.hits`: the iterations
     unrolled as CTE pairs (authority sum over in-edges then hub sum over
@@ -2012,6 +2102,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ktruss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ROUNDS),
     "graph_walks": _walks_oracle_sql(_WALK_STEPS),
+    "biased_walks": _biased_walks_oracle_sql(_BIASED_STEPS),
     "sample_fanout": (
         lambda hv_sql: f"""
         WITH h AS ({hv_sql}),
@@ -2522,6 +2613,7 @@ QUERIES = {
     "coloring": q_coloring,
     "matching": q_matching,
     "lpa_freq": q_lpa_freq,
+    "biased_walks": q_biased_walks,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,

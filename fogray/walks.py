@@ -58,6 +58,8 @@ class WalkShard:
         d = tab.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((d, s))
         s, self.dst = s[order], d[order]
+        self._src_sorted = s
+        self._fused = None  # built lazily for biased-walk membership
         starts = (
             np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
             if len(s)
@@ -89,6 +91,42 @@ class WalkShard:
             idx = (h % deg[ok].astype(np.uint64)).astype(np.int64)
             nxt[ok] = self.dst[self.offsets[pos[ok]] + idx]
         return nxt
+
+    def cand_lists(self, curs: np.ndarray):
+        """Ragged candidate lists for the biased (second-order) walk:
+        -> (lengths, flat_dst) with each cur's out-neighbors in
+        ascending dst order (absent vertices get length 0)."""
+        if len(curs) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        from .engine import expand_ranges
+
+        pos = np.searchsorted(self.usrc, curs)
+        pos = np.minimum(pos, max(len(self.usrc) - 1, 0))
+        found = (
+            (self.usrc[pos] == curs) if len(self.usrc) else np.zeros(len(curs), bool)
+        )
+        lo = np.where(found, self.offsets[pos], 0)
+        hi = np.where(found, self.offsets[pos + 1], 0)
+        return (hi - lo).astype(np.int64), self.dst[expand_ranges(lo, hi)]
+
+    def members(self, prevs: np.ndarray, cands: np.ndarray) -> np.ndarray:
+        """Membership mask per (prev, cand) pair: cand ∈ N(prev)? ONE
+        vectorized searchsorted over the shard's fused (src, dst) key
+        array (lexsorted (src, dst) ⇒ src·K + dst is globally sorted
+        for K > max dst) — no per-pair Python."""
+        if len(prevs) == 0:
+            return np.empty(0, dtype=bool)
+        if len(self.dst) == 0:
+            return np.zeros(len(prevs), dtype=bool)
+        if self._fused is None:
+            k = np.int64(int(self.dst.max()) + 1)
+            self._fused = (self._src_sorted * k + self.dst, k)
+        fused, k = self._fused
+        q = prevs.astype(np.int64) * k + cands.astype(np.int64)
+        # cands >= k (larger than any dst here) can't be members
+        ok = cands < k
+        pos = np.minimum(np.searchsorted(fused, q), len(fused) - 1)
+        return ok & (fused[pos] == q)
 
 
 def _shards_from_table(edges: pa.Table, num_shards: int):
@@ -345,3 +383,148 @@ def sample_fanout(edges, fanout: int = 4) -> "ray.data.Dataset":
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# biased second-order walks (node2vec p/q semantics, integer weights)
+# ---------------------------------------------------------------------------
+
+
+def _biased_walk_loop(
+    shards,
+    shard_lo: np.ndarray,
+    start: np.ndarray,
+    num_steps: int,
+    w_return: int,
+    w_near: int,
+    w_far: int,
+):
+    """Second-order walk rounds: per step, wave A fetches each walker's
+    ascending candidate list from the shard owning its CURRENT vertex,
+    wave B batches (prev, candidate) membership probes to the shard
+    owning its PREVIOUS vertex, then the integer-weight pick is one
+    global searchsorted over the flat inclusive-cumsum (weights are
+    positive, so the flat cumsum is strictly increasing and the
+    per-walker pick needs no Python loop). Step 0 has prev = -1, which
+    matches nothing — every candidate gets w_far, a uniform first hop.
+    All state is (wid, prev, cur) arrays; per-step traffic is
+    O(Σ candidate-degree of live walkers)."""
+    wids = start.copy()
+    prev = np.full(len(start), -1, dtype=np.int64)
+    curs = start.copy()
+    out_w = [wids.copy()]
+    out_s = [np.zeros(len(wids), dtype=np.int64)]
+    out_v = [curs.copy()]
+    for k in range(num_steps):
+        if len(curs) == 0:
+            break
+        owner = np.clip(np.searchsorted(shard_lo, curs, side="right") - 1, 0, None)
+        lens = np.zeros(len(curs), dtype=np.int64)
+        flats: list[np.ndarray] = [None] * len(shards)
+        masks: list = [None] * len(shards)
+        futs = {}
+        for i, sh in enumerate(shards):
+            m = owner == i
+            if m.any():
+                futs[i] = sh.cand_lists.remote(curs[m])
+                masks[i] = m
+        for i, f in futs.items():
+            ln, fl = ray.get(f)
+            lens[masks[i]] = ln
+            flats[i] = fl
+        # assemble flat candidates in WALKER order
+        flat = np.empty(int(lens.sum()), dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts_ = ends - lens
+        for i, f in futs.items():
+            idx = np.flatnonzero(masks[i])
+            pos = 0
+            # vectorized scatter: contiguous per-walker runs
+            from .engine import expand_ranges
+
+            runs = expand_ranges(starts_[idx], ends[idx])
+            flat[runs] = flats[i]
+        alive_w = lens > 0
+        # membership wave: (prev, cand) per candidate of walkers with prev >= 0
+        cand_prev = np.repeat(prev, lens)
+        member = np.zeros(len(flat), dtype=bool)
+        probe = cand_prev >= 0
+        if probe.any():
+            p_owner = np.clip(
+                np.searchsorted(shard_lo, cand_prev[probe], side="right") - 1, 0, None
+            )
+            pidx = np.flatnonzero(probe)
+            mfuts, mmasks = [], []
+            for i, sh in enumerate(shards):
+                m = p_owner == i
+                if m.any():
+                    sel = pidx[m]
+                    mfuts.append(sh.members.remote(cand_prev[sel], flat[sel]))
+                    mmasks.append(sel)
+            for sel, r in zip(mmasks, ray.get(mfuts)):
+                member[sel] = r
+        w = np.where(
+            flat == np.repeat(prev, lens),
+            np.int64(w_return),
+            np.where(member, np.int64(w_near), np.int64(w_far)),
+        ).astype(np.int64)
+        cum = np.cumsum(w)
+        totals = np.where(alive_w, cum[ends - 1] - np.where(starts_ > 0, cum[starts_ - 1], 0), 0)
+        h = splitmix53(
+            (wids.astype(np.uint64) << np.uint64(32)) ^ np.uint64(int(k))
+        )
+        nxt = np.full(len(curs), -1, dtype=np.int64)
+        aw = np.flatnonzero(alive_w)
+        if len(aw):
+            r = (h[aw] % totals[aw].astype(np.uint64)).astype(np.int64)
+            base = np.where(starts_[aw] > 0, cum[starts_[aw] - 1], 0)
+            pick = np.searchsorted(cum, base + r, side="right")
+            nxt[aw] = flat[pick]
+        alive = nxt >= 0
+        prev = curs[alive]
+        wids, curs = wids[alive], nxt[alive]
+        out_w.append(wids.copy())
+        out_s.append(np.full(len(wids), k + 1, dtype=np.int64))
+        out_v.append(curs.copy())
+    return np.concatenate(out_w), np.concatenate(out_s), np.concatenate(out_v)
+
+
+def biased_walks(
+    edges,
+    *,
+    num_steps: int,
+    num_shards: int = 8,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 2,
+) -> pa.Table:
+    """node2vec-style biased second-order walks (Grover & Leskovec
+    2016), one walk per distinct src vertex, fully deterministic:
+    candidate x from cur with previous vertex prev gets INTEGER weight
+    w_return if x == prev, w_near if x ∈ N(prev), else w_far
+    (w_return/w_far = 1/p, w_near/w_far = 1/q scaled integral — integer
+    cumsums make the pick r = splitmix53(wid<<32 ^ step) mod Σw exact on
+    both sides, no float thresholds). -> (wid, step, vid) incl. step 0.
+    """
+    empty = pa.table(
+        {
+            "wid": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "vid": pa.array([], pa.int64()),
+        }
+    )
+    if isinstance(edges, pa.Table):
+        if edges.num_rows == 0:
+            return empty
+        shards, shard_lo = _shards_from_table(edges, num_shards)
+    else:
+        shards, shard_lo = _shards_from_dataset(edges, num_shards)
+        if not shards:
+            return empty
+    start_vids = np.sort(
+        np.concatenate(ray.get([sh.start_vids.remote() for sh in shards]))
+    )
+    w, s, v = _biased_walk_loop(
+        shards, shard_lo, start_vids, num_steps, w_return, w_near, w_far
+    )
+    return pa.table({"wid": w, "step": s, "vid": v})

@@ -522,3 +522,54 @@ def test_superstep_ops_on_star_graph(ray_session):
         rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4), n
     )
     assert tc.column("cnt").to_pylist() == [0, 0]
+
+
+def test_biased_walks_match_replica(ray_session):
+    """node2vec-style biased walks vs a sequential replica of the
+    integer-weight pick rule (return 1 / triangle 4 / explore 2)."""
+    from fogray.sources import splitmix53
+    from fogray.walks import biased_walks
+
+    rng = np.random.default_rng(3)
+    n, m = 40, 200
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = a[keep].astype(np.int64), b[keep].astype(np.int64)
+    key = np.unique(a * n + b)
+    a, b = key // n, key % n
+    got = biased_walks(pa.table({"src": a, "dst": b}), num_steps=5, num_shards=3)
+
+    adj: dict = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        adj.setdefault(x, []).append(y)
+    for x in adj:
+        adj[x].sort()
+    nbr = set(zip(a.tolist(), b.tolist()))
+    rows = []
+    for w0 in sorted(adj):
+        prev, cur = -1, w0
+        rows.append((w0, 0, w0))
+        for k in range(5):
+            cands = adj.get(cur, [])
+            if not cands:
+                break
+            ws = [1 if c == prev else (4 if (prev, c) in nbr else 2) for c in cands]
+            h = int(splitmix53(np.array([(w0 << 32) ^ k], dtype=np.uint64))[0])
+            r = h % sum(ws)
+            c0 = 0
+            for c, wt in zip(cands, ws):
+                if c0 + wt > r:
+                    nxt = c
+                    break
+                c0 += wt
+            rows.append((w0, k + 1, nxt))
+            prev, cur = cur, nxt
+    gotr = sorted(
+        zip(
+            got.column("wid").to_pylist(),
+            got.column("step").to_pylist(),
+            got.column("vid").to_pylist(),
+        )
+    )
+    assert gotr == sorted(rows)
