@@ -1459,6 +1459,49 @@ def q_motif_triads(sf_dir: str) -> pa.Table:
     return triad_census((s, d), n)
 
 
+def q_scc_condensation(sf_dir: str) -> pa.Table:
+    """Condensation-DAG summary of a sequence SUBGRAPH's strongly
+    connected components: top-10 components by (size DESC, root ASC)
+    with each component's DISTINCT outgoing condensation edges. The
+    full sequence graph is one giant SCC (a degenerate condensation),
+    so the graph here keeps the forward skeleton plus only every 7th
+    part's back-edges (src < dst OR src % 7 = 0 — deterministic,
+    mirrored by the oracle; 272 components at sf0.01). Builds on the
+    engine's fwd-bwd SCC labels (alg.scc) — the cross-pair dedup and
+    size histogram are O(V + distinct pairs) numpy folds over the
+    broadcast label array."""
+    full = sequence_edges(sf_dir)
+    fs = full.column("src").to_numpy(zero_copy_only=False)
+    fd = full.column("dst").to_numpy(zero_copy_only=False)
+    keep = (fs < fd) | (fs % 7 == 0)
+    t = pa.table({"src": fs[keep], "dst": fd[keep]})
+    eng, n = _engine_for(t, weights=False)
+    try:
+        res = alg.scc(eng)
+    finally:
+        eng.shutdown()
+    comp = res.state["component_root"].astype(np.int64)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    ra, rb = comp[s], comp[d]
+    m = ra != rb
+    pairs = np.unique(ra[m] * np.int64(n) + rb[m])
+    ids = _touched(eng)
+    roots, sizes = np.unique(comp[ids], return_counts=True)
+    cross = np.zeros(n, dtype=np.int64)
+    if len(pairs):
+        np.add.at(cross, (pairs // n).astype(np.int64), 1)
+    order = np.lexsort((roots, -sizes))[:10]
+    roots, sizes = roots[order], sizes[order]
+    return pa.table(
+        {
+            "component_root": pa.array(roots.astype(np.int64)),
+            "size": pa.array(sizes.astype(np.int64)),
+            "cross_out": pa.array(cross[roots].astype(np.int64)),
+        }
+    )
+
+
 def q_lpa_freq(sf_dir: str) -> pa.Table:
     """Frequency-based (mode) community label propagation, 4 synchronous
     rounds over the DIRECTED part-sequence graph
@@ -2565,6 +2608,36 @@ ORACLE_SQL: dict[str, str] = {
         FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
         GROUP BY f.a ORDER BY vid
     """,
+    # condensation-DAG summary over the scc labels: top-10 components
+    # by (size DESC, root ASC), distinct outgoing condensation edges
+    "scc_condensation": f"""
+        WITH RECURSIVE
+        edges AS MATERIALIZED (
+            SELECT * FROM ({_SEQ_SQL}) WHERE src < dst OR src % 7 = 0
+        ),
+        verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        reach(a, b) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.a, e.dst FROM reach JOIN edges e ON e.src = reach.b
+        ),
+        comp AS MATERIALIZED (
+            SELECT f.a AS vid, MIN(f.b) AS root
+            FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
+            GROUP BY f.a
+        ),
+        sizes AS (SELECT root, COUNT(*) AS size FROM comp GROUP BY root),
+        ce AS (SELECT DISTINCT ca.root AS ra, cb.root AS rb
+               FROM edges e
+               JOIN comp ca ON ca.vid = e.src
+               JOIN comp cb ON cb.vid = e.dst
+               WHERE ca.root <> cb.root),
+        xo AS (SELECT ra AS root, COUNT(*) AS cross_out FROM ce GROUP BY ra)
+        SELECT s.root AS component_root, CAST(s.size AS BIGINT) AS size,
+               CAST(COALESCE(x.cross_out, 0) AS BIGINT) AS cross_out
+        FROM sizes s LEFT JOIN xo x ON x.root = s.root
+        ORDER BY s.size DESC, s.root LIMIT 10
+    """,
 }
 
 QUERIES = {
@@ -2614,6 +2687,7 @@ QUERIES = {
     "matching": q_matching,
     "lpa_freq": q_lpa_freq,
     "biased_walks": q_biased_walks,
+    "scc_condensation": q_scc_condensation,
     "bib_coupling": q_bib_coupling,
     "co_citation": q_co_citation,
     "anf_reach": q_anf_reach,
