@@ -15,7 +15,10 @@ Five families, per the standard web-pipeline toolbox:
   band-blocked Hamming-distance candidate pairs;
 - :func:`embedding_cosine_pairs` — near-dup pairs by embedding cosine:
   brute block-pairwise matmul against a broadcast matrix (small-N
-  baseline) or random-hyperplane LSH bucketing (the scale path).
+  baseline) or random-hyperplane LSH bucketing (the scale path);
+- :func:`allpairs_jaccard` — EXACT all-pairs shingle Jaccard via prefix
+  filtering (Bayardo et al. 2007): rare-first prefixes bound candidate
+  generation without blocking keys or probabilistic banding.
 
 All hashing is deterministic (md5-prefix token hashes / Karp-Rabin /
 seeded numpy) and chosen to be SQL-replicable: DuckDB computes the same
@@ -310,138 +313,32 @@ class MinHasher:
         return pa.table(cols)
 
 
-def minhash_signatures(ds, num_perm: int = 32, shingle_words: int = 3,
-                       concurrency: int = 4) -> rd.Dataset:
-    return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_words": shingle_words},
-        concurrency=(1, concurrency),
-        batch_format="pyarrow",
-    )
+def exact_pair_verify(ds, cand, *, threshold: float, pack_rows):
+    """Exact set-Jaccard verification of candidate pairs as a
+    DISTRIBUTED sort-join (shared by the MinHash-LSH and prefix-filter
+    all-pairs joins): the doc -> packed-distinct-int64-set table stays a
+    Dataset (never collected on the driver) and the candidate pairs are
+    attached with the repo's sort + group-complete pattern instead of
+    hash joins (a Ray 2.49 hash join costs ~15s of aggregator fixed
+    overhead per all-to-all at this scale; the sort-based exchange is
+    ~5x cheaper). Stage 1: candidate sides exploded to (doc_id, da, db,
+    side) rows, unioned with the set rows, ONE sort by doc_id, per-doc
+    block attach of the packed payload. Stage 2: ONE sort by (da, db)
+    brings each pair's two sides together; the block kernel computes
+    every pair's exact Jaccard in one lexsort over the flattened
+    (pair, value) rows — values are unique within a side, so adjacent
+    duplicates after a (pair, value) sort are exactly the intersection.
 
-
-def minhash_lsh_pairs(
-    ds,
-    *,
-    num_perm: int = 32,
-    bands: int = 8,
-    shingle_words: int = 3,
-    threshold: float = 0.5,
-    concurrency: int = 4,
-    max_bucket_docs: int = 20_000,
-) -> rd.Dataset:
-    """MinHash -> LSH band buckets -> candidate pairs (band-bucket self
-    join) -> exact shingle-Jaccard verify. Returns (da, db, jaccard)
-    with jaccard >= threshold, da < db.
-
-    Scale notes: the only all-to-alls are the (band, band_hash) groupby
-    join (bucket sizes bounded by banding) and the verify joins of the
-    candidate pairs back to the doc -> shingle Dataset on doc_id — the
-    shingle table is shuffled by the join, never collected or broadcast,
-    so verification is bounded by the candidate count, not the corpus.
-    ``max_bucket_docs`` is a LOUD guard (candidate expansion is
-    O(bucket²) and the oracle carries no cap, so an overflowing bucket
-    — a giant identical-document cluster — raises rather than silently
-    dropping pairs or attempting ~bucket²/2 rows in one task)."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-
-    sigs = minhash_signatures(ds, num_perm, shingle_words, concurrency)
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        from ..sources import splitmix53
-
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        sig = list_col_matrix(t.column("sig"), dtype=np.int64).astype(np.uint64)
-        out_doc, out_band, out_hash = [], [], []
-        for bidx in range(bands):
-            chunk = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
-            # vectorized splitmix fold over the band's lanes (replaces
-            # a per-doc zlib.crc32 Python loop): identical band
-            # signatures -> identical bucket, and a 64-bit digest makes
-            # spurious bucket collisions (the only way this hash could
-            # surface — a collision pair must still pass exact-Jaccard
-            # verify AND would only mismatch the oracle if it passed)
-            # ~2^32 times rarer than crc32's 32 bits.
-            h = np.full(len(chunk), np.uint64(bidx + 1))
-            for j in range(rows_per_band):
-                h = splitmix53(h ^ chunk[:, j])
-            bh = h.astype(np.int64)
-            out_doc.append(ids)
-            out_band.append(np.full(len(ids), bidx, dtype=np.int64))
-            out_hash.append(bh)
-        return pa.table(
-            {
-                "doc_id": np.concatenate(out_doc),
-                "band": np.concatenate(out_band),
-                "bh": np.concatenate(out_hash),
-            }
-        )
-
-    # candidate pairs = docs sharing an LSH (band, band-hash) bucket:
-    # the same sort + group-complete pair-expansion dataflow as the
-    # derive stage, but WITHOUT the (src, dst) dedup-sum sort — the
-    # pair weight is unused and duplicate cross-band candidates (at
-    # most `bands` copies of a pair) are collapsed inside the attach
-    # stage's doc groups instead, saving one full all-to-all.
-    buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
-    cand = key_grouped_block_map(
-        buckets.sort(["band", "bh"]),
-        ["band", "bh"],
-        make_pair_expander(
-            ["band", "bh"], "doc_id", cap=max_bucket_docs, on_overflow="raise"
-        ),
-    ).map_batches(
-        empty_guard(
-            lambda t: t.filter(pc.less(t.column("src"), t.column("dst")))
-            .select(["src", "dst"])
-            .rename_columns(["da", "db"]),
-            pa.schema([("da", pa.int64()), ("db", pa.int64())]),
-        ),
-        batch_format="pyarrow",
-    )
-
-    # exact verification as a DISTRIBUTED sort-join: the doc -> distinct
-    # shingle table stays a Dataset (never collected on the driver) and
-    # the candidate pairs are attached to it with the repo's sort +
-    # group-complete pattern instead of hash joins (a Ray 2.49 hash
-    # join costs ~15s of aggregator fixed overhead per all-to-all at
-    # this scale; the sort-based exchange is ~5x cheaper). Stage 1:
-    # candidate sides exploded to (doc_id, da, db, side) rows, unioned
-    # with the shingle rows, ONE sort by doc_id, per-doc block attach
-    # of the packed shingle payload. Stage 2: ONE sort by (da, db)
-    # brings each pair's two sides together; the block kernel computes
-    # every pair's exact Jaccard in one lexsort over the flattened
-    # (pair, shingle) rows — shingles are unique within a side, so
-    # adjacent duplicates after a (pair, value) sort are exactly the
-    # intersection elements.
-    def _shingle_rows(t: pa.Table) -> pa.Table:
-        """doc_id -> its sorted distinct shingle hashes, packed as one
-        BINARY value of little-endian int64s (Acero hash joins carry
-        binary payloads but not list columns)."""
-        flat, offs = _batch_shingle_hashes(t.column("text").to_pylist(), shingle_words)
-        n = len(t)
-        row = np.repeat(np.arange(n), np.diff(offs))
-        order = np.lexsort((flat, row))
-        r, v = row[order], flat[order]
-        keep = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])] if len(r) else np.zeros(0, bool)
-        r, v = r[keep], v[keep]
-        byte_offs = (np.r_[0, np.cumsum(np.bincount(r, minlength=n))] * 8).astype(np.int32)
-        arr = pa.Array.from_buffers(
-            pa.binary(),
-            n,
-            [None, pa.py_buffer(byte_offs.tobytes()),
-             pa.py_buffer(v.astype("<i8").tobytes())],
-        )
-        return pa.table({"doc_id": t.column("doc_id"), "sh": arr})
-
+    ``pack_rows(t) -> (doc_id, sh BINARY)`` packs each doc's sorted
+    distinct int64 items little-endian. -> Dataset (da, db, jaccard >=
+    threshold)."""
     mixed_schema = pa.schema(
         [("doc_id", pa.int64()), ("da", pa.int64()), ("db", pa.int64()),
          ("side", pa.int64()), ("sh", pa.binary())]
     )
 
     def _sh_mixed(t: pa.Table) -> pa.Table:
-        s = _shingle_rows(t)
+        s = pack_rows(t)
         n = s.num_rows
         neg = np.full(n, -1, dtype=np.int64)
         return pa.table(
@@ -563,6 +460,123 @@ def minhash_lsh_pairs(
 
     return key_grouped_block_map(
         attached.sort(["da", "db", "side"]), ["da", "db"], verify
+    )
+
+
+
+def minhash_signatures(ds, num_perm: int = 32, shingle_words: int = 3,
+                       concurrency: int = 4) -> rd.Dataset:
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_words": shingle_words},
+        concurrency=(1, concurrency),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    concurrency: int = 4,
+    max_bucket_docs: int = 20_000,
+) -> rd.Dataset:
+    """MinHash -> LSH band buckets -> candidate pairs (band-bucket self
+    join) -> exact shingle-Jaccard verify. Returns (da, db, jaccard)
+    with jaccard >= threshold, da < db.
+
+    Scale notes: the only all-to-alls are the (band, band_hash) groupby
+    join (bucket sizes bounded by banding) and the verify joins of the
+    candidate pairs back to the doc -> shingle Dataset on doc_id — the
+    shingle table is shuffled by the join, never collected or broadcast,
+    so verification is bounded by the candidate count, not the corpus.
+    ``max_bucket_docs`` is a LOUD guard (candidate expansion is
+    O(bucket²) and the oracle carries no cap, so an overflowing bucket
+    — a giant identical-document cluster — raises rather than silently
+    dropping pairs or attempting ~bucket²/2 rows in one task)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = minhash_signatures(ds, num_perm, shingle_words, concurrency)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        from ..sources import splitmix53
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = list_col_matrix(t.column("sig"), dtype=np.int64).astype(np.uint64)
+        out_doc, out_band, out_hash = [], [], []
+        for bidx in range(bands):
+            chunk = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+            # vectorized splitmix fold over the band's lanes (replaces
+            # a per-doc zlib.crc32 Python loop): identical band
+            # signatures -> identical bucket, and a 64-bit digest makes
+            # spurious bucket collisions (the only way this hash could
+            # surface — a collision pair must still pass exact-Jaccard
+            # verify AND would only mismatch the oracle if it passed)
+            # ~2^32 times rarer than crc32's 32 bits.
+            h = np.full(len(chunk), np.uint64(bidx + 1))
+            for j in range(rows_per_band):
+                h = splitmix53(h ^ chunk[:, j])
+            bh = h.astype(np.int64)
+            out_doc.append(ids)
+            out_band.append(np.full(len(ids), bidx, dtype=np.int64))
+            out_hash.append(bh)
+        return pa.table(
+            {
+                "doc_id": np.concatenate(out_doc),
+                "band": np.concatenate(out_band),
+                "bh": np.concatenate(out_hash),
+            }
+        )
+
+    # candidate pairs = docs sharing an LSH (band, band-hash) bucket:
+    # the same sort + group-complete pair-expansion dataflow as the
+    # derive stage, but WITHOUT the (src, dst) dedup-sum sort — the
+    # pair weight is unused and duplicate cross-band candidates (at
+    # most `bands` copies of a pair) are collapsed inside the attach
+    # stage's doc groups instead, saving one full all-to-all.
+    buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
+    cand = key_grouped_block_map(
+        buckets.sort(["band", "bh"]),
+        ["band", "bh"],
+        make_pair_expander(
+            ["band", "bh"], "doc_id", cap=max_bucket_docs, on_overflow="raise"
+        ),
+    ).map_batches(
+        empty_guard(
+            lambda t: t.filter(pc.less(t.column("src"), t.column("dst")))
+            .select(["src", "dst"])
+            .rename_columns(["da", "db"]),
+            pa.schema([("da", pa.int64()), ("db", pa.int64())]),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _shingle_rows(t: pa.Table) -> pa.Table:
+        """doc_id -> its sorted distinct shingle hashes, packed as one
+        BINARY value of little-endian int64s (Acero hash joins carry
+        binary payloads but not list columns)."""
+        flat, offs = _batch_shingle_hashes(t.column("text").to_pylist(), shingle_words)
+        n = len(t)
+        row = np.repeat(np.arange(n), np.diff(offs))
+        order = np.lexsort((flat, row))
+        r, v = row[order], flat[order]
+        keep = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])] if len(r) else np.zeros(0, bool)
+        r, v = r[keep], v[keep]
+        byte_offs = (np.r_[0, np.cumsum(np.bincount(r, minlength=n))] * 8).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(byte_offs.tobytes()),
+             pa.py_buffer(v.astype("<i8").tobytes())],
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "sh": arr})
+
+    return exact_pair_verify(
+        ds, cand, threshold=threshold, pack_rows=_shingle_rows
     )
 
 
@@ -988,3 +1002,130 @@ def span_overlap(ds, *, n_words: int = 3, id_col: str = "doc_id",
         )
 
     return key_grouped_block_map(partials.sort(id_col), [id_col], per_doc_block)
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs Jaccard join with prefix filtering (Bayardo et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def allpairs_jaccard(
+    ds,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    shingle_words: int = 3,
+    max_token_docs: int = 20_000,
+) -> rd.Dataset:
+    """EXACT all-pairs shingle-set Jaccard >= ``threshold`` with prefix
+    filtering — the scalable replacement for the O(docs²)-per-block
+    ``jaccard_pairs`` contract: instead of comparing every pair inside
+    a block, each doc emits only its ``|d| - ceil(t·|d|) + 1`` RAREST
+    items (global (df, hash) order), and completeness is the classic
+    prefix-filter lemma: the globally rarest item of A∩B must sit in
+    BOTH prefixes, else the suffix (< t·|A| items) couldn't contain an
+    intersection of size >= t·|A|. Candidates meet in ONE sort by
+    prefix item (rare-first ordering keeps groups tiny; an item whose
+    prefix group exceeds ``max_token_docs`` raises LOUDLY — same
+    contract as the LSH bucket guard), then the shared
+    :func:`exact_pair_verify` sort-join computes exact Jaccard. Items
+    are ``shingle_words``-word Karp-Rabin shingles (the MinHash item
+    domain — single tokens don't discriminate on small vocabularies).
+
+    -> Dataset (da, db, jaccard), da < db."""
+
+    def doc_token_hashes(t: pa.Table):
+        """(sorted distinct per-doc shingle hashes flat, lens)."""
+        texts = t.column(text_col).to_pylist()
+        cache: dict = {}
+        flat_all, offs = _batch_shingle_hashes(texts, shingle_words, cache)
+        outs = [
+            np.unique(flat_all[offs[i] : offs[i + 1]]) for i in range(len(texts))
+        ]
+        lens = np.array([len(o) for o in outs], dtype=np.int64)
+        flat = (
+            np.concatenate(outs) if outs else np.empty(0, np.uint64)
+        )
+        # bit-exact reinterpret (values >= 2^63 must not overflow-check)
+        return flat.astype(np.uint64).view(np.int64), lens
+
+    # pass 1: token document frequencies (distinct per doc), pre-combined
+    df_schema = pa.schema([("tok", pa.int64()), ("df", pa.int64())])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, lens = doc_token_hashes(t)
+        if not len(flat):
+            return df_schema.empty_table()
+        uk, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": uk, "df": c.astype(np.int64)}, schema=df_schema)
+
+    from ..util import collect_tables
+
+    dft = collect_tables(
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("df"),
+        pa.schema([("tok", pa.int64()), ("sum(df)", pa.int64())]),
+    )
+    toks = dft.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    dfs = dft.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(toks, kind="stable")
+    toks, dfs = toks[o], dfs[o]
+    # global rank: rare-first (df ASC, hash ASC); rank array aligned to
+    # the hash-sorted vocab for searchsorted mapping
+    rank_of = np.empty(len(toks), dtype=np.int64)
+    rank_of[np.lexsort((toks, dfs))] = np.arange(len(toks), dtype=np.int64)
+    vocab_ref = ray.put((toks, rank_of))
+
+    pre_schema = pa.schema([("rk", pa.int64()), ("doc_id", pa.int64())])
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        vt, vr = ray.get(vocab_ref)
+        flat, lens = doc_token_hashes(t)
+        if not len(flat):
+            return pre_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rks = vr[np.searchsorted(vt, flat)]
+        row = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        order = np.lexsort((rks, row))
+        row_s, rk_s = row[order], rks[order]
+        starts = np.flatnonzero(np.r_[True, row_s[1:] != row_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(row_s)])
+        plen = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        pos = np.arange(len(row_s), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = pos < np.repeat(plen, sizes)
+        return pa.table(
+            {
+                "rk": rk_s[keep],
+                "doc_id": ids[row_s[keep]].astype(np.int64),
+            },
+            schema=pre_schema,
+        )
+
+    prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    cand = key_grouped_block_map(
+        prefixes.sort(["rk", "doc_id"]),
+        ["rk"],
+        make_pair_expander(["rk"], "doc_id", cap=max_token_docs, on_overflow="raise"),
+    ).map_batches(
+        empty_guard(
+            lambda t: t.filter(pc.less(t.column("src"), t.column("dst")))
+            .select(["src", "dst"])
+            .rename_columns(["da", "db"]),
+            pa.schema([("da", pa.int64()), ("db", pa.int64())]),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pack_rows(t: pa.Table) -> pa.Table:
+        flat, lens = doc_token_hashes(t)
+        byte_offs = (np.r_[0, np.cumsum(lens)] * 8).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(t),
+            [None, pa.py_buffer(byte_offs.tobytes()),
+             pa.py_buffer(flat.astype("<i8").tobytes())],
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "sh": arr})
+
+    return exact_pair_verify(ds, cand, threshold=threshold, pack_rows=pack_rows)

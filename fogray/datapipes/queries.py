@@ -1129,6 +1129,18 @@ def q_corpus_curate(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["doc_id"])
 
 
+def q_dd_allpairs(sf_dir: str) -> pa.Table:
+    """Exact all-pairs token-Jaccard >= 0.5 via prefix filtering
+    (fogray.datapipes.dedup.allpairs_jaccard, Bayardo et al. 2007) —
+    the scalable all-pairs path that replaces the docs²-per-block
+    jaccard_pairs contract."""
+    from . import dedup
+    from ..util import sorted_table
+
+    t = _collect(dedup.allpairs_jaccard(_docs(sf_dir), threshold=0.7))
+    return sorted_table(t, ["da", "db"])
+
+
 def q_corpus_e2e(sf_dir: str) -> pa.Table:
     """Flagship composed training-data pipeline: curate (quality filter
     -> exact dedup -> hash sample, fogray.datapipes.curate) -> SEMI-join
@@ -1969,6 +1981,7 @@ QUERIES = {
     "rel_join_revenue": q_rel_join_revenue,
     "corpus_curate": q_corpus_curate,
     "corpus_e2e": q_corpus_e2e,
+    "dd_allpairs": q_dd_allpairs,
     "mm_frames": q_mm_frames,
     "rel_quantiles": q_rel_quantiles,
     "rel_interp_quantiles": q_rel_interp_quantiles,
@@ -2941,6 +2954,26 @@ ORACLE_SQL = {
         FROM f ORDER BY doc_id, frame_idx
     """,
     # one CTE per pipeline stage: score+filter, keeper-per-text, sample
+    # exact all-pairs token-set Jaccard (the prefix filter is a pure
+    # optimization — the oracle is the naive complete join)
+    "dd_allpairs": f"""
+        WITH {_shingle_sh_d_ctes()},
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh_d GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+            FROM sh_d a JOIN sh_d b
+              ON b.sh = a.sh AND b.doc_id > a.doc_id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT da, db, ni * 1.0 / (sa.n + sb.n - ni) AS jac
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.da
+            JOIN sz sb ON sb.doc_id = inter.db
+        )
+        SELECT da, db, ROUND(jac, 6) AS jaccard
+        FROM j WHERE jac >= 0.7 ORDER BY da, db
+    """,
     # curate mirror composed with the pack mirror: pack runs over the
     # curated survivor set in doc_id order
     "corpus_e2e": r"""

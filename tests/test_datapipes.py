@@ -48,7 +48,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_hapax", "corpus_stats",
      "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc",
      "rel_top_share", "rel_gini", "evt_bursts", "agg_hll_setops",
-     "sink_jsonl", "corpus_e2e"],
+     "sink_jsonl", "corpus_e2e", "dd_allpairs"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
