@@ -8,13 +8,14 @@ here (or in fogray) calls ray.init()/ray.shutdown().
   on the distributed engine; returns the per-vertex rank table.
 - ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
   section 2 — graph pipelines from fogray.queries, training-data
-  pipelines from fogray.datapipes.queries. 157 of 160 queries are
-  SQL-oracle-gated (iterative pipelines mirror via recursive or
+  pipelines from fogray.datapipes.queries. ALL 160 queries are
+  SQL-oracle-gated: iterative pipelines mirror via recursive or
   unrolled MATERIALIZED CTEs, sketches via md5-based SQL-reproducible
-  hashing and estimator-exact integer mirrors); msf / coloring /
-  matching are contraction-style iteratives no SQL can express — each
-  has a pure-python exactness oracle in pytest and a rows-only driver
-  check.
+  hashing and estimator-exact integer mirrors; the contraction-style
+  iteratives run their superstep loop INSIDE DuckDB — coloring /
+  matching as plain recursive CTEs whose working table carries the full
+  per-round state (multiple self-references), msf as unrolled Borůvka
+  rounds with recursive pointer-chase label resolution.
 """
 
 from __future__ import annotations

@@ -707,6 +707,196 @@ def _mis_sql(rounds: int = 12) -> str:
     )
 
 
+# splitmix chain shared by the iterative-contraction oracles: emits the
+# CTE list computing f = splitmix(x0) (the pre->>11 state) from a column
+# x0, with the same staged mod-2^64 HUGEINT arithmetic as _DET_W_SQL.
+def _splitmix_ctes(prefix: str, src_cte: str, carry: str) -> str:
+    """CTE chain ``{prefix}3`` with columns ``{carry}, f`` computing the
+    splitmix finalizer of ``{src_cte}.x0`` (mirrors
+    fogray.sources.splitmix53 minus the final ``>> 11``)."""
+    return f"""
+    {prefix}1 AS (SELECT {carry}, xor(x0, x0 >> 30) AS sm_a FROM {src_cte}),
+    {prefix}1m AS (SELECT {carry}, CAST((
+        (CAST(sm_a AS HUGEINT) * 484763065 +
+         ((CAST(sm_a AS HUGEINT) % 4294967296) * 3210233709 % 4294967296)
+         * 4294967296)
+        % 18446744073709551616) AS UBIGINT) AS x1 FROM {prefix}1),
+    {prefix}2 AS (SELECT {carry}, xor(x1, x1 >> 27) AS sm_b FROM {prefix}1m),
+    {prefix}2m AS (SELECT {carry}, CAST((
+        (CAST(sm_b AS HUGEINT) * 321982955 +
+         ((CAST(sm_b AS HUGEINT) % 4294967296) * 2496678331 % 4294967296)
+         * 4294967296)
+        % 18446744073709551616) AS UBIGINT) AS x2 FROM {prefix}2),
+    {prefix}3 AS (SELECT {carry}, xor(x2, x2 >> 31) AS f FROM {prefix}2m)"""
+
+
+def _coloring_sql(max_rounds: int = 1000) -> str:
+    """Exact DuckDB mirror of :func:`fogray.coloring.jones_plassmann`:
+    the synchronous superstep loop is ONE plain recursive CTE whose
+    working table carries the full per-vertex color state each round
+    (DuckDB 1.0 allows multiple self-references in the recursive term,
+    so the round's winners / mex derive from the previous round's full
+    state). Rounds are data-dependent (~200 at sf0.01 on the dense
+    co-occurrence graph — JP rounds = longest decreasing-priority
+    path); the recursion stops at the colored fixpoint, so no unroll
+    bound is assumed — ``max_rounds`` is only a runaway brake.
+    Priority = rank of splitmix(vid<<32) among touched vertices, ties
+    by vid — ROW_NUMBER() OVER (ORDER BY f >> 11, v), order-isomorphic
+    to numpy's stable argsort of det_weight(v, 0)."""
+    return f"""
+WITH RECURSIVE
+edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+vids AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+pr0 AS (SELECT v, CAST(v AS UBIGINT) * CAST(4294967296 AS UBIGINT) AS x0
+        FROM vids),
+{_splitmix_ctes("pr", "pr0", "v")},
+prio AS MATERIALIZED (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY f >> 11, v) - 1 AS p FROM pr3),
+st(r, v, p, c) AS (
+    SELECT 0, v, p, CAST(-1 AS BIGINT) FROM prio
+    UNION ALL
+    SELECT s.r + 1, s.v, s.p,
+      CASE
+        WHEN s.c <> -1 THEN s.c
+        WHEN EXISTS (SELECT 1 FROM edges e JOIN st n ON n.v = e.dst
+                     WHERE e.src = s.v AND n.c = -1 AND n.p > s.p)
+          THEN CAST(-1 AS BIGINT)
+        ELSE (SELECT COALESCE(MIN(CASE WHEN cc <> rn THEN rn END), COUNT(*))
+              FROM (SELECT cc, ROW_NUMBER() OVER (ORDER BY cc) - 1 AS rn
+                    FROM (SELECT DISTINCT n.c AS cc
+                          FROM edges e JOIN st n ON n.v = e.dst
+                          WHERE e.src = s.v AND n.c >= 0)))
+      END
+    FROM st s
+    WHERE s.r < {max_rounds} AND EXISTS (SELECT 1 FROM st x WHERE x.c = -1)
+),
+last_r AS (SELECT MAX(r) AS mr FROM st)
+SELECT st.v AS vid, st.c AS color FROM st, last_r WHERE st.r = last_r.mr
+ORDER BY vid
+"""
+
+
+def _matching_sql(max_rounds: int = 200) -> str:
+    """Exact DuckDB mirror of :func:`fogray.matching.greedy_matching`
+    (mutual-minimum maximal matching): one recursive CTE whose working
+    table holds the alive vertex set (kind 0) and whose result
+    accumulates matched pairs (kind 1, emitted by a second UNION ALL
+    branch of the compound recursive term). The round's live edges /
+    per-vertex min proposals / mutual pairs are local WITH CTEs inside
+    the recursive term, shared by both branches. Edge order key is the
+    full-precision det_weight(a, b) double, computed bit-identically
+    ((f >> 11) / 2^53 * 10 — all three ops exact-or-identically-rounded
+    IEEE doubles), ties by (a, b) as in the numpy lexsort."""
+    return f"""
+WITH RECURSIVE
+cooc AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+ew0 AS (SELECT src AS a, dst AS b,
+        xor(CAST(src AS UBIGINT) * CAST(4294967296 AS UBIGINT),
+            CAST(dst AS UBIGINT)) AS x0
+        FROM cooc WHERE src < dst),
+{_splitmix_ctes("ew", "ew0", "a, b")},
+ew AS MATERIALIZED (
+    SELECT a, b, CAST(f >> 11 AS DOUBLE) / 9007199254740992.0 * 10.0 AS h
+    FROM ew3),
+vids AS MATERIALIZED (SELECT DISTINCT src AS v FROM cooc),
+st(r, kind, x, y) AS (
+    SELECT 0, 0, v, CAST(NULL AS BIGINT) FROM vids
+    UNION ALL
+    (
+      WITH alive AS (SELECT x AS v FROM st WHERE kind = 0),
+      rr AS (SELECT MAX(r) AS r FROM st),
+      live AS (SELECT e.a, e.b, e.h FROM ew e
+               JOIN alive xa ON xa.v = e.a
+               JOIN alive xb ON xb.v = e.b),
+      prop AS (SELECT v, a, b FROM (
+                 SELECT v, a, b,
+                        ROW_NUMBER() OVER (PARTITION BY v ORDER BY h, a, b)
+                            AS rn
+                 FROM (SELECT a AS v, a, b, h FROM live
+                       UNION ALL
+                       SELECT b AS v, a, b, h FROM live))
+               WHERE rn = 1),
+      mut AS (SELECT pa.a, pa.b FROM prop pa
+              JOIN prop pb ON pb.v = pa.b AND pb.a = pa.a AND pb.b = pa.b
+              WHERE pa.v = pa.a),
+      dead AS (SELECT a AS v FROM mut UNION ALL SELECT b FROM mut)
+      SELECT rr.r + 1, 0, al.v, CAST(NULL AS BIGINT)
+      FROM rr, alive al
+      WHERE rr.r < {max_rounds}
+        AND al.v NOT IN (SELECT v FROM dead)
+        AND EXISTS (SELECT 1 FROM live)
+      UNION ALL
+      SELECT rr.r + 1, 1, m.a, m.b
+      FROM rr, mut m
+      WHERE rr.r < {max_rounds}
+    )
+)
+SELECT x AS a, y AS b FROM st WHERE kind = 1 ORDER BY a, b
+"""
+
+
+def _msf_sql(rounds: int = 5) -> str:
+    """Exact DuckDB mirror of :func:`fogray.msf.boruvka_msf`: Borůvka
+    rounds unrolled as CTE groups (the co-occurrence graph closes in 2
+    rounds at every test scale; extra rounds are idempotent no-ops on an
+    empty cross-edge set), with each round's hook/pointer-jump label
+    resolution as its own recursive pointer-chase CTE — per-component
+    min cross edge under the strict (w, a, b) order, hook to the other
+    endpoint's component, 2-cycle break keeps the SMALLER id as root,
+    then chase parents to the fixpoint roots, exactly the numpy fold."""
+    parts = [
+        f"cooc AS MATERIALIZED (SELECT src, dst, weight FROM ({_COOC_SQL}))",
+        "ew AS MATERIALIZED (SELECT src AS a, dst AS b, weight AS w"
+        " FROM cooc WHERE src < dst)",
+        "vids AS MATERIALIZED (SELECT DISTINCT src AS v FROM cooc)",
+        "comp0 AS (SELECT v, v AS c FROM vids)",
+    ]
+    for i in range(rounds):
+        parts.append(f"""crs{i} AS MATERIALIZED (
+            SELECT ca.c AS comp, cb.c AS oth, e.w, e.a, e.b
+            FROM ew e JOIN comp{i} ca ON ca.v = e.a
+                      JOIN comp{i} cb ON cb.v = e.b
+            WHERE ca.c <> cb.c)""")
+        parts.append(f"""cand{i} AS MATERIALIZED (
+            SELECT comp, oth, w, a, b FROM (
+              SELECT comp, oth, w, a, b,
+                     ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b)
+                         AS rn
+              FROM (SELECT comp, oth, w, a, b FROM crs{i}
+                    UNION ALL
+                    SELECT oth, comp, w, a, b FROM crs{i}))
+            WHERE rn = 1)""")
+        parts.append(f"chosen{i} AS (SELECT DISTINCT a, b, w FROM cand{i})")
+        parts.append(f"""par0_{i} AS MATERIALIZED (
+            SELECT comp AS c, oth AS p FROM cand{i}
+            UNION ALL
+            SELECT c, c FROM (SELECT DISTINCT c FROM comp{i})
+            WHERE c NOT IN (SELECT comp FROM cand{i}))""")
+        parts.append(f"""par{i} AS MATERIALIZED (
+            SELECT p0.c,
+                   CASE WHEN p2.p = p0.c AND p0.c < p0.p THEN p0.c
+                        ELSE p0.p END AS p
+            FROM par0_{i} p0 JOIN par0_{i} p2 ON p2.c = p0.p)""")
+        parts.append(f"""chase{i}(c, p) AS (
+            SELECT c, p FROM par{i}
+            UNION
+            SELECT ch.c, pa.p FROM chase{i} ch JOIN par{i} pa ON pa.c = ch.p)""")
+        parts.append(f"""root{i} AS MATERIALIZED (
+            SELECT ch.c, ch.p AS root FROM chase{i} ch
+            JOIN par{i} pa ON pa.c = ch.p WHERE pa.p = ch.p)""")
+        parts.append(f"""comp{i + 1} AS MATERIALIZED (
+            SELECT co.v, rt.root AS c FROM comp{i} co
+            JOIN root{i} rt ON rt.c = co.c)""")
+    union = " UNION ALL ".join(
+        f"SELECT a, b, w FROM chosen{i}" for i in range(rounds)
+    )
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + f"\nSELECT a, b, w AS weight FROM ({union}) ORDER BY a, b"
+    )
+
+
 def q_sssp_tree(sf_dir: str) -> pa.Table:
     """SSSP over the geo tree (region 0 as source). vid encoding:
     region=r_regionkey, nation=100+n_nationkey, customer=1000+c_custkey;
@@ -1521,9 +1711,10 @@ def q_lpa_freq(sf_dir: str) -> pa.Table:
 def q_msf(sf_dir: str) -> pa.Table:
     """Borůvka minimum spanning forest of the weighted co-occurrence
     graph (fogray.msf.boruvka_msf). Unique under the strict
-    (weight, a, b) edge order; NOT SQL-expressible (iterative
-    contraction), so the exactness oracle is the pure-python Kruskal in
-    tests/test_metrics.py — the driver records the rows-only check."""
+    (weight, a, b) edge order; oracle = :func:`_msf_sql` (unrolled
+    Borůvka rounds with recursive pointer-chase label resolution),
+    cross-checked against the pure-python Kruskal in
+    tests/test_queries.py."""
     from .msf import boruvka_msf
 
     ds, n = cooccurrence_edges_ds(sf_dir)
@@ -1532,10 +1723,11 @@ def q_msf(sf_dir: str) -> pa.Table:
 
 def q_coloring(sf_dir: str) -> pa.Table:
     """Jones-Plassmann greedy coloring of the co-occurrence graph
-    (fogray.coloring.jones_plassmann). Deterministic but NOT
-    SQL-expressible (data-dependent round count); the exactness oracle
-    is the pure-python round replica in tests/test_metrics.py — the
-    driver records the rows-only check."""
+    (fogray.coloring.jones_plassmann). Deterministic; oracle =
+    :func:`_coloring_sql`, a recursive CTE that carries the full
+    per-vertex color state per superstep (round count data-dependent,
+    no unroll bound), cross-checked against the pure-python replica in
+    tests/test_queries.py."""
     from .coloring import jones_plassmann
 
     ds, n = cooccurrence_edges_ds(sf_dir)
@@ -1545,9 +1737,10 @@ def q_coloring(sf_dir: str) -> pa.Table:
 def q_matching(sf_dir: str) -> pa.Table:
     """Mutual-minimum greedy maximal matching of the co-occurrence
     graph (fogray.matching.greedy_matching). Deterministic under the
-    splitmix edge hash but iterative (not SQL-expressible); exactness
-    oracle = pure-python round replica in tests/test_metrics.py; the
-    driver records the rows-only check."""
+    splitmix edge hash; oracle = :func:`_matching_sql`, a recursive CTE
+    carrying the alive set and accumulating matched pairs per round,
+    cross-checked against the pure-python replica in
+    tests/test_queries.py."""
     from .matching import greedy_matching
 
     ds, n = cooccurrence_edges_ds(sf_dir)
@@ -1943,6 +2136,9 @@ ORACLE_SQL: dict[str, str] = {
         SELECT v AS vid, MIN(d) AS bfs_level FROM lvl GROUP BY v ORDER BY vid
     """,
     "mis": _mis_sql(12),
+    "msf": _msf_sql(5),
+    "coloring": _coloring_sql(),
+    "matching": _matching_sql(),
     "betweenness": _betweenness_sql(4, 6),
     "katz": _katz_sql(8),
     "eigenvector": _eigenvector_sql(4),
