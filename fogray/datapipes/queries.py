@@ -414,24 +414,31 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
 
 
 def q_emb_knn_cc(sf_dir: str) -> pa.Table:
-    """Composite similarity × graph pipeline: the symmetrized exact
-    cosine 5-NN graph over ALL embeddings (every vector is a query —
-    fogray.datapipes.similarity.ann_topk_bruteforce with the whole
-    corpus broadcast, the documented small-corpus baseline; the scale
-    path swaps in the IVF/LSH index) fed into the FOG-semantics
-    min-label connected-components engine. The canonical
-    embedding-clustering step of a dedup pipeline: components = groups
-    of mutually-near documents.
+    """Composite similarity × graph pipeline: the symmetrized cosine
+    5-NN graph over ALL embeddings (every vector is a query —
+    fogray.datapipes.similarity.knn_graph: exact brute force below the
+    100k-vector cutoff, the IVF-cell sort-and-probe dataflow above it,
+    no O(N²) broadcast regime) fed into the FOG-semantics min-label
+    connected-components engine. The canonical embedding-clustering
+    step of a dedup pipeline: components = groups of mutually-near
+    documents.
 
     -> (vec_id, component_root)"""
     from .. import algorithms as alg
     from ..config import EngineConfig
     from ..engine import GraphEngine
 
-    ids, vecs = _query_vectors(sf_dir, n=1 << 62)
-    knn = similarity.ann_topk_bruteforce(_embs(sf_dir), ids, vecs, k=5)
+    knn = similarity.knn_graph(_embs(sf_dir), k=5)
     q = knn.column("qid").to_numpy(zero_copy_only=False)
     nid = knn.column("nid").to_numpy(zero_copy_only=False)
+    # ids only (never the vectors) reach the driver — O(N) state, same
+    # order of growth as the component labels the engine returns
+    ids = (
+        _collect(_embs(sf_dir).select_columns(["vec_id"]))
+        .column("vec_id")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     src = np.r_[q, nid]
     dst = np.r_[nid, q]
     n = int(ids.max()) + 1 if len(ids) else 1

@@ -390,3 +390,167 @@ def ann_range_search(
     from ..util import sorted_table
 
     return sorted_table(out, ["qid", "nid"]) if out.num_rows else out
+
+
+_KNN_PARTIAL_SCHEMA = pa.schema(
+    [("qid", pa.int64()), ("nid", pa.int64()), ("score_raw", pa.float64())]
+)
+
+
+def knn_graph(
+    emb_ds,
+    *,
+    k: int = 5,
+    broadcast_cutoff: int = 100_000,
+    nlist: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """All-vectors cosine kNN edge list (qid, nid, score) — every
+    corpus vector is a query. Two regimes, same schema and tie-break
+    (higher score first, then lower nid) as :func:`ann_topk_bruteforce`:
+
+    - N <= broadcast_cutoff: EXACT — delegates to the brute-force
+      baseline with the whole id/vector matrix as the query set (the
+      documented small-corpus regime; O(N²) flops, gated).
+    - N > broadcast_cutoff: the IVF scale path — fit the coarse
+      quantizer, then ONE map_batches expands each vector into nprobe
+      (cell, unit, is_member) rows (member row only in its assigned
+      cell), ONE sort co-locates cells into group-complete blocks,
+      per-cell chunked matmuls emit per-(query, cell) top-k partials,
+      and a second narrow sort by qid merges partials to the final
+      top-k. No corpus broadcast, no O(N²) regime: compute is
+      Σ_cell |queries probing it| × |members|, exchange is N × nprobe
+      rows. With nprobe = nlist the result is exhaustive and equals the
+      brute-force baseline exactly (tested); smaller nprobe trades
+      recall, measured in tests/test_datapipes.py."""
+    from ..derive import key_grouped_block_map
+    from ..util import sorted_table
+
+    mat_tbl = emb_ds.select_columns([id_col, vec_col]).materialize()
+    n_total = mat_tbl.count()
+    if n_total == 0:
+        return pa.schema(
+            [("qid", pa.int64()), ("nid", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
+    if n_total <= broadcast_cutoff:
+        rows = pa.concat_tables(
+            ray.get(mat_tbl.to_arrow_refs()), promote_options="default"
+        )
+        ids, vecs = _to_matrix(rows, id_col, vec_col)
+        return ann_topk_bruteforce(
+            mat_tbl, ids, vecs, k=k, id_col=id_col, vec_col=vec_col
+        )
+
+    nlist = min(nlist, n_total)
+    nprobe = min(nprobe, nlist)
+    idx = IVFIndex(nlist=nlist).fit(mat_tbl, id_col=id_col, vec_col=vec_col)
+    cref = ray.put(idx.centroids)
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("cell", pa.int64()), ("vid", pa.int64()),
+                 ("member", pa.bool_()), ("unit", pa.list_(pa.float64()))]
+            ).empty_table()
+        cents = ray.get(cref)
+        ids, vecs = _to_matrix(t, id_col, vec_col)
+        unit = _unit(vecs)
+        d = _sq_dists(vecs, cents)
+        # stable: ties toward the lower cell id, same rule as assign()
+        probes = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # B x nprobe
+        b = len(ids)
+        cells = probes.T.reshape(-1)  # probe-major: first b rows = assigned
+        vid = np.tile(ids.astype(np.int64), nprobe)
+        member = np.zeros(b * nprobe, dtype=bool)
+        member[:b] = True  # probes[:, 0] == argmin == assigned cell
+        flat_unit = np.tile(unit, (nprobe, 1))
+        return pa.table(
+            {
+                "cell": cells.astype(np.int64),
+                "vid": vid,
+                "member": member,
+                "unit": pa.array(flat_unit.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    expanded = mat_tbl.map_batches(expand, batch_format="pyarrow")
+
+    def cell_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _KNN_PARTIAL_SCHEMA.empty_table()
+        cell = t.column("cell").to_numpy(zero_copy_only=False)
+        vid = t.column("vid").to_numpy(zero_copy_only=False)
+        member = t.column("member").to_numpy(zero_copy_only=False)
+        unit = list_col_matrix(t.column("unit"))
+        order = np.argsort(cell, kind="stable")
+        cell, vid, member, unit = cell[order], vid[order], member[order], unit[order]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        ends = np.r_[starts[1:], len(cell)]
+        out_q, out_n, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            mm = member[s:e]
+            if not mm.any():
+                continue
+            m_ids, m_unit = vid[s:e][mm], unit[s:e][mm]
+            q_ids, q_unit = vid[s:e], unit[s:e]  # every row queries
+            # chunk queries so the cos temp stays bounded in hot cells
+            chunk = max(1, int((1 << 25) // max(len(m_ids), 1)))
+            for c0 in range(0, len(q_ids), chunk):
+                c1 = min(c0 + chunk, len(q_ids))
+                cos = q_unit[c0:c1] @ m_unit.T
+                for row, qv in zip(cos, q_ids[c0:c1]):
+                    cand = np.flatnonzero(m_ids != qv)
+                    if len(cand) == 0:
+                        continue
+                    top = cand[np.lexsort((m_ids[cand], -row[cand]))][
+                        : min(k, len(cand))
+                    ]
+                    out_q.extend([qv] * len(top))
+                    out_n.extend(m_ids[top].tolist())
+                    out_s.extend(row[top].tolist())
+        if not out_q:
+            return _KNN_PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "qid": pa.array(out_q, type=pa.int64()),
+                "nid": pa.array(out_n, type=pa.int64()),
+                "score_raw": pa.array(out_s, type=pa.float64()),
+            },
+            schema=_KNN_PARTIAL_SCHEMA,
+        )
+
+    partials = key_grouped_block_map(expanded.sort("cell"), ["cell"], cell_topk)
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("qid", pa.int64()), ("nid", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        qid = t.column("qid").to_numpy(zero_copy_only=False)
+        nid = t.column("nid").to_numpy(zero_copy_only=False)
+        sc = t.column("score_raw").to_numpy(zero_copy_only=False)
+        # members live in exactly one cell, so (qid, nid) pairs are
+        # unique across partials — merge is a pure per-qid top-k
+        order = np.lexsort((nid, -sc, qid))
+        qid, nid, sc = qid[order], nid[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+        ends = np.r_[starts[1:], len(qid)]
+        keep = np.concatenate(
+            [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+        )
+        return pa.table(
+            {
+                "qid": pa.array(qid[keep], pa.int64()),
+                "nid": pa.array(nid[keep], pa.int64()),
+                "score": pa.array(sql_round(sc[keep]), pa.float64()),
+            }
+        )
+
+    merged = key_grouped_block_map(partials.sort("qid"), ["qid"], merge_topk)
+    out = pa.concat_tables(
+        ray.get(merged.materialize().to_arrow_refs()), promote_options="default"
+    )
+    return sorted_table(out, ["qid", "nid"]) if out.num_rows else out

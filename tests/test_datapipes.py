@@ -308,6 +308,65 @@ def test_ann_ivf_recall_on_clusters(ray_session):
     assert np.mean(recalls) >= 0.7, recalls
 
 
+def _knn_cluster_corpus(n=400, nc=8, dim=16, seed=9):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((nc, dim)) * 5
+    vecs = np.vstack(
+        [centers[i % nc] + 0.3 * rng.standard_normal(dim) for i in range(n)]
+    ).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_knn_graph_ivf_exhaustive_equals_bruteforce(ray_session):
+    """The IVF-cell dataflow with nprobe == nlist probes every cell, so
+    it must equal the exact brute-force kNN graph bit-for-bit — the
+    exactness gate on the scale path's plumbing (expansion, cell
+    grouping, per-cell top-k, qid merge)."""
+    import ray.data as rd
+
+    from fogray.datapipes import similarity
+
+    t = _knn_cluster_corpus()
+    ds = rd.from_arrow(t)
+    exact = (
+        similarity.knn_graph(ds, k=5, broadcast_cutoff=1 << 40)
+        .to_pandas()
+        .sort_values(["qid", "nid"])
+        .reset_index(drop=True)
+    )
+    scale = (
+        similarity.knn_graph(ds, k=5, broadcast_cutoff=0, nlist=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["qid", "nid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, scale, check_dtype=False, atol=0, rtol=0)
+
+
+def test_knn_graph_ivf_recall_at_boundary(ray_session):
+    """Pruned probing (nprobe < nlist) on a clustered corpus keeps high
+    edge recall vs the exact graph — the contract q_emb_knn_cc relies
+    on above the broadcast cutoff."""
+    import ray.data as rd
+
+    from fogray.datapipes import similarity
+
+    t = _knn_cluster_corpus()
+    ds = rd.from_arrow(t)
+    exact = similarity.knn_graph(ds, k=5, broadcast_cutoff=1 << 40).to_pandas()
+    pruned = similarity.knn_graph(
+        ds, k=5, broadcast_cutoff=0, nlist=8, nprobe=3
+    ).to_pandas()
+    bt = set(zip(exact["qid"], exact["nid"]))
+    it = set(zip(pruned["qid"], pruned["nid"]))
+    assert len(bt & it) / len(bt) >= 0.7, len(bt & it) / len(bt)
+
+
 def test_mm_features_deterministic_and_oracle(ray_session):
     import hashlib
 
