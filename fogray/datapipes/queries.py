@@ -140,7 +140,7 @@ def q_txt_quality(sf_dir: str) -> pa.Table:
 
 
 def q_txt_top_tokens(sf_dir: str) -> pa.Table:
-    return text.top_tokens(_docs(sf_dir), k=20)
+    return text.top_tokens(_docs(sf_dir), k=20).sort_by("token")
 
 
 def q_corpus_mix_weights(sf_dir: str) -> pa.Table:
@@ -320,14 +320,14 @@ def q_txt_unigram_nll(sf_dir: str) -> pa.Table:
 
 
 def q_dd_exact(sf_dir: str) -> pa.Table:
-    return _collect(dedup.exact_dedup(_docs(sf_dir)))
+    return _collect(dedup.exact_dedup(_docs(sf_dir))).sort_by("doc_id")
 
 
 def q_dd_ngram_jaccard(sf_dir: str) -> pa.Table:
     return _nonempty(
         _collect(dedup.jaccard_pairs(_docs(sf_dir), block_col="source", threshold=0.5)),
         pa.schema([("da", pa.int64()), ("db", pa.int64()), ("jaccard", pa.float64())]),
-    )
+    ).sort_by([("da", "ascending"), ("db", "ascending")])
 
 
 def q_dd_minhash_lsh(sf_dir: str) -> pa.Table:
@@ -342,7 +342,9 @@ def q_dd_simhash(sf_dir: str) -> pa.Table:
 
 
 def q_txt_tfidf(sf_dir: str) -> pa.Table:
-    return _collect(text.tfidf_topk(_docs(sf_dir), k=5))
+    return _collect(text.tfidf_topk(_docs(sf_dir), k=5)).sort_by(
+        [("doc_id", "ascending"), ("token", "ascending")]
+    )
 
 
 def q_dd_cluster(sf_dir: str) -> pa.Table:
@@ -410,7 +412,9 @@ def _query_vectors(sf_dir: str, n: int = 10) -> tuple[np.ndarray, np.ndarray]:
 
 def q_ann_topk(sf_dir: str) -> pa.Table:
     qids, qvecs = _query_vectors(sf_dir)
-    return similarity.ann_topk_bruteforce(_embs(sf_dir), qids, qvecs, k=10)
+    return similarity.ann_topk_bruteforce(
+        _embs(sf_dir), qids, qvecs, k=10
+    ).sort_by([("qid", "ascending"), ("nid", "ascending")])
 
 
 def q_emb_knn_cc(sf_dir: str) -> pa.Table:
@@ -477,7 +481,7 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     qids, qvecs = _query_vectors(sf_dir)
     return similarity.ann_topk_ivf(
         _embs(sf_dir), qids, qvecs, k=10, nlist=16, nprobe=4
-    )
+    ).sort_by([("qid", "ascending"), ("nid", "ascending")])
 
 
 # ---------------------------------------------------------------------------

@@ -901,26 +901,42 @@ def q_sssp_tree(sf_dir: str) -> pa.Table:
     """SSSP over the geo tree (region 0 as source). vid encoding:
     region=r_regionkey, nation=100+n_nationkey, customer=1000+c_custkey;
     weights are small integers derived from keys => exact doubles."""
-    nation = read_parquet_clean(_pq(sf_dir, "nation")).to_pandas()
-    customer = read_parquet_clean(
+    # the edge derivation is a per-batch transform over the two source
+    # Datasets (union-ed, never concatenated on the driver): the O(rows)
+    # customer table flows object-store -> engine actors as blocks
+    nation_ds = read_parquet_clean(
+        _pq(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    )
+    cust_ds = read_parquet_clean(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    e1 = pd.DataFrame(
-        {
-            "src": nation["n_regionkey"].astype(np.int64),
-            "dst": 100 + nation["n_nationkey"].astype(np.int64),
-            "weight": (nation["n_nationkey"].astype(np.int64) % 5 + 1).astype(np.float64),
-        }
     )
-    e2 = pd.DataFrame(
-        {
-            "src": 100 + customer["c_nationkey"].astype(np.int64),
-            "dst": 1000 + customer["c_custkey"].astype(np.int64),
-            "weight": (customer["c_custkey"].astype(np.int64) % 10 + 1).astype(np.float64),
-        }
+
+    def nation_edges(t: pa.Table) -> pa.Table:
+        nk = t.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = t.column("n_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": rk, "dst": 100 + nk, "weight": (nk % 5 + 1).astype(np.float64)}
+        )
+
+    def cust_edges(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": 100 + nk,
+                "dst": 1000 + ck,
+                "weight": (ck % 10 + 1).astype(np.float64),
+            }
+        )
+
+    edges = (
+        nation_ds.map_batches(nation_edges, batch_format="pyarrow")
+        .union(cust_ds.map_batches(cust_edges, batch_format="pyarrow"))
+        .materialize()
     )
-    edges = pd.concat([e1, e2], ignore_index=True)
-    eng, n = _engine_for(pa.Table.from_pandas(edges, preserve_index=False))
+    mx = edges.max(["src", "dst"])
+    n = int(max(mx["max(src)"], mx["max(dst)"])) + 1
+    eng = GraphEngine(n, dataset=edges, cfg=EngineConfig(num_partitions=4))
     try:
         res = alg.sssp(eng, source=0)
     finally:
