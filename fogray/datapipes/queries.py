@@ -1931,7 +1931,113 @@ def q_evt_range(sf_dir: str) -> pa.Table:
     return sorted_table(t, ["user_id", "event_id_l", "event_id_r"])
 
 
+# ---------------------------------------------------------------------------
+# learned-model featurization (fogray.datapipes.model)
+# ---------------------------------------------------------------------------
+
+#: (n_docs, seed, iters) of the offline training corpus — part of the
+#: model identity: same triple => same weights in the distributed
+#: trainer, the numpy replica, and the exported oracle weight table
+_MODEL_SHAPE = (300, 7, 24)
+_MODEL_WEIGHTS_PARQUET = "/tmp/fogray_model_w_{}_{}_{}.parquet".format(*_MODEL_SHAPE)
+
+
+def _model_weights_parquet() -> str:
+    """Export the trained weight table (bucket, w_micro; bias at bucket
+    -1) where the oracle SQL can read it — trained by the PURE-NUMPY
+    replica (no Ray session needed at oracle_sql() build time); the
+    fixed-point trainer guarantees these equal the distributed weights
+    bit-for-bit. Idempotent, atomic rename."""
+    import os
+
+    if not os.path.exists(_MODEL_WEIGHTS_PARQUET):
+        import pyarrow.parquet as pq
+
+        from . import model
+
+        n, seed, iters = _MODEL_SHAPE
+        w, _ = model.train_local(model.make_training_docs(n, seed), iters)
+        t = pa.table(
+            {
+                "bucket": np.r_[np.arange(model.DIM, dtype=np.int64), [-1]],
+                "w_micro": w.astype(np.int64),
+            }
+        )
+        tmp = f"{_MODEL_WEIGHTS_PARQUET}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _MODEL_WEIGHTS_PARQUET)
+    return _MODEL_WEIGHTS_PARQUET
+
+
+@functools.lru_cache(maxsize=2)
+def _model_weights_cached(_session: str) -> tuple:
+    from . import model
+
+    n, seed, iters = _MODEL_SHAPE
+    ds = rd.from_arrow(model.make_training_docs(n, seed))
+    w, _ = model.train_distributed(ds, iters)
+    return tuple(int(x) for x in w)
+
+
+def q_txt_model_score(sf_dir: str) -> pa.Table:
+    """Batched model inference over every document: the hashed
+    bag-of-tokens logistic quality scorer (fogray.datapipes.model),
+    trained by DISTRIBUTED partial-gradient supersteps on the fixed
+    synthetic corpus (cached per Ray session; fixed-point arithmetic
+    makes the weights equal the oracle's numpy-trained export
+    bit-for-bit), deployed as a weights-in-__init__ actor pool.
+    -> (doc_id, logit_micro, score) sorted by doc_id."""
+    from ..queries import _ray_session_key
+    from . import model
+
+    w = np.asarray(_model_weights_cached(_ray_session_key()), dtype=np.int64)
+    return _collect(model.model_scores(_docs(sf_dir), w)).sort_by("doc_id")
+
+
+def _model_score_oracle_sql() -> str:
+    """Forward-pass replay in DuckDB over the exported weight table:
+    same lowercase whitespace tokens, same md5 % DIM buckets, exact
+    int64 logit, same algebraic sigmoid (IEEE +,*,/ only)."""
+    from . import model
+
+    path = _model_weights_parquet()
+    return f"""
+        WITH w AS MATERIALIZED (
+            SELECT bucket, w_micro FROM read_parquet('{path}')
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                       % {model.DIM} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1, 2
+        ),
+        z AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(f.cnt * w.w_micro), 0)
+                        + (SELECT w_micro FROM w WHERE bucket = -1)
+                        AS BIGINT) AS logit_micro
+            FROM documents d
+            LEFT JOIN feats f ON f.doc_id = d.doc_id
+            LEFT JOIN w ON w.bucket = f.bucket
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, logit_micro,
+               ROUND(0.5 + 0.5 * (logit_micro / {model.MICRO}.0)
+                     / (1.0 + ABS(logit_micro / {model.MICRO}.0)), 6) AS score
+        FROM z ORDER BY doc_id
+    """
+
+
 QUERIES = {
+    "txt_model_score": q_txt_model_score,
     "evt_cumsum": q_evt_cumsum,
     "emb_knn_cc": q_emb_knn_cc,
     "rel_skyline": q_rel_skyline,
@@ -2652,6 +2758,7 @@ ORACLE_SQL = {
         ORDER BY da, db
     """,
     "txt_langid": _langid_oracle_sql(),
+    "txt_model_score": _model_score_oracle_sql(),
     "txt_quality": r"""
         WITH s AS MATERIALIZED (
             SELECT doc_id,

@@ -48,7 +48,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_hapax", "corpus_stats",
      "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc",
      "rel_top_share", "rel_gini", "evt_bursts", "agg_hll_setops",
-     "sink_jsonl", "corpus_e2e", "dd_allpairs"],
+     "sink_jsonl", "corpus_e2e", "dd_allpairs", "txt_model_score"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -365,6 +365,49 @@ def test_knn_graph_ivf_recall_at_boundary(ray_session):
     bt = set(zip(exact["qid"], exact["nid"]))
     it = set(zip(pruned["qid"], pruned["nid"]))
     assert len(bt & it) / len(bt) >= 0.7, len(bt & it) / len(bt)
+
+
+def test_model_training_distributed_equals_local(ray_session):
+    """Fixed-point training is partition-independent: the distributed
+    partial-gradient trainer and the pure-numpy replica must produce
+    IDENTICAL int64 weights, and the loss must strictly decrease over
+    the early rounds (it's a real training loop, not a stub)."""
+    import ray.data as rd
+
+    from fogray.datapipes import model
+
+    docs = model.make_training_docs(200, seed=3)
+    w_local, hist_local = model.train_local(docs, iters=12)
+    ds = rd.from_arrow(docs).repartition(7)  # uneven blocking on purpose
+    w_dist, hist_dist = model.train_distributed(ds, iters=12)
+    assert np.array_equal(w_local, w_dist)
+    assert hist_local == hist_dist
+    assert hist_local[3] < hist_local[0]  # loss actually decreases
+
+
+def test_model_scorer_actor_pool_scores(ray_session):
+    """The inference stage (weights in __init__, batched forward pass)
+    agrees with a direct numpy forward pass on the same weights."""
+    import ray.data as rd
+
+    from fogray.datapipes import model
+
+    docs = model.make_training_docs(120, seed=5)
+    w, _ = model.train_local(docs, iters=8)
+    out = (
+        model.model_scores(rd.from_arrow(docs), w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _, X, _, _ = model._features(docs)
+    z, p = model._forward(X, w)
+    assert np.array_equal(out["logit_micro"].to_numpy(), z)
+    from fogray.util import sql_round
+
+    assert np.array_equal(out["score"].to_numpy(), sql_round(p))
+    # scores are probabilities and actually separate the label classes
+    assert out["score"].between(0, 1).all()
 
 
 def test_mm_features_deterministic_and_oracle(ray_session):
