@@ -2036,8 +2036,98 @@ def _model_score_oracle_sql() -> str:
     """
 
 
+def q_txt_bpe_train(sf_dir: str) -> pa.Table:
+    """Full iterated BPE tokenizer training, 12 greedy merge rounds
+    over the corpus word-frequency vocabulary
+    (fogray.datapipes.text.bpe_train — the superstep extension of the
+    one-round txt_bpe_pairs). -> (rk, c1, c2, n) merge table."""
+    return text.bpe_train(_docs(sf_dir), rounds=12)
+
+
+def _bpe_train_oracle_sql(rounds: int = 12) -> str:
+    """DuckDB mirror of :func:`text.bpe_train`: ONE tagged-state
+    recursive CTE runs the whole training loop — kind-0 rows carry the
+    spaced-symbol vocabulary, a kind-1 row carries the active merge
+    pair, kind-2 rows accumulate the output merge table. Each
+    iteration either applies one leftmost-nonoverlapping replace pass
+    (DuckDB ``replace`` == pyarrow ``replace_substring`` semantics;
+    iterated to the fixpoint it IS the greedy per-word BPE merge,
+    property-tested) or, at the fixpoint, selects the next argmax pair
+    (count DESC, c1, c2 ASC) exactly like the driver fold."""
+    pair_sel = """
+          SELECT c1, c2, CAST(cnt AS BIGINT) AS cnt FROM (
+            SELECT ls[CAST(i + 1 AS INTEGER)] AS c1,
+                   ls[CAST(i + 2 AS INTEGER)] AS c2, SUM(n) AS cnt
+            FROM (SELECT n, ls, unnest(range(len(ls) - 1)) AS i
+                  FROM (SELECT n, list_filter(string_split(w, ' '),
+                                              x -> x <> '') AS ls FROM {src})
+                  WHERE len(ls) >= 2)
+            GROUP BY 1, 2)
+          ORDER BY cnt DESC, c1, c2 LIMIT 1"""
+    return f"""
+WITH RECURSIVE
+wc AS MATERIALIZED (
+    SELECT w0 AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS w0
+        FROM documents) GROUP BY 1),
+init AS MATERIALIZED (
+    SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' '
+               AS w, n
+    FROM wc),
+fp AS MATERIALIZED ({pair_sel.format(src="init")}),
+st(kind, w, n, c1, c2, rk) AS (
+    (
+        SELECT 0, w, n, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(0 AS BIGINT)
+        FROM init
+        UNION ALL
+        SELECT 1, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), c1, c2,
+               CAST(1 AS BIGINT)
+        FROM fp
+        UNION ALL
+        SELECT 2, CAST(NULL AS VARCHAR), cnt, c1, c2, CAST(1 AS BIGINT)
+        FROM fp
+    )
+    UNION ALL
+    (
+        WITH cur AS (SELECT w, n FROM st WHERE kind = 0),
+        act AS (SELECT c1, c2, rk FROM st WHERE kind = 1),
+        ap AS (SELECT ' ' || c1 || ' ' || c2 || ' ' AS p,
+                      ' ' || c1 || c2 || ' ' AS r, c1, c2, rk FROM act),
+        applied AS (SELECT replace(cur.w, ap.p, ap.r) AS w2, cur.w, cur.n
+                    FROM cur, ap),
+        chg AS (SELECT COUNT(*) AS c FROM applied WHERE w2 <> w),
+        nxt AS ({pair_sel.format(src="cur")})
+        SELECT 0, a.w2, a.n, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(0 AS BIGINT)
+        FROM applied a, chg WHERE chg.c > 0
+        UNION ALL
+        SELECT 1, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               ap.c1, ap.c2, ap.rk
+        FROM ap, chg WHERE chg.c > 0
+        UNION ALL
+        SELECT 0, cur.w, cur.n, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(0 AS BIGINT)
+        FROM cur, ap, chg
+        WHERE chg.c = 0 AND ap.rk < {rounds}
+          AND EXISTS (SELECT 1 FROM nxt)
+        UNION ALL
+        SELECT 1, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               nxt.c1, nxt.c2, ap.rk + 1
+        FROM nxt, ap, chg WHERE chg.c = 0 AND ap.rk < {rounds}
+        UNION ALL
+        SELECT 2, CAST(NULL AS VARCHAR), nxt.cnt, nxt.c1, nxt.c2, ap.rk + 1
+        FROM nxt, ap, chg WHERE chg.c = 0 AND ap.rk < {rounds}
+    )
+)
+SELECT rk, c1, c2, n FROM st WHERE kind = 2 ORDER BY rk
+"""
+
+
 QUERIES = {
     "txt_model_score": q_txt_model_score,
+    "txt_bpe_train": q_txt_bpe_train,
     "evt_cumsum": q_evt_cumsum,
     "emb_knn_cc": q_emb_knn_cc,
     "rel_skyline": q_rel_skyline,
@@ -2759,6 +2849,7 @@ ORACLE_SQL = {
     """,
     "txt_langid": _langid_oracle_sql(),
     "txt_model_score": _model_score_oracle_sql(),
+    "txt_bpe_train": _bpe_train_oracle_sql(12),
     "txt_quality": r"""
         WITH s AS MATERIALIZED (
             SELECT doc_id,

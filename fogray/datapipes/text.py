@@ -273,6 +273,156 @@ def bpe_pairs(ds, k: int = 20, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# iterated BPE training (full merge loop over the word-frequency vocab)
+# ---------------------------------------------------------------------------
+
+_BPE_STATE_SCHEMA = pa.schema([("w", pa.string()), ("n", pa.int64())])
+_BPE_PARTIAL_SCHEMA = pa.schema(
+    [("c1", pa.string()), ("c2", pa.string()), ("cnt", pa.int64())]
+)
+
+
+def _bpe_symbolize(t: pa.Table) -> pa.Table:
+    """(token, n_occ) -> (w, n) where w is the SPACED symbol string
+    ' c h a r s ' — the canonical BPE working form: a merge (x, y) is
+    the literal replace ' x y ' -> ' xy ', and both numpy/pyarrow and
+    DuckDB replace() are leftmost-nonoverlapping, so the fixpoint of
+    that replace IS the greedy per-word BPE merge application
+    (property-tested against an explicit per-symbol greedy replica in
+    tests/test_datapipes.py)."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return _BPE_STATE_SCHEMA.empty_table()
+    toks = t.column("token").to_pylist()
+    n = t.column("n_occ").to_numpy(zero_copy_only=False).astype(np.int64)
+    spaced = [" " + " ".join(w) + " " for w in toks]  # vocab-sized, not corpus
+    return pa.table(
+        {"w": pa.array(spaced, pa.string()), "n": pa.array(n)},
+        schema=_BPE_STATE_SCHEMA,
+    )
+
+
+def _bpe_sym_pair_counts(t: pa.Table) -> pa.Table:
+    """Weighted adjacent-SYMBOL pair counts of one vocab block (all
+    adjacent positions, overlapping included — the standard get_stats).
+    Vectorized: flatten the split symbol lists once, mask cross-word
+    adjacency via offsets, np.unique over fused pair strings."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return _BPE_PARTIAL_SCHEMA.empty_table()
+    w = t.column("w").combine_chunks() if isinstance(
+        t.column("w"), pa.ChunkedArray
+    ) else t.column("w")
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    # split and drop the '' artifacts of the leading/trailing separator
+    lists = pc.split_pattern(w, " ")
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    offs = lists.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    widx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offs))
+    keep = flat != ""
+    flat, widx = flat[keep], widx[keep]
+    if len(flat) < 2:
+        return _BPE_PARTIAL_SCHEMA.empty_table()
+    same = widx[:-1] == widx[1:]
+    if not same.any():
+        return _BPE_PARTIAL_SCHEMA.empty_table()
+    a, b = flat[:-1][same], flat[1:][same]
+    wt = n[widx[:-1][same]]
+    fused = a.astype(object) + "\x1f" + b.astype(object)
+    uniq, inv = np.unique(fused.astype(str), return_inverse=True)
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, inv, wt)
+    c1, c2 = zip(*(u.split("\x1f") for u in uniq))  # distinct pairs only
+    return pa.table(
+        {
+            "c1": pa.array(list(c1), pa.string()),
+            "c2": pa.array(list(c2), pa.string()),
+            "cnt": pa.array(cnt),
+        },
+        schema=_BPE_PARTIAL_SCHEMA,
+    )
+
+
+def _bpe_apply_merge(t: pa.Table, pat: str, rep: str) -> pa.Table:
+    """Apply one merge to a vocab block: leftmost-nonoverlapping
+    literal replace iterated to the per-block fixpoint (pyarrow
+    replace_substring is C-level across the whole column)."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return _BPE_STATE_SCHEMA.empty_table()
+    w = t.column("w")
+    if isinstance(w, pa.ChunkedArray):
+        w = w.combine_chunks()
+    while True:
+        w2 = pc.replace_substring(w, pattern=pat, replacement=rep)
+        if pc.all(pc.equal(w2, w)).as_py():
+            break
+        w = w2
+    return pa.table({"w": w, "n": t.column("n")}, schema=_BPE_STATE_SCHEMA)
+
+
+def bpe_train(ds, rounds: int = 12, text_col: str = "text") -> pa.Table:
+    """Full iterated BPE tokenizer training (Sennrich et al. 2016):
+    ``rounds`` greedy merge selections over the corpus word-frequency
+    vocabulary. -> (rk, c1, c2, n): the merge table, rank-ordered; ties
+    on count break toward lexicographically smaller (c1, c2).
+
+    Scale shape: the corpus collapses ONCE to distinct-word counts (the
+    top_tokens groupby — only the vocabulary shuffles); the merge loop
+    is then a superstep iteration over PINNED vocab blocks (the
+    msf/coloring pattern): each round folds per-block pair-count
+    partials (bounded by symbols² per block, not corpus size), picks
+    the argmax pair on the driver, and rewrites blocks task-to-task in
+    the object store — the vocab never collects on the driver."""
+    import ray
+
+    vocab = (
+        ds.map_batches(lambda t: _token_count_batch(t, text_col), batch_format="pyarrow")
+        .groupby("token")
+        .sum("n_occ")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "n_occ"]), batch_format="pyarrow"
+        )
+        .map_batches(_bpe_symbolize, batch_format="pyarrow")
+        .materialize()
+    )
+    refs = vocab.to_arrow_refs()
+    count_task = ray.remote(_bpe_sym_pair_counts)
+    apply_task = ray.remote(_bpe_apply_merge)
+    out_c1, out_c2, out_n = [], [], []
+    for _ in range(rounds):
+        parts = [
+            t
+            for t in ray.get([count_task.remote(r) for r in refs])
+            if t.num_rows > 0 and t.num_columns > 0
+        ]
+        if not parts:
+            break
+        agg = (
+            pa.concat_tables(parts, promote_options="default")
+            .group_by(["c1", "c2"])
+            .aggregate([("cnt", "sum")])
+        )
+        c1 = np.asarray(agg.column("c1").to_pylist(), dtype=object)
+        c2 = np.asarray(agg.column("c2").to_pylist(), dtype=object)
+        cnt = agg.column("cnt_sum").to_numpy(zero_copy_only=False)
+        best = np.lexsort((c2, c1, -cnt))[0]
+        bc1, bc2, bn = str(c1[best]), str(c2[best]), int(cnt[best])
+        out_c1.append(bc1)
+        out_c2.append(bc2)
+        out_n.append(bn)
+        pat = f" {bc1} {bc2} "
+        rep = f" {bc1}{bc2} "
+        refs = [apply_task.remote(r, pat, rep) for r in refs]
+    return pa.table(
+        {
+            "rk": pa.array(np.arange(1, len(out_c1) + 1, dtype=np.int64)),
+            "c1": pa.array(out_c1, pa.string()),
+            "c2": pa.array(out_c2, pa.string()),
+            "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # unigram language-model scoring (corpus self-perplexity proxy)
 # ---------------------------------------------------------------------------
 

@@ -48,7 +48,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "txt_hapax", "corpus_stats",
      "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc",
      "rel_top_share", "rel_gini", "evt_bursts", "agg_hll_setops",
-     "sink_jsonl", "corpus_e2e", "dd_allpairs", "txt_model_score"],
+     "sink_jsonl", "corpus_e2e", "dd_allpairs", "txt_model_score",
+     "txt_bpe_train"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -365,6 +366,74 @@ def test_knn_graph_ivf_recall_at_boundary(ray_session):
     bt = set(zip(exact["qid"], exact["nid"]))
     it = set(zip(pruned["qid"], pruned["nid"]))
     assert len(bt & it) / len(bt) >= 0.7, len(bt & it) / len(bt)
+
+
+def _greedy_merge_once(syms, x, y):
+    """Reference greedy BPE merge application: one left-to-right pass
+    over the symbol list, merging non-overlapping (x, y) pairs."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_replace_fixpoint_equals_greedy_merge():
+    """The spaced-string encoding's correctness keystone: iterating the
+    leftmost-nonoverlapping literal replace ' x y ' -> ' xy ' to its
+    fixpoint must equal the per-symbol greedy merge — including the
+    tricky overlapping-run cases ('l l l l', 'x y x y', ...) where a
+    single replace pass under-merges because it consumes the trailing
+    separator. Exhaustive over random symbol runs."""
+    rng = np.random.RandomState(11)
+    alphabet = ["x", "y", "l", "ab"]
+    for trial in range(300):
+        k = rng.randint(1, 10)
+        syms = [alphabet[j] for j in rng.randint(0, len(alphabet), size=k)]
+        x, y = alphabet[rng.randint(0, 3)], alphabet[rng.randint(0, 3)]
+        want = _greedy_merge_once(list(syms), x, y)
+        s = " " + " ".join(syms) + " "
+        pat, rep = f" {x} {y} ", f" {x}{y} "
+        while True:
+            s2 = s.replace(pat, rep)
+            if s2 == s:
+                break
+            s = s2
+        assert s.split() == want, (syms, x, y, s.split(), want)
+
+
+def test_bpe_train_partition_invariant(ray_session):
+    """The merge table must not depend on how the corpus or vocabulary
+    is blocked (pair partials fold exactly; replace is per-word)."""
+    import ray.data as rd
+
+    from fogray.datapipes import text as T
+
+    docs = pa.table(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": pa.array(
+                [
+                    "low lower lowest low low",
+                    "new newer newest new",
+                    "wide wider widest wide wide wide",
+                    "low newer low wide",
+                    "er er er est est",
+                    "lo lo lo low",
+                ]
+            ),
+        }
+    )
+    a = T.bpe_train(rd.from_arrow(docs), rounds=8).to_pandas()
+    b = T.bpe_train(rd.from_arrow(docs).repartition(5), rounds=8).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 8 and (a["n"] > 0).all()
+    # a later merge may build on an earlier one (multi-char symbols)
+    assert (a["c1"].str.len() + a["c2"].str.len()).max() > 2
 
 
 def test_model_training_distributed_equals_local(ray_session):
