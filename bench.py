@@ -66,6 +66,16 @@ def _init_ray(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
+        # multi-raylet protocol: connect to an already-started cluster
+        # (ray start --head + workers) instead of booting a local one;
+        # num_cpus then only sizes num_partitions in the caller
+        addr = os.environ.get("GRAFT_RAY_ADDRESS")
+        if addr:
+            ray.init(
+                address=addr, include_dashboard=False,
+                ignore_reinit_error=True, log_to_driver=False,
+            )
+            return
         kw = {}
         # iso-protocol workers run several Ray instances concurrently on
         # one box — cap each object store so they don't overcommit shm
@@ -469,6 +479,123 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None,
     }
 
 
+def run_scaling_multinode(sf_dir: str) -> dict:
+    """Multi-raylet scaling protocol (``--scaling --multinode``).
+
+    The HI level is a real 4-raylet cluster on this box (``ray start
+    --head`` + 3 workers, 4 CPUs and a capped object store EACH):
+    engine actors spread across four SEPARATE plasma stores, so every
+    superstep's state broadcast and partial collection crosses the
+    inter-object-store transfer path that single-instance ``num_cpus``
+    levels never exercise — the closest single-box analog of a 4-node
+    cluster. Two lo denominators are reported, per the noise protocol:
+
+    - plain: one 4-CPU raylet on the otherwise idle box (unflattering —
+      4 active cores own the package's turbo headroom and L3, an
+      operating point no real cluster node sees);
+    - iso: 4 CONCURRENT single-raylet 4-CPU instances (all 16 cores
+      busy at both levels — hardware residency equalized).
+
+    WARNING: runs ``ray stop --force`` between legs — do not run
+    concurrently with another Ray session on this box."""
+    nodes = int(os.environ.get("GRAFT_MULTINODE_NODES", "4"))
+    cpus = int(os.environ.get("GRAFT_MULTINODE_CPUS", "4"))
+    objstore = int(os.environ.get("GRAFT_OBJSTORE_MB", "4096")) << 20
+    repeats = SCALING_REPEATS
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["GRAFT_SF_DIR"] = sf_dir
+    env["GRAFT_RAY_ADDRESS"] = "127.0.0.1:6379"
+
+    def sh(args: list[str]) -> None:
+        subprocess.run(args, capture_output=True, text=True)
+
+    def start_cluster(n_nodes: int) -> None:
+        sh(["ray", "stop", "--force"])
+        time.sleep(2)
+        sh(["ray", "start", "--head", f"--num-cpus={cpus}",
+            f"--object-store-memory={objstore}", "--include-dashboard=false",
+            "--disable-usage-stats"])
+        for _ in range(n_nodes - 1):
+            sh(["ray", "start", "--address=127.0.0.1:6379",
+                f"--num-cpus={cpus}", f"--object-store-memory={objstore}",
+                "--disable-usage-stats"])
+        time.sleep(2)
+
+    def worker_cmd(k: int) -> list[str]:
+        return [sys.executable, os.path.abspath(__file__), "--worker", str(k),
+                "--synthetic"]
+
+    def last_json(stdout: str) -> dict:
+        return json.loads(
+            [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+        )
+
+    def best_of(n_nodes: int, k: int) -> dict:
+        start_cluster(n_nodes)
+        try:
+            best = None
+            for _ in range(max(1, repeats)):
+                p = subprocess.run(worker_cmd(k), capture_output=True,
+                                   text=True, env=env, cwd=here)
+                d = last_json(p.stdout)
+                if best is None or d["edges_per_sec_per_iter"] > best[
+                    "edges_per_sec_per_iter"
+                ]:
+                    best = d
+            return best
+        finally:
+            sh(["ray", "stop", "--force"])
+            time.sleep(2)
+
+    hi = best_of(nodes, nodes * cpus)
+    lo_plain = best_of(1, cpus)
+
+    # iso lo: `nodes` concurrent fresh single-raylet instances (the
+    # established run_scaling_iso lo mechanism, no ray start needed)
+    iso_env = dict(os.environ)
+    iso_env["GRAFT_SF_DIR"] = sf_dir
+    iso_env.pop("GRAFT_RAY_ADDRESS", None)
+    iso_env.setdefault("GRAFT_OBJSTORE_MB", "6144")
+    lo_means = []
+    lo_rounds = []
+    for _ in range(max(1, repeats)):
+        procs = [
+            subprocess.Popen(worker_cmd(cpus), stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True, env=iso_env,
+                             cwd=here)
+            for _ in range(nodes)
+        ]
+        thrs = []
+        for p in procs:
+            out, _ = p.communicate()
+            thrs.append(last_json(out)["edges_per_sec_per_iter"])
+        lo_rounds.append([round(t, 1) for t in thrs])
+        lo_means.append(sum(thrs) / len(thrs))
+
+    thr_hi = hi["edges_per_sec_per_iter"]
+    thr_plain = lo_plain["edges_per_sec_per_iter"]
+    thr_iso = max(lo_means)
+    return {
+        "metric": "scaling_efficiency_multinode",
+        "value": round(thr_hi / (thr_iso * nodes), 4),
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "nodes_hi": nodes,
+        "cpus_per_node": cpus,
+        "efficiency_vs_iso_lo": round(thr_hi / (thr_iso * nodes), 4),
+        "efficiency_vs_plain_lo": round(thr_hi / (thr_plain * nodes), 4),
+        "throughput_hi_multiraylet": round(thr_hi, 1),
+        "throughput_lo_plain": round(thr_plain, 1),
+        "throughput_lo_iso_mean": round(thr_iso, 1),
+        "lo_iso_round_throughputs": lo_rounds,
+        "throughput_unit": "edges/s/iter",
+        "num_edges": hi["num_edges"],
+        "repeats": repeats,
+        "queries": {f"pagerank@{nodes}x{cpus}raylets": hi["wall_s"]},
+    }
+
+
 def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None,
                 e2e: bool = False) -> dict:
     # Default pair 4 -> 16 (N and 4N): 16 leaves half the box's 32 cores
@@ -570,7 +697,9 @@ def _dispatch(argv: list[str]) -> dict:
             SF_DIR, k, synthetic="--synthetic" in argv, e2e="--e2e" in argv
         )
     elif "--scaling" in argv:
-        if "--iso" in argv:
+        if "--multinode" in argv:
+            out = run_scaling_multinode(SF_DIR)
+        elif "--iso" in argv:
             out = run_scaling_iso(SF_DIR, e2e="--e2e" in argv)
         elif "--e2e" in argv:
             out = run_scaling(SF_DIR, e2e=True)
