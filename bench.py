@@ -341,10 +341,17 @@ def _e2e_flagship(num_cpus: int) -> dict:
     t = tables.make_repo_table(n_files, E2E_REPOS, seed=42)
     src = rd.from_arrow(t)
     t0 = time.perf_counter()
-    res = derive.derive_edges(src)
+    # engine-feed path: derive skips its (src, dst) all-to-all and the
+    # engine's bucketed exchange collapses duplicate pairs instead
+    # (exact integer-count sums; parity vs the aggregated path is
+    # pytest-asserted in tests/test_engine.py)
+    res = derive.derive_edges(src, aggregate=False)
     edges = res["edges"].materialize()
     t1 = time.perf_counter()
-    eng = GraphEngine(res["num_vertices"], dataset=edges, cfg=EngineConfig())
+    eng = GraphEngine(
+        res["num_vertices"], dataset=edges, cfg=EngineConfig(),
+        combine_duplicates=True,
+    )
     try:
         t2 = time.perf_counter()
         rr = alg.pagerank(eng, niters=10)

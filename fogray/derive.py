@@ -34,11 +34,26 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count
 
 from .util import read_parquet_clean
+
+
+@ray.remote
+def _block_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _sha_slice(t: pa.Table, off: int, length: int) -> pa.Table:
+    """Fused splitter + hasher for low-block-count inputs: each task
+    reads a ROW RANGE of the shared block (a zero-copy plasma read on
+    the block's node — the wide ``content`` column is never copied or
+    exchanged) and returns only the narrow hashed slice."""
+    return add_content_sha(t.slice(off, length))
 
 
 def add_content_sha(batch: pa.Table) -> pa.Table:
@@ -346,6 +361,7 @@ def derive_edges(
     *,
     max_repos_per_key: int | None = 256,
     channels: tuple[str, ...] = ("content", "pathlang"),
+    aggregate: bool = True,
 ) -> dict:
     """``source``: parquet path/dir or a ``ray.data.Dataset`` of the repo
     table. Returns ``{"edges": Dataset(src,dst,weight), "files": Dataset,
@@ -360,17 +376,31 @@ def derive_edges(
     ds = source if isinstance(source, rd.Dataset) else read_parquet_clean(source)
     # a driver-built table arrives as ONE block, which would serialize
     # every downstream stage (map parallelism AND the sort's partition
-    # count follow the block count) — split it before anything runs
+    # count follow the block count). NOT ds.repartition(): that routes
+    # the still-wide ``content`` column through the full all-to-all
+    # exchange operator (~2s of the flagship's derive stage). Instead,
+    # fan out RANGE tasks over the shared block(s): each fetch is a
+    # zero-copy plasma read, the content bytes are never copied or
+    # exchanged, and the sha pass is fused into the same task wave.
     try:
         nb = ds.num_blocks()
     except Exception:
         nb = None
     min_parallel = max(2 * int(ray.cluster_resources().get("CPU", 8)), 16)
     if nb is not None and 0 < nb < min_parallel:
-        ds = ds.repartition(min_parallel)
-    # materialized once: both the distinct-repo pass and the vid pass
-    # consume it, and the wide ``content`` column is already gone
-    files = ds.map_batches(add_content_sha, batch_format="pyarrow").materialize()
+        refs = ds.materialize().to_arrow_refs()
+        sizes = ray.get([_block_rows.remote(r) for r in refs])
+        k = -(-min_parallel // max(len(refs), 1))
+        out_refs = []
+        for r, sz in zip(refs, sizes):
+            step = max(1, -(-sz // k))
+            for i in range(0, sz, step):
+                out_refs.append(_sha_slice.remote(r, i, step))
+        files = rd.from_arrow_refs(out_refs).materialize()
+    else:
+        # materialized once: both the distinct-repo pass and the vid
+        # pass consume it, and the wide ``content`` column is gone
+        files = ds.map_batches(add_content_sha, batch_format="pyarrow").materialize()
 
     # dense vid assignment: sorted distinct repo names. Per-block
     # distinct partials, then ONE coalescing dedup round before the
@@ -380,8 +410,13 @@ def derive_edges(
     # sees fresh repos — the second round bounds the driver collect at
     # O(#repos x coalesced-partitions)).
     def _repo_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(t.column("repo").to_numpy(zero_copy_only=False).astype(str))
-        return pa.table({"repo": pa.array(u)})
+        # Arrow-native distinct: pc.unique on the string column stays
+        # zero-copy C++ (the prior numpy astype(str) round-trip through
+        # Python objects was ~1s of the flagship derive stage)
+        col = t.column("repo")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"repo": pc.unique(col)})
 
     uniq = files.map_batches(_repo_partial, batch_format="pyarrow").materialize()
     coalesce = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -394,7 +429,16 @@ def derive_edges(
     parts = pa.concat_tables(
         ray.get(uniq.to_arrow_refs()), promote_options="default"
     )
-    repo_names = np.unique(parts.column("repo").to_numpy(zero_copy_only=False).astype(str))
+    # Arrow-native final dedup + sort (coalesce partitions are row- not
+    # key-disjoint, so this may see several copies of the full repo set;
+    # pc.unique keeps the O(partials) pass in C++ — only the final
+    # #repos-sized array crosses into numpy for the searchsorted lookups)
+    col = parts.column("repo")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    uniq_arr = pc.unique(col)
+    uniq_arr = uniq_arr.take(pc.sort_indices(uniq_arr))
+    repo_names = np.asarray(uniq_arr.to_pylist(), dtype=str)
     num_vertices = len(repo_names)
     names_ref = ray.put(repo_names)
 
@@ -408,17 +452,27 @@ def derive_edges(
     files_vid = files.map_batches(add_vid, batch_format="pyarrow").materialize()
 
     channel_keys = {"content": ["content_sha"], "pathlang": ["path", "lang"]}
-    pair_sets = []
-    for ch in channels:
+
+    def _run_channel(ch: str):
         key_cols = channel_keys[ch]
         keyed = files_vid.select_columns(key_cols + ["vid"])
-        pair_sets.append(
-            key_grouped_block_map(
-                keyed.sort(key_cols),
-                key_cols,
-                make_pair_expander(key_cols, "vid", max_repos_per_key),
-            ).materialize()
-        )
+        return key_grouped_block_map(
+            keyed.sort(key_cols),
+            key_cols,
+            make_pair_expander(key_cols, "vid", max_repos_per_key),
+        ).materialize()
+
+    if len(channels) > 1:
+        # the channel pipelines are independent sort+expand dataflows
+        # over the same materialized input — run their streaming
+        # executions CONCURRENTLY (one driver thread each) so the two
+        # all-to-all sorts overlap instead of serializing
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(channels)) as ex:
+            pair_sets = list(ex.map(_run_channel, channels))
+    else:
+        pair_sets = [_run_channel(ch) for ch in channels]
 
     pairs = pair_sets[0]
     for extra in pair_sets[1:]:
@@ -435,6 +489,15 @@ def derive_edges(
                 }
             )
         )
+    elif not aggregate:
+        # engine-feed path: skip the (src, dst) all-to-all — the
+        # engine's bucketed exchange re-partitions the pairs anyway and
+        # its actors collapse duplicate (src, dst) rows with exact
+        # integer-count sums during their local lexsort
+        # (GraphEngine(combine_duplicates=True)). The returned "edges"
+        # carry PARTIAL weights in ``cnt`` — aggregate=True remains the
+        # contract for every non-engine consumer.
+        edges = pairs
     else:
         edges = key_grouped_block_map(
             pairs.sort(["src", "dst"]), ["src", "dst"], sum_pair_counts

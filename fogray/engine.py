@@ -150,7 +150,7 @@ class _View:
 
     __slots__ = ("s", "d", "w", "key_sorted", "emit_arr", "emit_rel", "_rel_cnt")
 
-    def __init__(self, tab, lo: int, hi: int, emit_key: str):
+    def __init__(self, tab, lo: int, hi: int, emit_key: str, combine: bool = False):
         if isinstance(tab, list):
             tabs = [t if isinstance(t, pa.Table) else ray.get(t) for t in tab]
             tabs = [t for t in tabs if t.num_rows and t.num_columns]
@@ -158,6 +158,29 @@ class _View:
         if tab is None or tab.num_rows == 0:
             self.s = self.d = np.empty(0, dtype=np.int64)
             self.w = np.empty(0, dtype=np.float64)
+        elif combine:
+            # pre-aggregation folded into the exchange (derive's
+            # ``aggregate=False`` path skips its (src, dst) sort): the
+            # range's slice is full-lexsorted and duplicate (src, dst)
+            # rows collapse with summed weights HERE — weights are
+            # integer-valued counts, so the sum is exact in any order
+            src = tab.column("src").to_numpy(zero_copy_only=False)
+            dst = tab.column("dst").to_numpy(zero_copy_only=False)
+            w = (
+                tab.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+                if "weight" in tab.column_names
+                else tab.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+            read_key = src if emit_key == "dst" else dst
+            other = dst if emit_key == "dst" else src
+            order = np.lexsort((other, read_key))
+            src, dst, w = src[order], dst[order], w[order]
+            first = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            if not first.all():
+                starts = np.flatnonzero(first)
+                w = np.add.reduceat(w, starts)
+                src, dst = src[starts], dst[starts]
+            self.s, self.d, self.w = src, dst, w
         else:
             src = tab.column("src").to_numpy(zero_copy_only=False)
             dst = tab.column("dst").to_numpy(zero_copy_only=False)
@@ -213,7 +236,8 @@ class EdgeViewActor:
     driver adds/combines the partials, so overlap costs only a few
     duplicate entries."""
 
-    def __init__(self, parts: dict, lo: int, hi: int, seg_bounds=None):
+    def __init__(self, parts: dict, lo: int, hi: int, seg_bounds=None,
+                 combine: bool = False):
         # parts: {"fwd": table/ref/list-of-refs/None, "bwd": ...}. Refs
         # nested inside the dict are NOT dereferenced by Ray — fetched
         # here, off-driver.
@@ -231,7 +255,7 @@ class EdgeViewActor:
             tab = parts.get(dirn)
             if tab is not None and not isinstance(tab, (pa.Table, list)):
                 tab = ray.get(tab)
-            self.views[dirn] = _View(tab, self.lo, self.hi, emit_key)
+            self.views[dirn] = _View(tab, self.lo, self.hi, emit_key, combine)
         self.resident_state: dict | None = None
         # cumulative per-phase wall clocks (seconds), cheap enough to
         # keep always-on; read back via get_prof() for scaling forensics
@@ -245,6 +269,17 @@ class EdgeViewActor:
 
     def ready(self) -> bool:
         return True
+
+    def degree_partials(self):
+        """Sparse exact degree partials from the FWD view (each edge
+        lives in exactly ONE actor's fwd view — ranges partition by dst
+        and hub splits partition by block — so the driver fold is
+        exact). Used by the combine build path, whose metadata-pass
+        degrees overcount cross-block duplicate pairs."""
+        vw = self.views[FWD]
+        us, cs = np.unique(np.asarray(vw.s, dtype=np.int64), return_counts=True)
+        ud, cd = np.unique(np.asarray(vw.d, dtype=np.int64), return_counts=True)
+        return us, cs, ud, cd, len(vw.s)
 
     def warm(self, n: int) -> bool:
         """One untimed pass of the fused kernel over the FWD view with a
@@ -599,6 +634,7 @@ class GraphEngine:
         arrays=None,
         cfg: EngineConfig | None = None,
         has_weights: bool = True,
+        combine_duplicates: bool = False,
     ):
         self.n = int(n)
         self.cfg = cfg or EngineConfig()
@@ -614,7 +650,7 @@ class GraphEngine:
         self.bwd_views: list[tuple] = []
 
         if dataset is not None:
-            self._init_from_dataset(dataset, has_weights)
+            self._init_from_dataset(dataset, has_weights, combine_duplicates)
         elif arrays is not None:
             src, dst, w = arrays
             src = np.asarray(src, dtype=np.int64)
@@ -630,6 +666,21 @@ class GraphEngine:
         ray.get(
             [a.ready.remote() for a, _, _ in self.fwd_views + self.bwd_views]
         )
+        if dataset is not None and combine_duplicates and self.fwd_views:
+            # the metadata-pass degrees counted duplicate (src, dst)
+            # rows once per block (fine for range bounds, wrong for
+            # program semantics — FOG outdeg divides rank); fold the
+            # EXACT post-combine degrees back from the actors
+            parts = ray.get(
+                [a.degree_partials.remote() for a, _, _ in self.fwd_views]
+            )
+            us = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+            cs = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+            ud = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.int64)
+            cd = np.concatenate([p[3] for p in parts]) if parts else np.empty(0, np.int64)
+            self.outdeg = np.bincount(us, weights=cs, minlength=self.n).astype(np.int64)
+            self.indeg = np.bincount(ud, weights=cd, minlength=self.n).astype(np.int64)
+            self.num_edges = int(sum(p[4] for p in parts))
         # absorb each fresh actor process's one-time first-kernel cost
         # (page-fault/THP effects after the build's big allocations;
         # 0.15-0.8s per actor measured) into the build, where it
@@ -675,7 +726,7 @@ class GraphEngine:
                 self.fwd_views.append((actor, lo, hi))
                 self.bwd_views.append((actor, lo, hi))
 
-    def _init_from_dataset(self, dataset, has_weights):
+    def _init_from_dataset(self, dataset, has_weights, combine=False):
         """Streaming construction via a bucketed exchange: one metadata
         pass computes degrees (and so degree-weighted range bounds),
         then one map wave scatters every block into per-range pieces
@@ -735,7 +786,7 @@ class GraphEngine:
                 }
                 actor = EdgeViewActor.options(
                     num_cpus=self.cfg.num_cpus_per_actor
-                ).remote(parts, lo, hi, bounds)
+                ).remote(parts, lo, hi, bounds, combine)
                 self.fwd_views.append((actor, lo, hi))
                 self.bwd_views.append((actor, lo, hi))
 

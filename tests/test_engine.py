@@ -435,3 +435,61 @@ def test_betweenness_matches_numpy_brandes(ray_session):
         np.testing.assert_allclose(res.state["bc"], bc_ref, rtol=1e-9, atol=1e-6)
     finally:
         eng.shutdown()
+
+
+def test_combine_duplicates_build_matches_aggregated(ray_session):
+    """The engine-feed derive path (aggregate=False + engine
+    combine_duplicates=True) must produce the same degrees, edge count,
+    weights, and per-vertex PageRank as deriving aggregated edges and
+    building normally — the fold of derive's (src, dst) sort into the
+    bucketed exchange changes only WHERE pairs collapse, not what the
+    engine holds."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from fogray import algorithms as alg
+    from fogray import derive, tables
+    from fogray.config import EngineConfig
+    from fogray.engine import GraphEngine
+
+    t = tables.make_repo_table(4000, 80, seed=9)
+    src = rd.from_arrow(t)
+    res_a = derive.derive_edges(src)
+    eng_a = GraphEngine(
+        res_a["num_vertices"], dataset=res_a["edges"].materialize(),
+        cfg=EngineConfig(num_partitions=4),
+    )
+    src2 = rd.from_arrow(t)
+    res_b = derive.derive_edges(src2, aggregate=False)
+    eng_b = GraphEngine(
+        res_b["num_vertices"], dataset=res_b["edges"].materialize(),
+        cfg=EngineConfig(num_partitions=4), combine_duplicates=True,
+    )
+    try:
+        assert eng_a.num_edges == eng_b.num_edges
+        assert np.array_equal(eng_a.outdeg, eng_b.outdeg)
+        assert np.array_equal(eng_a.indeg, eng_b.indeg)
+        ra = alg.pagerank(eng_a, niters=10)
+        rb = alg.pagerank(eng_b, niters=10)
+        np.testing.assert_allclose(
+            ra.state["rank"], rb.state["rank"], rtol=1e-12, atol=1e-12
+        )
+        # weighted variant exercises the combined-path weight sums
+        et = pa.concat_tables(
+            ray.get(res_a["edges"].materialize().to_arrow_refs()),
+            promote_options="default",
+        )
+        wsum = np.bincount(
+            et.column("src").to_numpy(zero_copy_only=False),
+            weights=et.column("weight").to_numpy(zero_copy_only=False),
+            minlength=res_a["num_vertices"],
+        )
+        wa = alg.wpagerank(eng_a, wsum, niters=6)
+        wb = alg.wpagerank(eng_b, wsum, niters=6)
+        np.testing.assert_allclose(
+            wa.state["rank"], wb.state["rank"], rtol=1e-12, atol=1e-12
+        )
+    finally:
+        eng_a.shutdown()
+        eng_b.shutdown()
