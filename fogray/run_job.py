@@ -83,7 +83,9 @@ def _write_result(state: dict, n: int, out_dir: str, shards: int,
     for i in range(shards):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         cols = {"vid": np.arange(lo, hi, dtype=np.int64)}
-        for k, v in state.items():
+        # sorted: state-dict iteration order differs between a fresh
+        # run and a checkpoint-resumed one — output bytes must not
+        for k, v in sorted(state.items()):
             cols[k] = v[lo:hi]
         path = os.path.join(out_dir, f"part-{i:05d}.parquet")
         pq.write_table(pa.table(cols), path)
