@@ -156,3 +156,26 @@ def test_run_job_cli_output_manifest(ray_session, tmp_path):
     from fogray.checkpoint import latest_checkpoint
 
     assert latest_checkpoint(ck) is not None
+
+
+def test_write_result_column_order_insertion_invariant(tmp_path):
+    """A fresh run and a checkpoint-resumed run build the state dict in
+    different insertion orders; the sharded writer must emit identical
+    bytes for both (the resume invariant extends to the output)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fogray.run_job import _write_result
+
+    n = 40
+    a = {"rank": np.arange(n, dtype=np.float64), "outdeg": np.ones(n)}
+    b = {"outdeg": np.ones(n), "rank": np.arange(n, dtype=np.float64)}
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_result(a, n, da, 3, {"algorithm": "x"})
+    _write_result(b, n, db, 3, {"algorithm": "x"})
+    fa = sorted(glob.glob(da + "/part-*.parquet"))
+    fb = sorted(glob.glob(db + "/part-*.parquet"))
+    assert fa and len(fa) == len(fb)
+    for pa_, pb_ in zip(fa, fb):
+        assert pq.read_table(pa_).equals(pq.read_table(pb_))
