@@ -326,6 +326,29 @@ def q_connected_components(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cc_incremental(sf_dir: str) -> pa.Table:
+    """Streaming-update connected components: the co-occurrence edges
+    arrive in 4 deterministic batches (splitmix hash of the canonical
+    edge) and min-label components are restored after each arrival by
+    FRONTIER-LIMITED propagation over the accumulated pinned blocks
+    (fogray.incremental.incremental_cc). The final fixpoint is
+    arrival-order independent and equals the static components, so the
+    oracle is the SAME recursive-reachability SQL as
+    ``connected_components``."""
+    from .incremental import incremental_cc
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    labels, touched, _stats = incremental_cc(
+        ds.select_columns(["src", "dst"]), n, num_batches=4
+    )
+    return pa.table(
+        {
+            "vid": touched.astype(np.int64),
+            "component_root": labels[touched].astype(np.int64),
+        }
+    )
+
+
 def q_label_propagation(sf_dir: str) -> pa.Table:
     eng, n = _cooc_engine(sf_dir)
     res = alg.label_propagation(eng)
@@ -2129,6 +2152,9 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT v AS vid, MIN(r) AS component_root FROM reach GROUP BY v ORDER BY vid
     """,
+    # the incremental operator's fixpoint is arrival-order independent
+    # and equals the static components — same oracle (assigned below,
+    # after the dict literal, to share the exact string)
     "label_propagation": f"""
         WITH RECURSIVE
         edges AS (SELECT src, dst FROM ({_COOC_SQL})),
@@ -2852,6 +2878,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# the incremental-CC fixpoint equals the static components (arrival-
+# order independence is the operator's contract, pytest-asserted), so
+# both queries share the exact oracle string
+ORACLE_SQL["cc_incremental"] = ORACLE_SQL["connected_components"]
+
 QUERIES = {
     "derive_edges": q_derive_edges,
     "src_edgelist": q_src_edgelist,
@@ -2867,6 +2898,7 @@ QUERIES = {
     "hits": q_hits,
     "kcore": q_kcore,
     "connected_components": q_connected_components,
+    "cc_incremental": q_cc_incremental,
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,
     "harmonic": q_harmonic,

