@@ -713,6 +713,14 @@ class DistGraphEngine:
             p_edge = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
         p_state = num_state_partitions or p_edge
 
+        import os as _os, time as _time
+        _dbg = _os.environ.get("FOGRAY_BUILD_DEBUG")
+        _t0 = _time.perf_counter()
+        def _mark(name):
+            nonlocal _t0
+            if _dbg:
+                print(f"[distbuild] {name}: {_time.perf_counter()-_t0:.1f}s", flush=True)
+                _t0 = _time.perf_counter()
         dataset_blocks = None
         if dataset is not None:
             # streaming construction (same bucketed exchange as
@@ -740,6 +748,7 @@ class DistGraphEngine:
                 outdeg = np.zeros(self.n, dtype=np.int64)
                 indeg = np.zeros(self.n, dtype=np.int64)
             deg = outdeg + indeg
+            _mark("degrees_meta")
         else:
             src, dst, w = arrays
             src = np.asarray(src, dtype=np.int64)
@@ -849,13 +858,16 @@ class DistGraphEngine:
                 )
                 for i in range(p_edge)
             ]
+        _mark("edge_actors_submitted")
         self.state_actors = [
             StatePartitionActor.options(num_cpus=self.cfg.num_cpus_per_actor).remote(
                 int(self.bounds[j]), int(self.bounds[j + 1])
             )
             for j in range(self.P)
         ]
+        _mark("state_actors_submitted")
         self.edge_meta = ray.get([a.meta.remote() for a in self.edge_actors])
+        _mark("edge_meta")
 
         # degrees: combined once on the driver (O(V) ints, setup-time
         # only), sliced to the state actors
@@ -869,6 +881,7 @@ class DistGraphEngine:
                 for j in range(self.P)
             ]
         )
+        _mark("set_degrees")
 
     # ------------------------------------------------------------------
 
