@@ -188,6 +188,77 @@ _SEQ_SQL = """
      AND a.l_partkey <> b.l_partkey
 """
 
+
+@functools.lru_cache(maxsize=4)
+def temporal_sequence_edges(sf_dir: str) -> pa.Table:
+    """Directed part-sequence graph WITH edge availability times:
+    distinct (src, dst, t) triples where t = epoch-day of the SECOND
+    line's l_shipdate — the temporal twin of :func:`sequence_edges`
+    (same ONE-sort group-complete derivation, same duplicate-row
+    handling; a pair recurring on different days keeps every distinct
+    day as its own temporal edge)."""
+    from .derive import key_grouped_block_map
+    from .engine import expand_ranges
+
+    li = read_parquet_clean(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_shipdate"],
+    )
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+        }
+    )
+
+    def adjacent_pairs_t(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        days = (
+            t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // np.int64(86_400_000_000)
+        )
+        M = np.int64(1) << max(int(ln.max()) + 2, 8).bit_length()
+        k = o * M + ln
+        order = np.argsort(k, kind="stable")
+        k, p, days = k[order], p[order], days[order]
+        starts = np.searchsorted(k, k + 1, side="left")
+        ends = np.searchsorted(k, k + 1, side="right")
+        idx = expand_ranges(starts, ends)
+        src = np.repeat(p, ends - starts)
+        dst = p[idx]
+        tt = days[idx]  # availability = the SECOND line's ship day
+        m = src != dst
+        return pa.table({"src": src[m], "dst": dst[m], "t": tt[m]})
+
+    def dedup3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tt, d, s))
+        s, d, tt = s[order], d[order], tt[order]
+        first = np.r_[
+            True,
+            (s[1:] != s[:-1]) | (d[1:] != d[:-1]) | (tt[1:] != tt[:-1]),
+        ]
+        return pa.table({"src": s[first], "dst": d[first], "t": tt[first]})
+
+    pairs = key_grouped_block_map(
+        li.sort(["l_orderkey", "l_linenumber"]), ["l_orderkey"], adjacent_pairs_t
+    ).materialize()
+    if pairs.count() == 0:
+        return empty
+    ds = key_grouped_block_map(
+        pairs.sort(["src", "dst", "t"]), ["src", "dst", "t"], dedup3
+    )
+    return pa.concat_tables(_collect(ds))
+
 _COOC_SQL = """
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     SELECT a.l_partkey AS src, b.l_partkey AS dst,
@@ -345,6 +416,32 @@ def q_cc_incremental(sf_dir: str) -> pa.Table:
         {
             "vid": touched.astype(np.int64),
             "component_root": labels[touched].astype(np.int64),
+        }
+    )
+
+
+def q_temporal_reach(sf_dir: str) -> pa.Table:
+    """Time-respecting earliest-arrival reachability over the temporal
+    part-sequence graph (edge time = the second line's ship day;
+    fogray.temporal.temporal_earliest_arrival) from the minimum source
+    vid. -> (vid, arrival_day); the source reports -1."""
+    from .temporal import temporal_earliest_arrival
+
+    t = temporal_sequence_edges(sf_dir)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    tt = t.column("t").to_numpy(zero_copy_only=False)
+    if len(s) == 0:
+        return pa.table(
+            {"vid": pa.array([], pa.int64()), "arrival_day": pa.array([], pa.int64())}
+        )
+    n = int(max(s.max(), d.max())) + 1
+    source = int(s.min())
+    arrival, reached = temporal_earliest_arrival((s, d, tt), n, source)
+    return pa.table(
+        {
+            "vid": pa.array(reached.astype(np.int64)),
+            "arrival_day": pa.array(arrival[reached].astype(np.int64)),
         }
     )
 
@@ -2883,6 +2980,32 @@ ORACLE_SQL: dict[str, str] = {
 # both queries share the exact oracle string
 ORACLE_SQL["cc_incremental"] = ORACLE_SQL["connected_components"]
 
+# temporal earliest arrival: explore (vertex, arrival-via-some-path)
+# pairs — `e.t >= r.t` gates time-respecting extension; UNION dedups
+# exact pairs, so smaller-time rediscoveries still expand; MIN per
+# vertex at the end is the exact earliest arrival (no unroll bound)
+ORACLE_SQL["temporal_reach"] = """
+    WITH RECURSIVE
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(date_diff('day', TIMESTAMP '1970-01-01', b.l_shipdate)
+                    AS BIGINT) AS t
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND b.l_linenumber = a.l_linenumber + 1
+         AND a.l_partkey <> b.l_partkey
+    ),
+    s AS (SELECT MIN(src) AS v FROM edges),
+    reach(v, t) AS (
+        SELECT v, CAST(-1 AS BIGINT) FROM s
+        UNION
+        SELECT e.dst, e.t FROM reach r JOIN edges e
+        ON e.src = r.v AND e.t >= r.t
+    )
+    SELECT v AS vid, MIN(t) AS arrival_day FROM reach GROUP BY v ORDER BY vid
+"""
+
 QUERIES = {
     "derive_edges": q_derive_edges,
     "src_edgelist": q_src_edgelist,
@@ -2899,6 +3022,7 @@ QUERIES = {
     "kcore": q_kcore,
     "connected_components": q_connected_components,
     "cc_incremental": q_cc_incremental,
+    "temporal_reach": q_temporal_reach,
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,
     "harmonic": q_harmonic,

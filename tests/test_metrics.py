@@ -620,3 +620,33 @@ def test_incremental_cc_matches_static_and_is_order_invariant(ray_session):
         # labels only ever decrease => total updates bounded and the
         # last batches of a settled graph do little work
         assert all(s["rounds"] >= 0 for s in stats)
+
+
+def test_temporal_earliest_arrival_respects_time(ray_session):
+    """Time-respecting reachability differs from static reachability:
+    an edge available BEFORE its predecessor's arrival must not be
+    traversed. Chain 0-(t=5)->1-(t=3)->2: vertex 2 unreachable even
+    though statically connected; with a second later edge 1-(t=7)->2
+    it becomes reachable at 7."""
+    from fogray.temporal import temporal_earliest_arrival
+
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    t = np.array([5, 3], dtype=np.int64)
+    arrival, reached = temporal_earliest_arrival((src, dst, t), 3, 0)
+    assert arrival[0] == -1 and arrival[1] == 5
+    assert 2 not in reached  # t=3 edge closed by the time we reach 1
+
+    src = np.array([0, 1, 1], dtype=np.int64)
+    dst = np.array([1, 2, 2], dtype=np.int64)
+    t = np.array([5, 3, 7], dtype=np.int64)
+    arrival, reached = temporal_earliest_arrival((src, dst, t), 3, 0)
+    assert arrival[2] == 7  # the later copy of the edge works
+
+    # earliest arrival is min over all time-respecting paths: the
+    # slower first hop can still yield the faster total
+    src = np.array([0, 0, 1, 3], dtype=np.int64)
+    dst = np.array([1, 3, 2, 2], dtype=np.int64)
+    t = np.array([1, 2, 9, 4], dtype=np.int64)
+    arrival, _ = temporal_earliest_arrival((src, dst, t), 4, 0)
+    assert arrival[2] == 4  # via 0->3(2)->2(4), not 0->1(1)->2(9)
