@@ -2125,9 +2125,79 @@ SELECT rk, c1, c2, n FROM st WHERE kind = 2 ORDER BY rk
 """
 
 
+def q_evt_coaction_cc(sf_dir: str) -> pa.Table:
+    """Streaming-window × graph composition: per tumbling day window,
+    the user co-action graph (users sharing an event_type in the
+    window; groups past 256 users dropped — the boilerplate cap,
+    mirrored) and its component structure
+    (fogray.datapipes.streams.windowed_coaction_components).
+    -> (window_day, n_users, n_pairs, n_components, largest_component)
+    sorted by window_day."""
+    from . import streams
+
+    return _collect(
+        streams.windowed_coaction_components(_events(sf_dir))
+    ).sort_by("window_day")
+
+
+_COACTION_ORACLE_SQL = """
+    WITH RECURSIVE
+    du AS MATERIALIZED (
+        SELECT DISTINCT
+               CAST(date_diff('day', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+                   AS w,
+               event_type, user_id
+        FROM events
+    ),
+    grp AS (
+        SELECT w, event_type, user_id,
+               COUNT(*) OVER (PARTITION BY w, event_type) AS gn
+        FROM du
+    ),
+    ok AS (SELECT * FROM grp WHERE gn BETWEEN 2 AND 256),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.w, a.user_id AS ua, b.user_id AS ub
+        FROM ok a JOIN ok b
+          ON a.w = b.w AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+    ),
+    reach(w, v, r) AS (
+        (SELECT w, ua, ua FROM pairs
+         UNION
+         SELECT w, ub, ub FROM pairs)
+        UNION
+        (SELECT p.w, p.ub, reach.r FROM reach
+         JOIN pairs p ON p.w = reach.w AND p.ua = reach.v
+         UNION
+         SELECT p.w, p.ua, reach.r FROM reach
+         JOIN pairs p ON p.w = reach.w AND p.ub = reach.v)
+    ),
+    comp AS (SELECT w, v, MIN(r) AS c FROM reach GROUP BY w, v),
+    sizes AS (SELECT w, c, COUNT(*) AS s FROM comp GROUP BY w, c),
+    pstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY w),
+    pu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pair_users FROM comp GROUP BY w),
+    cs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_comp,
+                  CAST(MAX(s) AS BIGINT) AS largest FROM sizes GROUP BY w),
+    wu AS (SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM du GROUP BY w)
+    SELECT wu.w AS window_day,
+           wu.n_users,
+           COALESCE(pstat.n_pairs, 0) AS n_pairs,
+           wu.n_users - COALESCE(pu.n_pair_users, 0) + COALESCE(cs.n_comp, 0)
+               AS n_components,
+           COALESCE(cs.largest, 1) AS largest_component
+    FROM wu
+    LEFT JOIN pstat ON pstat.w = wu.w
+    LEFT JOIN pu ON pu.w = wu.w
+    LEFT JOIN cs ON cs.w = wu.w
+    ORDER BY window_day
+"""
+
+
 QUERIES = {
     "txt_model_score": q_txt_model_score,
     "txt_bpe_train": q_txt_bpe_train,
+    "evt_coaction_cc": q_evt_coaction_cc,
     "evt_cumsum": q_evt_cumsum,
     "emb_knn_cc": q_emb_knn_cc,
     "rel_skyline": q_rel_skyline,
@@ -2850,6 +2920,7 @@ ORACLE_SQL = {
     "txt_langid": _langid_oracle_sql(),
     "txt_model_score": _model_score_oracle_sql(),
     "txt_bpe_train": _bpe_train_oracle_sql(12),
+    "evt_coaction_cc": _COACTION_ORACLE_SQL,
     "txt_quality": r"""
         WITH s AS MATERIALIZED (
             SELECT doc_id,

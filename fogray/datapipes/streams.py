@@ -1029,3 +1029,250 @@ def burst_stats(ds, *, window_s: int = 3600) -> rd.Dataset:
         ["user_id"],
         burst_block,
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed co-action graph components (streaming window x graph)
+# ---------------------------------------------------------------------------
+
+_COACTION_SCHEMA = pa.schema(
+    [
+        ("window_day", pa.int64()),
+        ("n_users", pa.int64()),
+        ("n_pairs", pa.int64()),
+        ("n_components", pa.int64()),
+        ("largest_component", pa.int64()),
+    ]
+)
+
+
+def windowed_coaction_components(ds, *, group_cap: int = 256) -> rd.Dataset:
+    """Per tumbling day window: build the user co-action graph (users
+    sharing an event_type within the window are linked; groups past
+    ``group_cap`` distinct users are DROPPED — the boilerplate guard,
+    mirrored by the oracle) and report its component structure:
+    (window_day, n_users, n_pairs, n_components, largest_component).
+    n_users counts every evented user (uncapped); users without a
+    surviving pair are singleton components.
+
+    The streaming-window x graph composition: ONE sort co-locates
+    (window, type) groups for the vectorized pair expansion, a second
+    sort makes windows group-complete for the per-window min-label
+    fixpoint (vectorized np.minimum rounds — no per-edge Python), and
+    a third tiny exchange folds the per-window distinct-user counts.
+    Raw events shuffle once; everything after is pair/stat rows."""
+
+    def du_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "user_id": pa.array([], pa.int64())}
+            )
+        w = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // np.int64(86_400_000_000)
+        )
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dic = et.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # fused int key: within-block distinct (w, type, user) — code
+        # and user ranges fit well under the shifts
+        key = ((w * np.int64(len(dic.dictionary) + 1) + codes) << np.int64(32)) | u
+        _, idx = np.unique(key, return_index=True)
+        return pa.table(
+            {
+                "w": pa.array(w[idx]),
+                "event_type": et.take(pa.array(idx)),
+                "user_id": pa.array(u[idx]),
+            }
+        )
+
+    du = ds.map_batches(du_partial, batch_format="pyarrow").materialize()
+
+    empty_pairs = pa.schema(
+        [("w", pa.int64()), ("ua", pa.int64()), ("ub", pa.int64())]
+    )
+
+    def expand_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs.empty_table()
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        dic = et.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        key = w * np.int64(len(dic.dictionary) + 1) + codes
+        order = np.argsort(key, kind="stable")
+        key, w, u = key[order], w[order], u[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        ow, oa, ob = [], [], []
+        for s, e in zip(starts, ends):
+            users = np.unique(u[s:e])
+            n = len(users)
+            if n < 2 or n > group_cap:
+                continue  # the cap contract, mirrored by the oracle
+            ai, bi = np.triu_indices(n, 1)
+            ow.append(np.full(len(ai), w[s], dtype=np.int64))
+            oa.append(users[ai])
+            ob.append(users[bi])
+        if not ow:
+            return empty_pairs.empty_table()
+        return pa.table(
+            {
+                "w": np.concatenate(ow),
+                "ua": np.concatenate(oa).astype(np.int64),
+                "ub": np.concatenate(ob).astype(np.int64),
+            },
+            schema=empty_pairs,
+        )
+
+    pairs = key_grouped_block_map(
+        du.sort(["w", "event_type"]), ["w", "event_type"], expand_pairs
+    ).materialize()
+
+    def window_components(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("w", pa.int64()), ("n_pair_users", pa.int64()),
+                 ("n_pairs", pa.int64()), ("n_comp", pa.int64()),
+                 ("largest", pa.int64())]
+            ).empty_table()
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        ua = t.column("ua").to_numpy(zero_copy_only=False)
+        ub = t.column("ub").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ub, ua, w))
+        w, ua, ub = w[order], ua[order], ub[order]
+        # dedup pairs found via several event types
+        first = np.r_[
+            True, (w[1:] != w[:-1]) | (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])
+        ]
+        w, ua, ub = w[first], ua[first], ub[first]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        ends = np.r_[starts[1:], len(w)]
+        rows = []
+        for s, e in zip(starts, ends):
+            a, b = ua[s:e], ub[s:e]
+            users, inv = np.unique(np.r_[a, b], return_inverse=True)
+            ia, ib = inv[: e - s], inv[e - s :]
+            lab = np.arange(len(users), dtype=np.int64)
+            while True:
+                nl = lab.copy()
+                np.minimum.at(nl, ib, lab[ia])
+                np.minimum.at(nl, ia, lab[ib])
+                # pointer-jump keeps rounds logarithmic in path length
+                nl = nl[nl]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            _, sizes = np.unique(lab, return_counts=True)
+            rows.append(
+                (int(w[s]), len(users), int(e - s), len(sizes), int(sizes.max()))
+            )
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "w": pa.array(np.asarray(cols[0], dtype=np.int64)),
+                "n_pair_users": pa.array(np.asarray(cols[1], dtype=np.int64)),
+                "n_pairs": pa.array(np.asarray(cols[2], dtype=np.int64)),
+                "n_comp": pa.array(np.asarray(cols[3], dtype=np.int64)),
+                "largest": pa.array(np.asarray(cols[4], dtype=np.int64)),
+            }
+        )
+
+    import ray
+
+    if pairs.count() == 0:
+        pair_stats = {}
+    else:
+        ps = pa.concat_tables(
+            ray.get(
+                key_grouped_block_map(pairs.sort(["w"]), ["w"], window_components)
+                .materialize()
+                .to_arrow_refs()
+            ),
+            promote_options="default",
+        )
+        pair_stats = {
+            int(wv): (int(pu), int(np_), int(nc), int(lg))
+            for wv, pu, np_, nc, lg in zip(
+                ps.column("w").to_pylist(),
+                ps.column("n_pair_users").to_pylist(),
+                ps.column("n_pairs").to_pylist(),
+                ps.column("n_comp").to_pylist(),
+                ps.column("largest").to_pylist(),
+            )
+        }
+
+    def wu_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64())}
+            )
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        key = (w << np.int64(32)) | u  # users < 2^32
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"w": pa.array(w[idx]), "user_id": pa.array(u[idx])})
+
+    def wu_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+            )
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        key = (w << np.int64(32)) | u
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        keep = np.r_[True, key[1:] != key[:-1]]
+        w = (key[keep] >> np.int64(32)).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        ends = np.r_[starts[1:], len(w)]
+        return pa.table(
+            {
+                "w": pa.array(w[starts].astype(np.int64)),
+                "n_users": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    wu = pa.concat_tables(
+        ray.get(
+            key_grouped_block_map(
+                du.map_batches(wu_partial, batch_format="pyarrow").sort(["w", "user_id"]),
+                ["w"],
+                wu_count,
+            )
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    ww = wu.column("w").to_numpy(zero_copy_only=False)
+    nu = wu.column("n_users").to_numpy(zero_copy_only=False)
+    order = np.argsort(ww, kind="stable")
+    out = []
+    for wv, n_users in zip(ww[order], nu[order]):
+        pu, np_, nc, lg = pair_stats.get(int(wv), (0, 0, 0, 0))
+        n_components = int(n_users) - pu + nc
+        largest = lg if lg > 0 else (1 if n_users > 0 else 0)
+        out.append((int(wv), int(n_users), np_, n_components, largest))
+    cols = list(zip(*out)) if out else [[], [], [], [], []]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "window_day": pa.array(np.asarray(cols[0], dtype=np.int64)),
+                "n_users": pa.array(np.asarray(cols[1], dtype=np.int64)),
+                "n_pairs": pa.array(np.asarray(cols[2], dtype=np.int64)),
+                "n_components": pa.array(np.asarray(cols[3], dtype=np.int64)),
+                "largest_component": pa.array(np.asarray(cols[4], dtype=np.int64)),
+            },
+            schema=_COACTION_SCHEMA,
+        )
+    )

@@ -49,7 +49,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc",
      "rel_top_share", "rel_gini", "evt_bursts", "agg_hll_setops",
      "sink_jsonl", "corpus_e2e", "dd_allpairs", "txt_model_score",
-     "txt_bpe_train"],
+     "txt_bpe_train", "evt_coaction_cc"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1833,3 +1833,37 @@ def test_write_jsonl_partitioned_resume(ray_session, tmp_path):
     os.remove(os.path.join(out, "part=3", "_DONE"))
     with pytest.raises(ValueError):
         sink.read_jsonl_partitioned(out)
+
+
+def test_coaction_components_partition_invariant(ray_session):
+    """The windowed co-action component stats must not depend on event
+    blocking (distinct-partials dedup across blocks; window-complete
+    grouping before the component fold)."""
+    import ray.data as rd
+
+    from fogray.datapipes import streams
+
+    rng = np.random.RandomState(23)
+    n = 600
+    ts = pa.array(
+        (np.int64(1_700_000_000_000_000) + rng.randint(0, 5, n).astype(np.int64)
+         * np.int64(86_400_000_000)).astype("datetime64[us]")
+    )
+    t = pa.table(
+        {
+            "ts": ts,
+            "event_type": pa.array([["a", "b", "c"][i] for i in rng.randint(0, 3, n)]),
+            "user_id": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+        }
+    )
+    a = (
+        streams.windowed_coaction_components(rd.from_arrow(t))
+        .to_pandas().sort_values("window_day").reset_index(drop=True)
+    )
+    b = (
+        streams.windowed_coaction_components(rd.from_arrow(t).repartition(7))
+        .to_pandas().sort_values("window_day").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_components"] >= 1).all()
+    assert (a["largest_component"] <= a["n_users"]).all()
