@@ -20,9 +20,13 @@ from .oracle import UNREACHED
 from .programs import BWD, FWD, PROGRAMS
 
 
-def pagerank(engine: GraphEngine, niters: int = 10, *, ckpt_dir=None, resume=False) -> RunResult:
+def pagerank(engine: GraphEngine, niters: int = 10, *, ckpt_dir=None,
+             resume=False, init_rank=None) -> RunResult:
+    params = {"niters": niters}
+    if init_rank is not None:
+        params["init_rank"] = init_rank
     return engine.run(
-        PROGRAMS["pagerank"], {"niters": niters}, ckpt_dir=ckpt_dir, resume=resume
+        PROGRAMS["pagerank"], params, ckpt_dir=ckpt_dir, resume=resume
     )
 
 

@@ -143,7 +143,16 @@ class PageRank(VertexProgram):
     combine = "sum"
 
     def init(self, n, outdeg, indeg, **params):
-        return {"rank": np.ones(n, dtype=np.float64)}, None
+        # init_rank: warm-start for evolving-graph re-analytics (the
+        # pagerank_evolve query) — continue accumulation from a prior
+        # phase's ranks instead of the cold all-ones state
+        r0 = params.get("init_rank")
+        rank = (
+            np.asarray(r0, dtype=np.float64).copy()
+            if r0 is not None
+            else np.ones(n, dtype=np.float64)
+        )
+        return {"rank": rank}, None
 
     def scatter_view(self, state):
         # outdeg>0 guaranteed for every scattered src (zero-outdeg

@@ -420,6 +420,104 @@ def q_cc_incremental(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pagerank_evolve(sf_dir: str) -> pa.Table:
+    """Evolving-graph PageRank with warm start: half the co-occurrence
+    edges (splitmix hash of the canonical pair, the cc_incremental
+    split) form phase 0 — 10 FOG-semantics iterations; then the full
+    edge set arrives and 10 MORE iterations continue from the phase-0
+    ranks (rounded to 6 decimals at the boundary on both sides, the
+    established drift collapse). The accumulate-no-reset semantics make
+    the history part of the answer — warm-start != cold-start on the
+    full graph, which is exactly what the oracle's two-chained
+    recursions replay."""
+    from .sources import splitmix53
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+
+    def phase0(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        h = splitmix53((a << np.uint64(32)) ^ b)
+        return t.filter(pa.array((h % np.uint64(2)) == 0))
+
+    ds0 = ds.map_batches(phase0, batch_format="pyarrow").materialize()
+    eng0 = GraphEngine(n, dataset=ds0, cfg=EngineConfig())
+    try:
+        r1 = alg.pagerank(eng0, niters=10)
+    finally:
+        eng0.shutdown()
+    rank1 = sql_round(r1.state["rank"])
+    eng, _ = _cooc_engine(sf_dir)
+    r2 = alg.pagerank(eng, niters=10, init_rank=rank1)
+    ids = _touched(eng)
+    # log-rank output: 20 accumulate-no-reset iterations push ranks to
+    # ~1e6+, where a 6-decimal ABSOLUTE round exceeds float64's
+    # meaningful precision (one observed last-digit boundary flip vs
+    # the oracle's different summation order); ROUND(ln(rank), 6) is a
+    # RELATIVE quantization — boundary 5e-7 vs ~1e-13 cross-impl drift
+    return pa.table(
+        {
+            "vid": ids.astype(np.int64),
+            "log_rank": sql_round(np.log(r2.state["rank"][ids])),
+        }
+    )
+
+
+def _pagerank_evolve_sql() -> str:
+    """Two chained FOG-PageRank recursions: pr0 runs 10 iterations on
+    the phase-0 edge subset (splitmix(canonical pair) % 2 == 0), its
+    rounded iteration-10 state seeds pr1's base row, and pr1 runs 10
+    more on the full matrix — both phases carry isolated vertices via
+    the unit self-loop rows, exactly the engine's warm-start run."""
+    return f"""
+WITH RECURSIVE
+edges AS MATERIALIZED ({_COOC_SQL}),
+pe0 AS (SELECT src, dst,
+        xor(CAST(LEAST(src, dst) AS UBIGINT) * CAST(4294967296 AS UBIGINT),
+            CAST(GREATEST(src, dst) AS UBIGINT)) AS x0
+        FROM edges),
+{_splitmix_ctes("pe", "pe0", "src, dst")},
+e0 AS MATERIALIZED (
+    SELECT src, dst FROM pe3 WHERE (f >> 11) % 2 = 0),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+deg0 AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src),
+mat0 AS (
+    SELECT e.src, e.dst, 0.85 / d.outdeg AS coef, 0.15 AS konst
+    FROM e0 e JOIN deg0 d ON d.src = e.src
+    UNION ALL
+    SELECT v, v, 1.0, 0.0 FROM verts
+),
+deg1 AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+mat1 AS (
+    SELECT e.src, e.dst, 0.85 / d.outdeg AS coef, 0.15 AS konst
+    FROM edges e JOIN deg1 d ON d.src = e.src
+    UNION ALL
+    SELECT v, v, 1.0, 0.0 FROM verts
+),
+pr0(iter, v, r) AS (
+    SELECT 0, v, CAST(1.0 AS DOUBLE) FROM verts
+    UNION ALL
+    SELECT pr0.iter + 1, mat0.dst, SUM(mat0.coef * pr0.r + mat0.konst)
+    FROM pr0 JOIN mat0 ON mat0.src = pr0.v
+    WHERE pr0.iter < 10
+    GROUP BY pr0.iter + 1, mat0.dst
+),
+seed AS MATERIALIZED (SELECT v, ROUND(r, 6) AS r FROM pr0 WHERE iter = 10),
+pr1(iter, v, r) AS (
+    SELECT 0, v, r FROM seed
+    UNION ALL
+    SELECT pr1.iter + 1, mat1.dst, SUM(mat1.coef * pr1.r + mat1.konst)
+    FROM pr1 JOIN mat1 ON mat1.src = pr1.v
+    WHERE pr1.iter < 10
+    GROUP BY pr1.iter + 1, mat1.dst
+)
+SELECT v AS vid, ROUND(LN(r), 6) AS log_rank FROM pr1 WHERE iter = 10
+ORDER BY vid
+"""
+
+
 def q_temporal_reach(sf_dir: str) -> pa.Table:
     """Time-respecting earliest-arrival reachability over the temporal
     part-sequence graph (edge time = the second line's ship day;
@@ -2979,6 +3077,7 @@ ORACLE_SQL: dict[str, str] = {
 # order independence is the operator's contract, pytest-asserted), so
 # both queries share the exact oracle string
 ORACLE_SQL["cc_incremental"] = ORACLE_SQL["connected_components"]
+ORACLE_SQL["pagerank_evolve"] = _pagerank_evolve_sql()
 
 # temporal earliest arrival: explore (vertex, arrival-via-some-path)
 # pairs — `e.t >= r.t` gates time-respecting extension; UNION dedups
@@ -3023,6 +3122,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "cc_incremental": q_cc_incremental,
     "temporal_reach": q_temporal_reach,
+    "pagerank_evolve": q_pagerank_evolve,
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,
     "harmonic": q_harmonic,

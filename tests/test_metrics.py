@@ -650,3 +650,32 @@ def test_temporal_earliest_arrival_respects_time(ray_session):
     t = np.array([1, 2, 9, 4], dtype=np.int64)
     arrival, _ = temporal_earliest_arrival((src, dst, t), 4, 0)
     assert arrival[2] == 4  # via 0->3(2)->2(4), not 0->1(1)->2(9)
+
+
+def test_pagerank_warm_start_continues_accumulation(ray_session):
+    """init_rank warm start must continue the FOG accumulate-no-reset
+    history: warm(5+5) differs from cold(10) on the full graph, and
+    warm with all-ones equals cold exactly (the identity case)."""
+    from fogray import algorithms as alg
+    from fogray import fixtures as fx
+    from fogray.config import EngineConfig
+    from fogray.engine import GraphEngine
+
+    src, dst, w, n = fx.two_cliques_bridge()
+    eng = GraphEngine(n, arrays=(src, dst, w), cfg=EngineConfig(num_partitions=2))
+    try:
+        cold = alg.pagerank(eng, niters=10).state["rank"]
+        ones = alg.pagerank(
+            eng, niters=10, init_rank=np.ones(n, dtype=np.float64)
+        ).state["rank"]
+        np.testing.assert_array_equal(cold, ones)
+        half = alg.pagerank(eng, niters=5).state["rank"]
+        warm = alg.pagerank(eng, niters=5, init_rank=half).state["rank"]
+        # 5+5 on the SAME graph == 10 straight (accumulation is a pure
+        # function of the state), exact to the bit
+        np.testing.assert_array_equal(cold, warm)
+        # warm from a DIFFERENT state is a different history
+        warm2 = alg.pagerank(eng, niters=5, init_rank=2.0 * half).state["rank"]
+        assert not np.allclose(warm2, cold)
+    finally:
+        eng.shutdown()

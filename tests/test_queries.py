@@ -51,7 +51,7 @@ def _compare(name, con):
     "adamic_adar", "harmonic", "diameter", "mis", "two_hop", "betweenness",
     "katz", "modularity", "closeness", "degree_histogram", "transitivity",
     "eigenvector", "sample_fanout", "link_predict", "wpagerank", "reciprocity", "four_cycles", "salsa", "bib_coupling", "co_citation", "anf_reach", "degree_powerlaw", "wl_colors", "densest", "motif_triads", "lpa_freq", "biased_walks", "scc_condensation", "msf", "coloring", "matching", "cc_incremental",
-    "temporal_reach",
+    "temporal_reach", "pagerank_evolve",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     _compare(name, con)
