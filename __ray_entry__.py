@@ -8,7 +8,7 @@ here (or in fogray) calls ray.init()/ray.shutdown().
   on the distributed engine; returns the per-vertex rank table.
 - ``queries()`` / ``oracle_sql()``: operator conformance per SURVEY.md
   section 2 — graph pipelines from fogray.queries, training-data
-  pipelines from fogray.datapipes.queries. ALL 166 queries are
+  pipelines from fogray.datapipes.queries. ALL 167 queries are
   SQL-oracle-gated: iterative pipelines mirror via recursive or
   unrolled MATERIALIZED CTEs, sketches via md5-based SQL-reproducible
   hashing and estimator-exact integer mirrors; the contraction-style

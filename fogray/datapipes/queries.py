@@ -2194,10 +2194,91 @@ _COACTION_ORACLE_SQL = """
 """
 
 
+def q_dq_checks(sf_dir: str) -> pa.Table:
+    """Data-quality validation suite over the warehouse tables
+    (fogray.datapipes.relational.dq_checks): declarative rules — FK
+    orphans (small referenced key set broadcast once, probing side
+    streams), key uniqueness (per-block key-count partials), null
+    counts, value-range violations — each one streaming pass of exact
+    int64 partials. -> (rule, violations, total), rule order fixed."""
+    from ..util import read_parquet_clean
+    from . import relational
+
+    tables = {
+        "orders": read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        "customer": read_parquet_clean(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+        ),
+        "lineitem": read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity", "l_discount"],
+        ),
+    }
+    rules = [
+        {"kind": "unique", "table": "orders", "column": "o_orderkey"},
+        {"kind": "unique", "table": "customer", "column": "c_custkey"},
+        {"kind": "fk", "table": "orders", "column": "o_custkey",
+         "ref_table": "customer", "ref_column": "c_custkey"},
+        {"kind": "fk", "table": "lineitem", "column": "l_orderkey",
+         "ref_table": "orders", "ref_column": "o_orderkey"},
+        {"kind": "not_null", "table": "orders", "column": "o_totalprice"},
+        {"kind": "range", "table": "lineitem", "column": "l_quantity",
+         "lo": 1, "hi": 50},
+        {"kind": "range", "table": "lineitem", "column": "l_discount",
+         "lo": 0.0, "hi": 0.1},
+    ]
+    return relational.dq_checks(tables, rules).sort_by("rule")
+
+
+_DQ_ORACLE_SQL = """
+    SELECT 'unique:orders.o_orderkey' AS rule,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'unique:customer.c_custkey',
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'fk:orders.o_custkey->customer.c_custkey',
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey',
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'not_null:orders.o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range:lineitem.l_quantity',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:lineitem.l_discount',
+           CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    ORDER BY rule
+"""
+
+
 QUERIES = {
     "txt_model_score": q_txt_model_score,
     "txt_bpe_train": q_txt_bpe_train,
     "evt_coaction_cc": q_evt_coaction_cc,
+    "dq_checks": q_dq_checks,
     "evt_cumsum": q_evt_cumsum,
     "emb_knn_cc": q_emb_knn_cc,
     "rel_skyline": q_rel_skyline,
@@ -2921,6 +3002,7 @@ ORACLE_SQL = {
     "txt_model_score": _model_score_oracle_sql(),
     "txt_bpe_train": _bpe_train_oracle_sql(12),
     "evt_coaction_cc": _COACTION_ORACLE_SQL,
+    "dq_checks": _DQ_ORACLE_SQL,
     "txt_quality": r"""
         WITH s AS MATERIALIZED (
             SELECT doc_id,

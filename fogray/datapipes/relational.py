@@ -2176,3 +2176,152 @@ def grouped_gini(ds, *, group_col: str, value_col: str) -> pa.Table:
         )
     )
     return out.sort_by(group_col)
+
+
+# ---------------------------------------------------------------------------
+# data-quality validation suite (corpus integrity checks)
+# ---------------------------------------------------------------------------
+
+_DQ_SCHEMA = pa.schema(
+    [("rule", pa.string()), ("violations", pa.int64()), ("total", pa.int64())]
+)
+
+
+def dq_checks(tables: dict, rules: list[dict]) -> pa.Table:
+    """Evaluate a declarative rule list over named Datasets — the
+    corpus-integrity stage of a training-data pipeline. Supported rule
+    kinds (each = one streaming pass of exact int64 partials; FK checks
+    broadcast the SMALL referenced key set once via ``ray.put`` and
+    probe with a vectorized searchsorted per block — the referenced
+    side is dimension-sized, the probing side streams):
+
+    - {"kind": "not_null", "table", "column"}
+    - {"kind": "unique", "table", "column"}           # dupes = total - distinct
+    - {"kind": "fk", "table", "column",
+       "ref_table", "ref_column"}                     # orphan rows
+    - {"kind": "range", "table", "column", "lo", "hi"}  # value outside [lo, hi]
+
+    -> (rule, violations, total) one row per rule, rule order preserved.
+    """
+    import ray
+
+    names, viol, tot = [], [], []
+    for r in rules:
+        ds = tables[r["table"]]
+        col = r["column"]
+        kind = r["kind"]
+        label = r.get(
+            "name",
+            f"{kind}:{r['table']}.{col}"
+            + (f"->{r['ref_table']}.{r['ref_column']}" if kind == "fk" else ""),
+        )
+        if kind == "not_null":
+            def p_null(t: pa.Table, c=col) -> pa.Table:
+                a = t.column(c)
+                return pa.table(
+                    {"v": pa.array([int(a.null_count)], pa.int64()),
+                     "n": pa.array([t.num_rows], pa.int64())}
+                )
+
+            part = _collect_partials(ds, p_null)
+            v, n = part
+        elif kind == "unique":
+            # per-block (key, count) partials; dupes = Σ(count) - |keys|
+            # after one driver fold — the checked keys are table keys,
+            # the same order of magnitude the FK broadcast holds
+            def p_keys(t: pa.Table, c=col) -> pa.Table:
+                a = t.column(c)
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                u = a.to_numpy(zero_copy_only=False).astype(np.int64)
+                ks, cnt = np.unique(u, return_counts=True)
+                return pa.table(
+                    {"k": pa.array(ks), "cnt": pa.array(cnt.astype(np.int64))}
+                )
+
+            parts = _gather(ds, p_keys)
+            if parts:
+                ks = np.concatenate(
+                    [p.column("k").to_numpy(zero_copy_only=False) for p in parts]
+                )
+                cs = np.concatenate(
+                    [p.column("cnt").to_numpy(zero_copy_only=False) for p in parts]
+                )
+                n = int(cs.sum())
+                v = n - len(np.unique(ks))
+            else:
+                v, n = 0, 0
+        elif kind == "fk":
+            ref = tables[r["ref_table"]]
+            rc = r["ref_column"]
+
+            def p_refkeys(t: pa.Table, c=rc) -> pa.Table:
+                a = t.column(c)
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                return pa.table({"k": pc.unique(a).cast(pa.int64())})
+
+            rparts = _gather(ref, p_refkeys)
+            keys = np.unique(
+                np.concatenate(
+                    [p.column("k").to_numpy(zero_copy_only=False) for p in rparts]
+                )
+            ) if rparts else np.empty(0, np.int64)
+            kref = ray.put(keys)
+
+            def p_orphans(t: pa.Table, c=col) -> pa.Table:
+                kk = ray.get(kref)
+                a = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(kk, a)
+                ok = (pos < len(kk)) & (kk[np.minimum(pos, len(kk) - 1)] == a) \
+                    if len(kk) else np.zeros(len(a), bool)
+                return pa.table(
+                    {"v": pa.array([int((~ok).sum())], pa.int64()),
+                     "n": pa.array([len(a)], pa.int64())}
+                )
+
+            v, n = _collect_partials(ds, p_orphans)
+        elif kind == "range":
+            lo, hi = r["lo"], r["hi"]
+
+            def p_range(t: pa.Table, c=col, lo=lo, hi=hi) -> pa.Table:
+                a = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                bad = int(((a < lo) | (a > hi)).sum())
+                return pa.table(
+                    {"v": pa.array([bad], pa.int64()),
+                     "n": pa.array([len(a)], pa.int64())}
+                )
+
+            v, n = _collect_partials(ds, p_range)
+        else:  # pragma: no cover - config error, loud
+            raise ValueError(f"unknown dq rule kind: {kind}")
+        names.append(label)
+        viol.append(int(v))
+        tot.append(int(n))
+    return pa.table(
+        {
+            "rule": pa.array(names, pa.string()),
+            "violations": pa.array(np.asarray(viol, dtype=np.int64)),
+            "total": pa.array(np.asarray(tot, dtype=np.int64)),
+        },
+        schema=_DQ_SCHEMA,
+    )
+
+
+def _gather(ds, fn) -> list[pa.Table]:
+    import ray as _r
+
+    return [
+        t
+        for t in _r.get(
+            ds.map_batches(fn, batch_format="pyarrow").materialize().to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+
+
+def _collect_partials(ds, fn) -> tuple[int, int]:
+    parts = _gather(ds, fn)
+    v = sum(int(p.column("v").to_numpy(zero_copy_only=False).sum()) for p in parts)
+    n = sum(int(p.column("n").to_numpy(zero_copy_only=False).sum()) for p in parts)
+    return v, n

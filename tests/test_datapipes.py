@@ -49,7 +49,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
      "evt_cumsum", "rel_skyline", "rel_cube", "rel_mad", "emb_knn_cc",
      "rel_top_share", "rel_gini", "evt_bursts", "agg_hll_setops",
      "sink_jsonl", "corpus_e2e", "dd_allpairs", "txt_model_score",
-     "txt_bpe_train", "evt_coaction_cc"],
+     "txt_bpe_train", "evt_coaction_cc", "dq_checks"],
 )
 def test_datapipes_query_matches_oracle(ray_session, con, name):
     from fogray.datapipes import queries as dq
@@ -1867,3 +1867,41 @@ def test_coaction_components_partition_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_components"] >= 1).all()
     assert (a["largest_component"] <= a["n_users"]).all()
+
+
+def test_dq_checks_detect_injected_violations(ray_session):
+    """The rules must actually fire: inject dupes, an orphan FK, a
+    null, and out-of-range values and check the exact counts."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())})
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 11, 12], pa.int64()),  # dup 11
+            "o_custkey": pa.array([1, 2, 9, 3], pa.int64()),       # orphan 9
+            "o_totalprice": pa.array([5.0, None, 2.0, 1.0], pa.float64()),
+            "o_qty": pa.array([5, 500, -1, 10], pa.int64()),       # 2 out of range
+        }
+    )
+    tables = {
+        "customer": rd.from_arrow(cust).repartition(2),
+        "orders": rd.from_arrow(orders).repartition(3),
+    }
+    out = relational.dq_checks(
+        tables,
+        [
+            {"kind": "unique", "table": "orders", "column": "o_orderkey"},
+            {"kind": "fk", "table": "orders", "column": "o_custkey",
+             "ref_table": "customer", "ref_column": "c_custkey"},
+            {"kind": "not_null", "table": "orders", "column": "o_totalprice"},
+            {"kind": "range", "table": "orders", "column": "o_qty",
+             "lo": 1, "hi": 50},
+        ],
+    ).to_pandas().set_index("rule")
+    assert out.loc["unique:orders.o_orderkey", "violations"] == 1
+    assert out.loc["fk:orders.o_custkey->customer.c_custkey", "violations"] == 1
+    assert out.loc["not_null:orders.o_totalprice", "violations"] == 1
+    assert out.loc["range:orders.o_qty", "violations"] == 2
+    assert (out["total"] == 4).all()
