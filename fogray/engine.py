@@ -273,7 +273,8 @@ class EdgeViewActor:
     def degree_partials(self):
         """Sparse exact degree partials from the FWD view (each edge
         lives in exactly ONE actor's fwd view — ranges partition by dst
-        and hub splits partition by block — so the driver fold is
+        and hub splits partition by src-hash on the combine path, so
+        duplicates collapse before counting and the driver fold is
         exact). Used by the combine build path, whose metadata-pass
         degrees overcount cross-block duplicate pairs."""
         vw = self.views[FWD]
@@ -590,6 +591,27 @@ def _bucket_block(tab: pa.Table, bounds: np.ndarray):
 
 
 @ray.remote
+def _hash_split(tab: pa.Table, k: int, key: str):
+    """Split one range piece into k sub-pieces by a multiplicative hash
+    of the scatter-read key (src for fwd pieces, dst for bwd). Used
+    ONLY for hub-split ranges on the combine build path: duplicate
+    (src, dst) rows share the key, so every copy of a pair lands in the
+    SAME sub-actor and the per-actor pre-combine collapses it.
+    (Block-subset routing left cross-block duplicates in different
+    sub-actors, uncollapsed — double-counted degrees and per-edge
+    contributions on skewed graphs.) Called with ``num_returns=k``."""
+    if tab.num_rows == 0 or tab.num_columns == 0:
+        empty = tab.slice(0, 0)
+        return tuple(empty for _ in range(k))
+    col = tab.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = (col * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    part = (h % np.uint64(k)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    cuts = np.searchsorted(part[order], np.arange(k + 1))
+    return tuple(tab.take(order[cuts[c] : cuts[c + 1]]) for c in range(k))
+
+
+@ray.remote
 def _block_degrees(tab: pa.Table):
     """Per-block sparse degree partials (driver combines into dense).
     Empty blocks arrive ZERO-COLUMN (see fogray._ray_patches)."""
@@ -778,6 +800,31 @@ class GraphEngine:
             lo, hi = int(bounds[j]), int(bounds[j + 1])
             heavier = int(max(fwd_cnt[j], bwd_cnt[j]))
             k = max(1, min(8, nb, (heavier + target // 2) // target))
+            if combine and k > 1:
+                # hub split + pre-combine: sub-actors must see ALL
+                # copies of a duplicate (src, dst) pair, so route by
+                # read-key hash, not block subset (see _hash_split)
+                fwd_sub = [
+                    _hash_split.options(num_returns=k).remote(pieces[b][j], k, "src")
+                    for b in range(nb)
+                ]
+                bwd_sub = [
+                    _hash_split.options(num_returns=k).remote(
+                        pieces[b][np_ranges + j], k, "dst"
+                    )
+                    for b in range(nb)
+                ]
+                for c in range(k):
+                    parts = {
+                        FWD: [fwd_sub[b][c] for b in range(nb)],
+                        BWD: [bwd_sub[b][c] for b in range(nb)],
+                    }
+                    actor = EdgeViewActor.options(
+                        num_cpus=self.cfg.num_cpus_per_actor
+                    ).remote(parts, lo, hi, bounds, combine)
+                    self.fwd_views.append((actor, lo, hi))
+                    self.bwd_views.append((actor, lo, hi))
+                continue
             for c in range(k):
                 b0, b1 = (nb * c) // k, (nb * (c + 1)) // k
                 parts = {

@@ -352,6 +352,81 @@ def test_dataset_hub_split_exact(ray_session):
         eng.shutdown()
 
 
+def test_combine_duplicates_hub_split_cross_block(ray_session):
+    """Hub-split (k>1) + combine_duplicates: duplicate (src, dst) pairs
+    placed in DIFFERENT dataset blocks must still collapse to one edge
+    with summed weight — sub-actors are routed by read-key hash, not
+    block subset, so every copy of a pair co-locates. Degrees, edge
+    count and PageRank must match the pre-aggregated build exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(21)
+    n = 64
+    # a dst hub (vertex 7) owning most in-edges forces the hub split;
+    # every hub edge is DUPLICATED and the two copies are interleaved
+    # so slicing into blocks separates them
+    hub_src = rng.randint(0, n, 1600).astype(np.int64)
+    base_src = np.concatenate([hub_src, rng.randint(0, n, 400).astype(np.int64)])
+    base_dst = np.concatenate(
+        [np.full(1600, 7, dtype=np.int64), rng.randint(0, n, 400).astype(np.int64)]
+    )
+    order = rng.permutation(np.repeat(np.arange(len(base_src)), 2))
+    src, dst = base_src[order], base_dst[order]
+    w = np.ones(len(src), dtype=np.float64)
+    t = pa.table({"src": src, "dst": dst, "weight": w})
+    chunk = len(src) // 8
+    ds = rd.from_arrow(
+        [t.slice(i * chunk, chunk) for i in range(9) if i * chunk < len(src)]
+    )
+    eng_b = GraphEngine(
+        n, dataset=ds, cfg=EngineConfig(num_partitions=4), combine_duplicates=True
+    )
+    # aggregated ground truth: each distinct (src, dst) once, weight = copies
+    import pandas as pd
+
+    agg = (
+        pd.DataFrame({"src": src, "dst": dst, "weight": w})
+        .groupby(["src", "dst"], as_index=False)["weight"]
+        .sum()
+    )
+    eng_a = GraphEngine(
+        n,
+        arrays=(
+            agg["src"].to_numpy(),
+            agg["dst"].to_numpy(),
+            agg["weight"].to_numpy(),
+        ),
+        cfg=EngineConfig(num_partitions=4),
+    )
+    try:
+        from collections import Counter
+
+        spans = Counter((lo, hi) for _a, lo, hi in eng_b.fwd_views)
+        assert max(spans.values()) > 1, "hub range must be split across actors"
+        assert eng_b.num_edges == eng_a.num_edges == len(agg)
+        np.testing.assert_array_equal(eng_b.outdeg, eng_a.outdeg)
+        np.testing.assert_array_equal(eng_b.indeg, eng_a.indeg)
+        ra = alg.pagerank(eng_a, niters=6)
+        rb = alg.pagerank(eng_b, niters=6)
+        np.testing.assert_allclose(
+            ra.state["rank"], rb.state["rank"], rtol=1e-12, atol=1e-12
+        )
+        wsum = np.bincount(
+            agg["src"].to_numpy(),
+            weights=agg["weight"].to_numpy(),
+            minlength=n,
+        )
+        wa = alg.wpagerank(eng_a, wsum, niters=5)
+        wb = alg.wpagerank(eng_b, wsum, niters=5)
+        np.testing.assert_allclose(
+            wa.state["rank"], wb.state["rank"], rtol=1e-12, atol=1e-12
+        )
+    finally:
+        eng_a.shutdown()
+        eng_b.shutdown()
+
+
 def test_gather_plan_matches_naive():
     from fogray.dist_engine import _GatherPlan, _ShardedField
 
