@@ -2197,10 +2197,12 @@ _COACTION_ORACLE_SQL = """
 def q_dq_checks(sf_dir: str) -> pa.Table:
     """Data-quality validation suite over the warehouse tables
     (fogray.datapipes.relational.dq_checks): declarative rules — FK
-    orphans (small referenced key set broadcast once, probing side
-    streams), key uniqueness (per-block key-count partials), null
-    counts, value-range violations — each one streaming pass of exact
-    int64 partials. -> (rule, violations, total), rule order fixed."""
+    orphans, key uniqueness, null counts, value-range violations.
+    Fact-sized sides are hinted (``large`` / ``ref_fact``) so they take
+    the group-complete ONE-sort path (per-block int partials, no driver
+    key fold, no fact-key broadcast); dimension-sized sides take the
+    broadcast/driver-fold path. Both paths are exercised here and gated
+    by the same oracle. -> (rule, violations, total), rule order fixed."""
     from ..util import read_parquet_clean
     from . import relational
 
@@ -2218,12 +2220,14 @@ def q_dq_checks(sf_dir: str) -> pa.Table:
         ),
     }
     rules = [
-        {"kind": "unique", "table": "orders", "column": "o_orderkey"},
+        {"kind": "unique", "table": "orders", "column": "o_orderkey",
+         "large": True},  # fact-sized key: group-complete path
         {"kind": "unique", "table": "customer", "column": "c_custkey"},
         {"kind": "fk", "table": "orders", "column": "o_custkey",
          "ref_table": "customer", "ref_column": "c_custkey"},
         {"kind": "fk", "table": "lineitem", "column": "l_orderkey",
-         "ref_table": "orders", "ref_column": "o_orderkey"},
+         "ref_table": "orders", "ref_column": "o_orderkey",
+         "ref_fact": True},  # fact→fact: sorted anti-join count path
         {"kind": "not_null", "table": "orders", "column": "o_totalprice"},
         {"kind": "range", "table": "lineitem", "column": "l_quantity",
          "lo": 1, "hi": 50},

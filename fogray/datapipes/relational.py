@@ -2187,13 +2187,13 @@ _DQ_SCHEMA = pa.schema(
 )
 
 
-def dq_checks(tables: dict, rules: list[dict]) -> pa.Table:
+def dq_checks(
+    tables: dict, rules: list[dict], *, driver_fold_max_rows: int = 2_000_000
+) -> pa.Table:
     """Evaluate a declarative rule list over named Datasets — the
     corpus-integrity stage of a training-data pipeline. Supported rule
-    kinds (each = one streaming pass of exact int64 partials; FK checks
-    broadcast the SMALL referenced key set once via ``ray.put`` and
-    probe with a vectorized searchsorted per block — the referenced
-    side is dimension-sized, the probing side streams):
+    kinds (each an exact int64 computation whose driver state is O(1)
+    or bounded by an explicit smallness gate):
 
     - {"kind": "not_null", "table", "column"}
     - {"kind": "unique", "table", "column"}           # dupes = total - distinct
@@ -2202,8 +2202,28 @@ def dq_checks(tables: dict, rules: list[dict]) -> pa.Table:
     - {"kind": "range", "table", "column", "lo", "hi"}  # value outside [lo, hi]
 
     -> (rule, violations, total) one row per rule, rule order preserved.
+
+    SQL semantics (matching a DuckDB oracle): ``unique`` violations =
+    COUNT(*) - COUNT(DISTINCT col) (NULL keys are violations — they
+    never count as distinct); ``fk`` violations = LEFT-JOIN orphans
+    (a NULL foreign key never matches, so it is a violation).
+
+    Scale paths: ``unique`` and ``fk`` pick their dataflow by size.
+    Below ``driver_fold_max_rows`` (table rows for unique, referenced
+    rows for fk) the small path runs: per-block distinct-key partials
+    folded on the driver (unique) / referenced key set broadcast once
+    via ``ray.put`` and probed with a searchsorted per block (fk) —
+    cheapest when the key set genuinely fits. Above it — or when the
+    rule is marked ``{"large": True}`` (unique) / ``{"ref_fact": True}``
+    (fk), the hint for fact-sized sides whose count the caller already
+    knows — the group-complete path runs: keys sort ONCE (the same
+    single all-to-all behind every kernel in this module) and each
+    group-complete block emits one int (distinct count / orphan count),
+    so NO key set ever lands whole on the driver or in one actor.
     """
     import ray
+
+    from ..util import collect_tables
 
     names, viol, tot = [], [], []
     for r in rules:
@@ -2226,61 +2246,130 @@ def dq_checks(tables: dict, rules: list[dict]) -> pa.Table:
             part = _collect_partials(ds, p_null)
             v, n = part
         elif kind == "unique":
-            # per-block (key, count) partials; dupes = Σ(count) - |keys|
-            # after one driver fold — the checked keys are table keys,
-            # the same order of magnitude the FK broadcast holds
-            def p_keys(t: pa.Table, c=col) -> pa.Table:
-                a = t.column(c)
-                if isinstance(a, pa.ChunkedArray):
-                    a = a.combine_chunks()
-                u = a.to_numpy(zero_copy_only=False).astype(np.int64)
-                ks, cnt = np.unique(u, return_counts=True)
-                return pa.table(
-                    {"k": pa.array(ks), "cnt": pa.array(cnt.astype(np.int64))}
-                )
+            proj = ds.select_columns([col])
+            nulls, n = _null_total(proj, col)
+            if not r.get("large", n > driver_fold_max_rows):
+                # small path: per-block distinct NON-NULL keys fold on
+                # the driver (bounded by the gate, not "any table")
+                def p_keys(t: pa.Table, c=col) -> pa.Table:
+                    u = _clean_keys(t, c)
+                    return pa.table({"k": pa.array(np.unique(u))})
 
-            parts = _gather(ds, p_keys)
-            if parts:
-                ks = np.concatenate(
-                    [p.column("k").to_numpy(zero_copy_only=False) for p in parts]
+                parts = _gather(proj, p_keys)
+                distinct = (
+                    len(
+                        np.unique(
+                            np.concatenate(
+                                [
+                                    p.column("k").to_numpy(zero_copy_only=False)
+                                    for p in parts
+                                ]
+                            )
+                        )
+                    )
+                    if parts
+                    else 0
                 )
-                cs = np.concatenate(
-                    [p.column("cnt").to_numpy(zero_copy_only=False) for p in parts]
-                )
-                n = int(cs.sum())
-                v = n - len(np.unique(ks))
             else:
-                v, n = 0, 0
+                # group-complete path: bare non-null keys sort ONCE;
+                # each group-complete block emits its distinct count —
+                # driver folds one int per block at any table size
+                def bare(t: pa.Table, c=col) -> pa.Table:
+                    return pa.table({"k": pa.array(_clean_keys(t, c))})
+
+                def block_distinct(t: pa.Table) -> pa.Table:
+                    a = t.column("k").to_numpy(zero_copy_only=False)
+                    return pa.table({"d": pa.array([len(np.unique(a))], pa.int64())})
+
+                parts = collect_tables(
+                    key_grouped_block_map(
+                        proj.map_batches(bare, batch_format="pyarrow").sort("k"),
+                        ["k"],
+                        block_distinct,
+                    ),
+                    empty_schema=pa.schema([("d", pa.int64())]),
+                )
+                distinct = int(
+                    parts.column("d").to_numpy(zero_copy_only=False).sum()
+                ) if parts.num_rows else 0
+            v = n - distinct
         elif kind == "fk":
             ref = tables[r["ref_table"]]
             rc = r["ref_column"]
+            proj = ds.select_columns([col])
+            nulls, n = _null_total(proj, col)
+            if not r.get("ref_fact", ref.count() > driver_fold_max_rows):
+                # small path: dimension-sized referenced key set,
+                # broadcast ONCE, searchsorted probe per block
+                def p_refkeys(t: pa.Table, c=rc) -> pa.Table:
+                    return pa.table({"k": pa.array(np.unique(_clean_keys(t, c)))})
 
-            def p_refkeys(t: pa.Table, c=rc) -> pa.Table:
-                a = t.column(c)
-                if isinstance(a, pa.ChunkedArray):
-                    a = a.combine_chunks()
-                return pa.table({"k": pc.unique(a).cast(pa.int64())})
+                rparts = _gather(ref.select_columns([rc]), p_refkeys)
+                keys = np.unique(
+                    np.concatenate(
+                        [p.column("k").to_numpy(zero_copy_only=False) for p in rparts]
+                    )
+                ) if rparts else np.empty(0, np.int64)
+                kref = ray.put(keys)
 
-            rparts = _gather(ref, p_refkeys)
-            keys = np.unique(
-                np.concatenate(
-                    [p.column("k").to_numpy(zero_copy_only=False) for p in rparts]
+                def p_orphans(t: pa.Table, c=col) -> pa.Table:
+                    kk = ray.get(kref)
+                    a = _clean_keys(t, c)  # null FK counted via `nulls`
+                    pos = np.searchsorted(kk, a)
+                    ok = (pos < len(kk)) & (kk[np.minimum(pos, len(kk) - 1)] == a) \
+                        if len(kk) else np.zeros(len(a), bool)
+                    return pa.table(
+                        {"v": pa.array([int((~ok).sum())], pa.int64()),
+                         "n": pa.array([len(a)], pa.int64())}
+                    )
+
+                v, _ = _collect_partials(proj, p_orphans)
+            else:
+                # fact-sized referenced side: tagged union of bare keys
+                # (probe rows side 1, block-deduped ref keys side 0) +
+                # ONE sort; each group-complete block counts probe rows
+                # in groups with no ref row — the D37 anti-join kernel
+                # reduced to a count, no broadcast at any ref size
+                def tag_probe(t: pa.Table, c=col) -> pa.Table:
+                    k = _clean_keys(t, c)
+                    return pa.table(
+                        {"k": pa.array(k),
+                         "s": pa.array(np.ones(len(k), dtype=np.int8))}
+                    )
+
+                def tag_ref(t: pa.Table, c=rc) -> pa.Table:
+                    u = np.unique(_clean_keys(t, c))
+                    return pa.table(
+                        {"k": pa.array(u),
+                         "s": pa.array(np.zeros(len(u), dtype=np.int8))}
+                    )
+
+                mixed = proj.map_batches(tag_probe, batch_format="pyarrow").union(
+                    ref.select_columns([rc]).map_batches(
+                        tag_ref, batch_format="pyarrow"
+                    )
                 )
-            ) if rparts else np.empty(0, np.int64)
-            kref = ray.put(keys)
 
-            def p_orphans(t: pa.Table, c=col) -> pa.Table:
-                kk = ray.get(kref)
-                a = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
-                pos = np.searchsorted(kk, a)
-                ok = (pos < len(kk)) & (kk[np.minimum(pos, len(kk) - 1)] == a) \
-                    if len(kk) else np.zeros(len(a), bool)
-                return pa.table(
-                    {"v": pa.array([int((~ok).sum())], pa.int64()),
-                     "n": pa.array([len(a)], pa.int64())}
+                def block_orphans(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0:
+                        return pa.table({"v": pa.array([], pa.int64())})
+                    key = t.column("k").to_numpy(zero_copy_only=False)
+                    side = t.column("s").to_numpy(zero_copy_only=False)
+                    order = np.lexsort((side, key))
+                    ks, ss = key[order], side[order]
+                    starts = np.r_[True, ks[1:] != ks[:-1]]
+                    g = np.cumsum(starts).astype(np.int64) - 1
+                    has_ref = ss[np.flatnonzero(starts)] == 0
+                    bad = int(((ss == 1) & ~has_ref[g]).sum())
+                    return pa.table({"v": pa.array([bad], pa.int64())})
+
+                parts = collect_tables(
+                    key_grouped_block_map(mixed.sort("k"), ["k"], block_orphans),
+                    empty_schema=pa.schema([("v", pa.int64())]),
                 )
-
-            v, n = _collect_partials(ds, p_orphans)
+                v = int(parts.column("v").to_numpy(zero_copy_only=False).sum()) \
+                    if parts.num_rows else 0
+            v += nulls  # NULL FK never matches: LEFT-JOIN orphan
         elif kind == "range":
             lo, hi = r["lo"], r["hi"]
 
@@ -2306,6 +2395,28 @@ def dq_checks(tables: dict, rules: list[dict]) -> pa.Table:
         },
         schema=_DQ_SCHEMA,
     )
+
+
+def _clean_keys(t: pa.Table, c: str) -> np.ndarray:
+    """Non-null int64 keys of one block (a NULL in an int column would
+    otherwise surface as NaN-in-float64 and cast to garbage)."""
+    a = t.column(c)
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return pc.drop_null(a).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _null_total(ds, col: str) -> tuple[int, int]:
+    """(null rows, total rows) of one column — tiny int partials."""
+
+    def p(t: pa.Table, c=col) -> pa.Table:
+        a = t.column(c)
+        return pa.table(
+            {"v": pa.array([int(a.null_count)], pa.int64()),
+             "n": pa.array([t.num_rows], pa.int64())}
+        )
+
+    return _collect_partials(ds, p)
 
 
 def _gather(ds, fn) -> list[pa.Table]:

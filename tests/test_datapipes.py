@@ -1905,3 +1905,55 @@ def test_dq_checks_detect_injected_violations(ray_session):
     assert out.loc["not_null:orders.o_totalprice", "violations"] == 1
     assert out.loc["range:orders.o_qty", "violations"] == 2
     assert (out["total"] == 4).all()
+
+
+def test_dq_checks_scale_paths_and_nulls_match_sql(ray_session):
+    """The group-complete paths (unique large=True, fk ref_fact=True)
+    must agree with the broadcast/driver-fold paths AND with DuckDB's
+    COUNT(DISTINCT) / LEFT-JOIN semantics — including NULL keys (a NULL
+    key is never distinct; a NULL foreign key is always an orphan)."""
+    import duckdb
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    rng = np.random.RandomState(5)
+    fact_keys = rng.randint(0, 800, 1000).astype(np.int64)
+    probe = rng.randint(0, 1000, 1500).astype(np.int64)
+    ref_t = pa.table(
+        {"rk": pa.array(list(fact_keys[:-3]) + [None, None, None], pa.int64())}
+    )
+    probe_t = pa.table(
+        {"pk": pa.array(list(probe[:-4]) + [None, None, None, None], pa.int64())}
+    )
+    tables = {
+        "ref": rd.from_arrow(ref_t).repartition(5),
+        "probe": rd.from_arrow(probe_t).repartition(7),
+    }
+    base_rules = [
+        {"kind": "unique", "table": "ref", "column": "rk"},
+        {"kind": "fk", "table": "probe", "column": "pk",
+         "ref_table": "ref", "ref_column": "rk"},
+    ]
+    small = relational.dq_checks(tables, base_rules).to_pandas().set_index("rule")
+    large = relational.dq_checks(
+        tables,
+        [
+            {**base_rules[0], "large": True},
+            {**base_rules[1], "ref_fact": True},
+        ],
+    ).to_pandas().set_index("rule")
+    pd.testing.assert_frame_equal(small, large)
+    con = duckdb.connect()
+    con.register("ref_t", ref_t.to_pandas())
+    con.register("probe_t", probe_t.to_pandas())
+    uq = con.execute(
+        "SELECT COUNT(*) - COUNT(DISTINCT rk), COUNT(*) FROM ref_t"
+    ).fetchone()
+    fk = con.execute(
+        "SELECT SUM(CASE WHEN r.rk IS NULL THEN 1 ELSE 0 END), COUNT(*) "
+        "FROM probe_t p LEFT JOIN (SELECT DISTINCT rk FROM ref_t) r "
+        "ON r.rk = p.pk"
+    ).fetchone()
+    assert tuple(small.loc["unique:ref.rk"]) == (uq[0], uq[1])
+    assert tuple(small.loc["fk:probe.pk->ref.rk"]) == (int(fk[0]), fk[1])
