@@ -432,10 +432,15 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None,
         return [sys.executable, os.path.abspath(__file__), "--worker", str(k),
                 "--e2e" if e2e else "--synthetic"]
 
-    def last_json(stdout: str) -> dict:
-        return json.loads(
-            [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
-        )
+    def last_json(stdout: str, stderr: str = "", returncode: int = 0) -> dict:
+        lines = [l for l in (stdout or "").strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"scaling worker produced no JSON (rc={returncode}); "
+                f"stderr tail: {(stderr or '')[-2000:]}"
+            )
+        return json.loads(lines[-1])
 
     # hi level first (also warms the synthetic input cache for the group)
     hi_best, hi_times = None, []
@@ -443,7 +448,7 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None,
         proc = subprocess.run(
             worker_cmd(hi), capture_output=True, text=True, env=env, cwd=here
         )
-        d = last_json(proc.stdout)
+        d = last_json(proc.stdout, proc.stderr, proc.returncode)
         hi_times.append(d["wall_s"])
         if hi_best is None or d[thr_key] > hi_best[thr_key]:
             hi_best = d
@@ -458,9 +463,14 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None,
             for _ in range(group)
         ]
         thrs = []
-        for p in procs:
-            out, _ = p.communicate()
-            thrs.append(last_json(out)[thr_key])
+        try:
+            for p in procs:
+                out, errs = p.communicate()
+                thrs.append(last_json(out, errs, p.returncode)[thr_key])
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         lo_rounds.append([round(t, 1) for t in thrs])
         lo_means.append(sum(thrs) / len(thrs))
     thr_lo = max(lo_means)
@@ -533,10 +543,15 @@ def run_scaling_multinode(sf_dir: str) -> dict:
         return [sys.executable, os.path.abspath(__file__), "--worker", str(k),
                 "--synthetic"]
 
-    def last_json(stdout: str) -> dict:
-        return json.loads(
-            [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
-        )
+    def last_json(stdout: str, stderr: str = "", returncode: int = 0) -> dict:
+        lines = [l for l in (stdout or "").strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"scaling worker produced no JSON (rc={returncode}); "
+                f"stderr tail: {(stderr or '')[-2000:]}"
+            )
+        return json.loads(lines[-1])
 
     def best_of(n_nodes: int, k: int) -> dict:
         start_cluster(n_nodes)
@@ -545,7 +560,7 @@ def run_scaling_multinode(sf_dir: str) -> dict:
             for _ in range(max(1, repeats)):
                 p = subprocess.run(worker_cmd(k), capture_output=True,
                                    text=True, env=env, cwd=here)
-                d = last_json(p.stdout)
+                d = last_json(p.stdout, p.stderr, p.returncode)
                 if best is None or d["edges_per_sec_per_iter"] > best[
                     "edges_per_sec_per_iter"
                 ]:
@@ -563,7 +578,10 @@ def run_scaling_multinode(sf_dir: str) -> dict:
     iso_env = dict(os.environ)
     iso_env["GRAFT_SF_DIR"] = sf_dir
     iso_env.pop("GRAFT_RAY_ADDRESS", None)
-    iso_env.setdefault("GRAFT_OBJSTORE_MB", "6144")
+    # ONE object-store size for the hi raylets and the iso-lo
+    # denominator instances — numerator and denominator must run under
+    # the same memory config (recorded in the result dict)
+    iso_env["GRAFT_OBJSTORE_MB"] = str(objstore >> 20)
     lo_means = []
     lo_rounds = []
     for _ in range(max(1, repeats)):
@@ -574,9 +592,16 @@ def run_scaling_multinode(sf_dir: str) -> dict:
             for _ in range(nodes)
         ]
         thrs = []
-        for p in procs:
-            out, _ = p.communicate()
-            thrs.append(last_json(out)["edges_per_sec_per_iter"])
+        try:
+            for p in procs:
+                out, errs = p.communicate()
+                thrs.append(
+                    last_json(out, errs, p.returncode)["edges_per_sec_per_iter"]
+                )
+        finally:
+            for p in procs:  # a crashed leg must not strand the others
+                if p.poll() is None:
+                    p.kill()
         lo_rounds.append([round(t, 1) for t in thrs])
         lo_means.append(sum(thrs) / len(thrs))
 
@@ -599,6 +624,7 @@ def run_scaling_multinode(sf_dir: str) -> dict:
         "throughput_unit": "edges/s/iter",
         "num_edges": hi["num_edges"],
         "repeats": repeats,
+        "objstore_mb_per_instance": objstore >> 20,
         "queries": {f"pagerank@{nodes}x{cpus}raylets": hi["wall_s"]},
     }
 

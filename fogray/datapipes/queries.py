@@ -1939,7 +1939,28 @@ def q_evt_range(sf_dir: str) -> pa.Table:
 #: model identity: same triple => same weights in the distributed
 #: trainer, the numpy replica, and the exported oracle weight table
 _MODEL_SHAPE = (300, 7, 24)
-_MODEL_WEIGHTS_PARQUET = "/tmp/fogray_model_w_{}_{}_{}.parquet".format(*_MODEL_SHAPE)
+
+
+def _model_weights_path() -> str:
+    """Cache path for the exported weight table, keyed by a hash of the
+    FULL training configuration — corpus shape AND the trainer source
+    itself — so any change to DIM/lr/training code invalidates the
+    cache (a fixed /tmp name keyed only by shape silently fed the
+    oracle stale weights across code changes), placed under a per-user
+    dir so concurrent users on a shared box never collide."""
+    import hashlib
+    import inspect
+    import tempfile
+
+    from . import model
+
+    ident = hashlib.sha1(
+        (repr(_MODEL_SHAPE) + repr((model.DIM, model.MICRO))
+         + inspect.getsource(model)).encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"fogray-{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return os.path.join(d, f"model_w_{ident}.parquet")
 
 
 def _model_weights_parquet() -> str:
@@ -1948,9 +1969,8 @@ def _model_weights_parquet() -> str:
     replica (no Ray session needed at oracle_sql() build time); the
     fixed-point trainer guarantees these equal the distributed weights
     bit-for-bit. Idempotent, atomic rename."""
-    import os
-
-    if not os.path.exists(_MODEL_WEIGHTS_PARQUET):
+    path = _model_weights_path()
+    if not os.path.exists(path):
         import pyarrow.parquet as pq
 
         from . import model
@@ -1963,10 +1983,10 @@ def _model_weights_parquet() -> str:
                 "w_micro": w.astype(np.int64),
             }
         )
-        tmp = f"{_MODEL_WEIGHTS_PARQUET}.tmp.{os.getpid()}"
+        tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(t, tmp)
-        os.replace(tmp, _MODEL_WEIGHTS_PARQUET)
-    return _MODEL_WEIGHTS_PARQUET
+        os.replace(tmp, path)
+    return path
 
 
 @functools.lru_cache(maxsize=2)
