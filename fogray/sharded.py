@@ -1,0 +1,738 @@
+"""Range-sharded flavors of the broadcast-superstep operator family
+(fogray/incremental.py, fogray/temporal.py, fogray/coloring.py,
+fogray/matching.py): identical semantics and outputs, with the O(V)
+driver state and per-round O(V) broadcast removed.
+
+The broadcast originals ship the full O(V) state pair via ``ray.put``
+each round and fold O(V) minima/maxima on the driver — fine at
+repo-graph V, a ~8-16 GB-per-round ceiling at V≈10⁹. This module
+applies the dist-engine shape (fogray/dist_engine.py — FOG's segmented
+``.attr`` machinery, fogsrc/fog_engine.cpp:1060-1313, where attribute
+state never lives whole in one place) to the whole family:
+
+- **Vertex state lives SLICED in P :class:`_MinShard` /
+  :class:`_ColorShard` / :class:`_MatchShard` actors**, one per
+  contiguous vid range (bounds degree-weighted so hub-heavy prefixes
+  don't overload one shard).
+- **Edges live in P :class:`_EdgeShard` actors, bucketed ONCE by src
+  range** (one map wave, ``num_returns=P``); shards ACCUMULATE blocks
+  across calls — the streaming-insert path ``incremental_cc`` needs.
+  Every kernel in this family reads state only at ``src`` and emits
+  only at ``dst`` (the coloring/matching kernels are reformulated
+  from "read both endpoints" to "emit src-side facts at dst" — exact,
+  because the edge sets are symmetric), so edge shard j needs exactly
+  state slice j.
+- **The per-round exchange is actor → object store → actor**: each
+  state shard exports its O(V/P) slice (ONE object, fetched only by
+  the co-ranged edge shard); each edge shard pre-combines per dst and
+  ``ray.put``\\ s one partial per destination range; the driver routes
+  O(P²) ObjectRefs and reads scalar counts — zero payload bytes
+  transit the driver at any V.
+
+Parity: every sharded operator is pytest-asserted bit-identical to its
+broadcast original (labels, arrivals, colors, matched pairs, per-batch
+stats), and the registered driver queries reuse the originals' SQL
+oracles unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .sources import splitmix53
+from .util import from_arrow_chunked
+
+_INF = np.int64(1) << 62
+
+
+# ---------------------------------------------------------------------------
+# shared infra: degree-weighted bounds + src-range bucketing
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _src_meta(tab: pa.Table):
+    """(unique srcs, counts, rows) of one edge block."""
+    if tab.num_rows == 0 or tab.num_columns == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, 0
+    s = tab.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    us, cs = np.unique(s, return_counts=True)
+    return us, cs, len(s)
+
+
+@ray.remote
+def _bucket_src(tab: pa.Table, bounds: np.ndarray, cols: tuple):
+    """Scatter ONE edge block into P pieces by src range
+    (``num_returns=P`` — each piece is its own object, fetched only by
+    its range's edge shard; the map stage of the bucketed exchange)."""
+    p = len(bounds) - 1
+    tab = tab.select(list(cols)) if tab.num_columns else tab
+    if tab.num_rows == 0 or tab.num_columns == 0:
+        empty = tab.slice(0, 0)
+        return tuple(empty for _ in range(p)) if p > 1 else empty
+    s = tab.column("src").to_numpy(zero_copy_only=False)
+    part = np.searchsorted(bounds[1:-1], s, side="right")
+    order = np.argsort(part, kind="stable")
+    cuts = np.searchsorted(part[order], np.arange(p + 1))
+    out = tuple(tab.take(order[cuts[j] : cuts[j + 1]]) for j in range(p))
+    return out if p > 1 else out[0]
+
+
+def _degree_bounds(edges_refs, n: int, p: int):
+    """Range bounds weighted by out-degree (+1 per vid so empty spans
+    stay splittable) from one metadata pass; the driver holds only the
+    O(V)-int degree fold — never edges."""
+    metas = ray.get([_src_meta.remote(r) for r in edges_refs])
+    outdeg = np.zeros(n, dtype=np.int64)
+    us = [m[0] for m in metas if m[2]]
+    if us:
+        u = np.concatenate(us)
+        c = np.concatenate([m[1] for m in metas if m[2]])
+        outdeg = np.bincount(u, weights=c, minlength=n).astype(np.int64)
+    cum = np.cumsum(outdeg + 1)
+    total = cum[-1]
+    bounds = [0]
+    for j in range(1, p):
+        b = max(int(np.searchsorted(cum, total * j / p)), bounds[-1] + 1)
+        if b >= n:
+            break
+        bounds.append(b)
+    bounds.append(max(n, 1))
+    return np.asarray(bounds, dtype=np.int64), int(sum(m[2] for m in metas))
+
+
+def _route(ref_lists, c):
+    """Column c of the scatter ref matrix, Nones dropped."""
+    return [rl[c] for rl in ref_lists if rl is not None and rl[c] is not None]
+
+
+# ---------------------------------------------------------------------------
+# edge shards (accumulating, src-range partitioned)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class _EdgeShard:
+    """Edges whose src falls in [lo, hi), accumulated across ``add``
+    calls. Scatter kernels read state ONLY at src (the range's own
+    exported slice) and emit per-dst pre-combined partials, split by
+    destination range and ``ray.put`` straight to the object store."""
+
+    def __init__(self, idx: int, bounds, weighted: bool = False):
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.lo = int(self.bounds[idx])
+        self.hi = int(self.bounds[idx + 1])
+        self.P = len(self.bounds) - 1
+        self.s = np.empty(0, dtype=np.int64)
+        self.d = np.empty(0, dtype=np.int64)
+        self.w = np.empty(0, dtype=np.int64) if weighted else None
+
+    def add(self, *pieces):
+        """Append edge pieces; returns (rows added, per-dst-range refs
+        of the DISTINCT endpoint vids of the added edges — the
+        disturbance seed for incremental frontiers)."""
+        tabs = [t for t in pieces if t.num_rows and t.num_columns]
+        added = 0
+        ep_refs: list = [None] * self.P
+        if tabs:
+            s = np.concatenate(
+                [t.column("src").to_numpy(zero_copy_only=False) for t in tabs]
+            ).astype(np.int64)
+            d = np.concatenate(
+                [t.column("dst").to_numpy(zero_copy_only=False) for t in tabs]
+            ).astype(np.int64)
+            added = len(s)
+            self.s = np.concatenate([self.s, s])
+            self.d = np.concatenate([self.d, d])
+            if self.w is not None:
+                w = np.concatenate(
+                    [t.column("t").to_numpy(zero_copy_only=False) for t in tabs]
+                ).astype(np.int64)
+                self.w = np.concatenate([self.w, w])
+            eps = np.unique(np.r_[s, d])
+            cuts = np.searchsorted(eps, self.bounds)
+            for c in range(self.P):
+                part = eps[cuts[c] : cuts[c + 1]]
+                if len(part):
+                    ep_refs[c] = ray.put(part)
+        return added, ep_refs
+
+    # -- kernels ----------------------------------------------------------
+
+    def _emit_min(self, d, cand):
+        """Pre-combine min per dst, split by dst range, put partials."""
+        if len(d) == 0:
+            return [None] * self.P
+        order = np.lexsort((cand, d))
+        d, cand = d[order], cand[order]
+        first = np.r_[True, d[1:] != d[:-1]]
+        d, cand = d[first], cand[first]
+        cuts = np.searchsorted(d, self.bounds)
+        out = []
+        for c in range(self.P):
+            a, b = cuts[c], cuts[c + 1]
+            out.append(
+                ray.put(pa.table({"v": d[a:b], "c": cand[a:b]})) if b > a else None
+            )
+        return out
+
+    def scatter_min_label(self, export):
+        """CC kernel: frontier srcs emit their label at dst."""
+        vals, frontier = export
+        rel = self.s - self.lo
+        m = frontier[rel]
+        if not m.any():
+            return [None] * self.P
+        return self._emit_min(self.d[m], vals[rel[m]])
+
+    def scatter_min_time(self, export):
+        """Temporal kernel: frontier srcs emit each FEASIBLE edge's
+        time (arrival[src] <= t) at dst."""
+        vals, frontier = export
+        rel = self.s - self.lo
+        m = frontier[rel] & (vals[rel] <= self.w)
+        if not m.any():
+            return [None] * self.P
+        return self._emit_min(self.d[m], self.w[m])
+
+    def scatter_color(self, export):
+        """Jones-Plassmann kernel, reformulated from the broadcast
+        version's dst-side reads to src-side facts emitted at dst
+        (exact on the symmetric edge set): kind-0 = uncolored src's
+        priority (max-combined per dst — the winner test input);
+        kind-1 = distinct (dst, colored src's color) pairs (the mex
+        input). Self-loops are dropped — a vertex must not compete
+        with (or constrain) itself; the broadcast original instead
+        falls out of its loop leaving self-looped vertices uncolored,
+        which is a degenerate input either way (coloring is defined on
+        simple graphs; the co-occurrence derivation emits none)."""
+        color, prio = export
+        nl = self.s != self.d
+        s, d = self.s[nl], self.d[nl]
+        if len(s) == 0:
+            return [None] * self.P
+        rel = s - self.lo
+        csrc = color[rel]
+        out_d, out_k, out_val = [], [], []
+        live = csrc == -1
+        if live.any():
+            d0, p0 = d[live], prio[rel[live]]
+            order = np.lexsort((p0, d0))
+            d0, p0 = d0[order], p0[order]
+            last = np.r_[d0[1:] != d0[:-1], True]
+            out_d.append(d0[last])
+            out_k.append(np.zeros(int(last.sum()), dtype=np.int8))
+            out_val.append(p0[last])
+        colored = csrc >= 0
+        if colored.any():
+            d1, c1 = d[colored], csrc[colored]
+            order = np.lexsort((c1, d1))
+            d1, c1 = d1[order], c1[order]
+            keep = np.r_[True, (d1[1:] != d1[:-1]) | (c1[1:] != c1[:-1])]
+            out_d.append(d1[keep])
+            out_k.append(np.ones(int(keep.sum()), dtype=np.int8))
+            out_val.append(c1[keep])
+        if not out_d:
+            return [None] * self.P
+        d = np.concatenate(out_d)
+        k = np.concatenate(out_k)
+        val = np.concatenate(out_val)
+        order = np.argsort(d, kind="stable")
+        d, k, val = d[order], k[order], val[order]
+        cuts = np.searchsorted(d, self.bounds)
+        out = []
+        for c in range(self.P):
+            a, b = cuts[c], cuts[c + 1]
+            out.append(
+                ray.put(pa.table({"v": d[a:b], "kind": k[a:b], "val": val[a:b]}))
+                if b > a
+                else None
+            )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# min-fixpoint state shards (CC labels / temporal arrivals)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class _MinShard:
+    """int64 min-fixpoint state for vids [lo, hi): value array +
+    frontier + touched mask, updated from routed per-range partials."""
+
+    def __init__(self, idx: int, bounds, fill: str):
+        bounds = np.asarray(bounds, dtype=np.int64)
+        self.lo = int(bounds[idx])
+        self.hi = int(bounds[idx + 1])
+        span = self.hi - self.lo
+        self.val = (
+            np.arange(self.lo, self.hi, dtype=np.int64)
+            if fill == "vid"
+            else np.full(span, _INF, dtype=np.int64)
+        )
+        self.frontier = np.zeros(span, dtype=bool)
+        self.touched = np.zeros(span, dtype=bool)
+
+    def seed_frontier(self, *id_arrays):
+        """Mark absolute vids as frontier + touched (disturbance seed)."""
+        for ids in id_arrays:
+            rel = np.asarray(ids, dtype=np.int64) - self.lo
+            self.frontier[rel] = True
+            self.touched[rel] = True
+        return int(self.frontier.sum())
+
+    def seed_value(self, vid: int, value: int):
+        rel = vid - self.lo
+        self.val[rel] = value
+        self.frontier[rel] = True
+        self.touched[rel] = True
+        return 1
+
+    def export(self):
+        return self.val, self.frontier
+
+    def apply(self, *parts):
+        """Fold routed min partials; improved vids become next frontier.
+        Returns the improvement count (the driver's only per-round
+        read)."""
+        self.frontier[:] = False
+        total = 0
+        if parts:
+            v = np.concatenate(
+                [p.column("v").to_numpy(zero_copy_only=False) for p in parts]
+            )
+            c = np.concatenate(
+                [p.column("c").to_numpy(zero_copy_only=False) for p in parts]
+            )
+            rel = v - self.lo
+            cand = np.full(self.hi - self.lo, _INF, dtype=np.int64)
+            np.minimum.at(cand, rel, c)
+            improved = cand < self.val
+            if improved.any():
+                self.val[improved] = cand[improved]
+                self.frontier = improved
+                self.touched |= improved
+                total = int(improved.sum())
+        return total
+
+    def fetch(self):
+        return self.val, self.touched
+
+
+# ---------------------------------------------------------------------------
+# coloring state shards + distributed priority ranks
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class _ColorShard:
+    """Jones-Plassmann state for vids [lo, hi): color (-2 off-graph,
+    -1 live, >=0 done) and priority (global rank of the splitmix
+    hash, installed by the distributed rank pipeline)."""
+
+    def __init__(self, idx: int, bounds):
+        bounds = np.asarray(bounds, dtype=np.int64)
+        self.lo = int(bounds[idx])
+        self.hi = int(bounds[idx + 1])
+        span = self.hi - self.lo
+        self.color = np.full(span, -2, dtype=np.int64)
+        self.prio = np.full(span, -1, dtype=np.int64)
+
+    def set_prios(self, *pieces):
+        """Install (v, prio) pieces; touched vids become live."""
+        for t in pieces:
+            if t.num_rows == 0:
+                continue
+            rel = t.column("v").to_numpy(zero_copy_only=False) - self.lo
+            self.prio[rel] = t.column("prio").to_numpy(zero_copy_only=False)
+            self.color[rel] = -1
+        return int((self.color == -1).sum())
+
+    def export(self):
+        return self.color, self.prio
+
+    def apply_color(self, *parts):
+        """Fold kind-0 maxima -> winners; mex winners' kind-1 colors.
+        Returns the remaining live count."""
+        from .coloring import _mex_fold
+
+        live = self.color == -1
+        span = self.hi - self.lo
+        maxnbr = np.full(span, -1, dtype=np.int64)
+        rel = kind = val = None
+        if parts:
+            v = np.concatenate(
+                [p.column("v").to_numpy(zero_copy_only=False) for p in parts]
+            )
+            kind = np.concatenate(
+                [p.column("kind").to_numpy(zero_copy_only=False) for p in parts]
+            )
+            val = np.concatenate(
+                [p.column("val").to_numpy(zero_copy_only=False) for p in parts]
+            )
+            rel = v - self.lo
+            m0 = kind == 0
+            if m0.any():
+                np.maximum.at(maxnbr, rel[m0], val[m0])
+        winners = live & (self.prio > maxnbr)
+        if winners.any():
+            if rel is not None:
+                m1 = (kind == 1) & winners[rel]
+                mex = _mex_fold(rel[m1], val[m1], span)
+            else:
+                mex = np.zeros(span, dtype=np.int64)
+            w = np.flatnonzero(winners)
+            self.color[w] = mex[w]
+        return int(live.sum() - winners.sum())
+
+    def fetch(self):
+        return self.color
+
+
+@ray.remote
+def _hv_meta(tab: pa.Table):
+    """(rows, first_h, first_v) of one rank block (None key if empty)."""
+    if tab.num_rows == 0 or tab.num_columns == 0:
+        return 0, None, None
+    return (
+        tab.num_rows,
+        float(tab.column("h")[0].as_py()),
+        int(tab.column("v")[0].as_py()),
+    )
+
+
+@ray.remote
+def _rank_bucket(tab: pa.Table, offset: int, bounds: np.ndarray):
+    """Assign global ranks offset..offset+rows-1 in (h, v) order and
+    bucket the (v, prio) pairs by vid range (``num_returns=P``)."""
+    P = len(bounds) - 1
+    empty = pa.table(
+        {"v": pa.array([], pa.int64()), "prio": pa.array([], pa.int64())}
+    )
+    if tab.num_rows == 0 or tab.num_columns == 0:
+        return tuple(empty for _ in range(P)) if P > 1 else empty
+    h = tab.column("h").to_numpy(zero_copy_only=False)
+    v = tab.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, h))
+    v = v[order]
+    prio = np.arange(offset, offset + len(v), dtype=np.int64)
+    vo = np.argsort(v, kind="stable")
+    v, prio = v[vo], prio[vo]
+    cuts = np.searchsorted(v, bounds)
+    out = tuple(
+        pa.table({"v": v[cuts[c] : cuts[c + 1]], "prio": prio[cuts[c] : cuts[c + 1]]})
+        for c in range(P)
+    )
+    return out if P > 1 else out[0]
+
+
+def _install_ranks(edges, bounds, state_shards):
+    """Distributed priority computation, bit-identical to the broadcast
+    version's ``rank of splitmix hash over sorted touched vids``: the
+    distinct endpoint set is deduped by a group-complete pass over ONE
+    (h, v) sort; each deduped block gets a rank offset from a
+    driver-side cumsum of BLOCK COUNTS (O(blocks), never O(V)); ranks
+    assign per block and bucket straight to the owning state shards.
+    Returns the total live count."""
+    from .derive import key_grouped_block_map
+    from .sources import det_weight
+
+    def ep_h(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"h": pa.array([], pa.float64()), "v": pa.array([], pa.int64())}
+            )
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        v = np.unique(np.r_[s, d]).astype(np.int64)
+        h = det_weight(v.astype(np.uint64), np.zeros(len(v), dtype=np.uint64))
+        return pa.table({"h": h, "v": v})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, h))
+        h, v = h[order], v[order]
+        keep = np.r_[True, v[1:] != v[:-1]]  # equal v => equal h
+        return pa.table({"h": h[keep], "v": v[keep]})
+
+    hv = edges.map_batches(ep_h, batch_format="pyarrow").sort(["h", "v"])
+    deduped = key_grouped_block_map(hv, ["h", "v"], dedup).materialize()
+    refs = deduped.to_arrow_refs()
+    metas = ray.get([_hv_meta.remote(r) for r in refs])
+    order = sorted(
+        (i for i in range(len(refs)) if metas[i][0]),
+        key=lambda i: (metas[i][1], metas[i][2]),
+    )
+    P = len(bounds) - 1
+    offset = 0
+    piece_cols: list[list] = [[] for _ in range(P)]
+    for i in order:
+        pieces = _rank_bucket.options(num_returns=P if P > 1 else 1).remote(
+            refs[i], offset, bounds
+        )
+        if P == 1:
+            pieces = [pieces]
+        for c in range(P):
+            piece_cols[c].append(pieces[c])
+        offset += metas[i][0]
+    live = ray.get(
+        [
+            state_shards[c].set_prios.remote(*piece_cols[c])
+            for c in range(P)
+            if piece_cols[c]
+        ]
+    )
+    return sum(live)
+
+
+def jones_plassmann_sharded(edges, n: int,
+                            num_partitions: int | None = None) -> pa.Table:
+    """Sharded flavor of :func:`fogray.coloring.jones_plassmann` —
+    identical colors (same rank-of-hash priorities, computed
+    distributedly), state sharded by vid range, per-round exchange =
+    pre-combined per-dst-range partials routed actor-to-actor. The
+    final (vid, color) table is assembled on the driver because it IS
+    the result; at corpus scale collect per-shard parquet instead."""
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {"vid": pa.array([], pa.int64()), "color": pa.array([], pa.int64())}
+        )
+    state, edge, bounds, refs, cols = _build_shards(
+        edges, n, num_partitions, weighted=False, fill="vid",
+        state_cls=_ColorShard,
+    )
+    P = len(bounds) - 1
+    try:
+        _add_blocks(edge, refs, bounds, cols)
+        live = _install_ranks(edges, bounds, state)
+        while live > 0:
+            exports = [s.export.remote() for s in state]
+            ref_lists = ray.get(
+                [e.scatter_color.remote(exports[j]) for j, e in enumerate(edge)]
+            )
+            prev = live
+            live = sum(
+                ray.get(
+                    [
+                        state[c].apply_color.remote(*_route(ref_lists, c))
+                        for c in range(P)
+                    ]
+                )
+            )
+            if live >= prev:  # cannot happen: the max live priority wins
+                raise RuntimeError("jones_plassmann_sharded made no progress")
+        color = np.concatenate(ray.get([s.fetch.remote() for s in state]))
+    finally:
+        _shutdown(state, edge)
+    touched = np.flatnonzero(color != -2)
+    return pa.table(
+        {
+            "vid": pa.array(touched.astype(np.int64)),
+            "color": pa.array(color[touched].astype(np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared driver loop
+# ---------------------------------------------------------------------------
+
+def _build_shards(edges, n: int, p: int | None, weighted: bool, fill: str,
+                  state_cls=None):
+    """Bucket a materialized edge Dataset by src range into P edge
+    shards + P state shards. Returns (state, edge, bounds, refs)."""
+    if p is None:
+        p = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    refs = edges.to_arrow_refs()
+    bounds, _total = _degree_bounds(refs, n, p)
+    P = len(bounds) - 1
+    cols = ("src", "dst", "t") if weighted else ("src", "dst")
+    cls = state_cls or _MinShard
+    if cls is _MinShard:
+        state = [cls.remote(j, bounds, fill) for j in range(P)]
+    else:
+        state = [cls.remote(j, bounds) for j in range(P)]
+    edge = [_EdgeShard.remote(j, bounds, weighted) for j in range(P)]
+    return state, edge, bounds, refs, cols
+
+
+def _add_blocks(edge_shards, block_refs, bounds, cols):
+    """One bucketing map wave + routed adds. Returns (rows added,
+    per-state-range endpoint ref columns)."""
+    P = len(bounds) - 1
+    if not block_refs:
+        return 0, [[] for _ in range(P)]
+    pieces = [
+        _bucket_src.options(num_returns=P if P > 1 else 1).remote(r, bounds, cols)
+        for r in block_refs
+    ]
+    if P == 1:
+        pieces = [[x] for x in pieces]
+    adds = ray.get(
+        [
+            edge_shards[j].add.remote(*[pieces[b][j] for b in range(len(pieces))])
+            for j in range(P)
+        ]
+    )
+    added = sum(a for a, _ in adds)
+    ep_cols = [
+        [eps[c] for _a, eps in adds if eps[c] is not None] for c in range(P)
+    ]
+    return added, ep_cols
+
+
+def _min_rounds(state_shards, edge_shards, method: str, seeded: int):
+    """Frontier-limited min-fixpoint rounds; returns (rounds, updates).
+    Per round the driver submits O(P) actor calls, routes O(P²) refs,
+    and reads P ints — no payload."""
+    P = len(state_shards)
+    rounds, updates, front = 0, 0, seeded
+    while front > 0:
+        rounds += 1
+        exports = [s.export.remote() for s in state_shards]
+        ref_lists = ray.get(
+            [
+                getattr(e, method).remote(exports[j])
+                for j, e in enumerate(edge_shards)
+            ]
+        )
+        counts = ray.get(
+            [
+                state_shards[c].apply.remote(*_route(ref_lists, c))
+                for c in range(P)
+            ]
+        )
+        front = sum(counts)
+        updates += front
+    return rounds, updates
+
+
+def _fetch_min(state_shards):
+    parts = ray.get([s.fetch.remote() for s in state_shards])
+    val = np.concatenate([p[0] for p in parts])
+    touched = np.concatenate([p[1] for p in parts])
+    return val, touched
+
+
+def _shutdown(*actor_lists):
+    for actors in actor_lists:
+        for a in actors:
+            ray.kill(a)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
+                           num_partitions: int | None = None):
+    """Sharded flavor of :func:`fogray.incremental.incremental_cc` —
+    identical batches (splitmix arrival tags), labels, touched set and
+    per-batch stats, with state sharded and edges accumulating in the
+    shard actors instead of the O(V) per-round broadcast."""
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+
+    def tag_batch(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        h = splitmix53((a << np.uint64(32)) ^ b)
+        return t.append_column(
+            "arrival", pa.array((h % np.uint64(num_batches)).astype(np.int64))
+        )
+
+    tagged = (
+        edges.select_columns(["src", "dst"])
+        .map_batches(tag_batch, batch_format="pyarrow")
+        .materialize()
+    )
+    state, edge, bounds, _refs, cols = _build_shards(
+        tagged, n, num_partitions, weighted=False, fill="vid"
+    )
+    P = len(bounds) - 1
+
+    def pick(b):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pa.compute.equal(t.column("arrival"), b)
+            return t.filter(keep).drop_columns(["arrival"])
+
+        return f
+
+    stats: list[dict] = []
+    try:
+        for b in range(num_batches):
+            batch_ds = tagged.map_batches(
+                pick(b), batch_format="pyarrow"
+            ).materialize()
+            added, ep_cols = _add_blocks(edge, batch_ds.to_arrow_refs(), bounds, cols)
+            seeded = sum(
+                ray.get(
+                    [
+                        state[c].seed_frontier.remote(*ep_cols[c])
+                        for c in range(P)
+                        if ep_cols[c]
+                    ]
+                )
+            )
+            rounds, updates = _min_rounds(state, edge, "scatter_min_label", seeded)
+            stats.append(
+                {"new_edges": int(added), "rounds": rounds, "updates": updates}
+            )
+        labels, touched = _fetch_min(state)
+    finally:
+        _shutdown(state, edge)
+    return labels, np.flatnonzero(touched), stats
+
+
+def temporal_earliest_arrival_sharded(edges, n: int, source: int,
+                                      num_partitions: int | None = None):
+    """Sharded flavor of
+    :func:`fogray.temporal.temporal_earliest_arrival` — identical
+    arrival times and reached set, state sharded by vid range."""
+    if not isinstance(edges, rd.Dataset):
+        src, dst, tt = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                    "t": np.asarray(tt, dtype=np.int64),
+                }
+            )
+        )
+    edges = edges.select_columns(["src", "dst", "t"]).materialize()
+    state, edge, bounds, refs, cols = _build_shards(
+        edges, n, num_partitions, weighted=True, fill="inf"
+    )
+    try:
+        _add_blocks(edge, refs, bounds, cols)
+        j = int(np.searchsorted(bounds[1:], source, side="right"))
+        seeded = ray.get(state[j].seed_value.remote(source, -1))
+        _min_rounds(state, edge, "scatter_min_time", seeded)
+        arrival, _touched = _fetch_min(state)
+    finally:
+        _shutdown(state, edge)
+    return arrival, np.flatnonzero(arrival < _INF)

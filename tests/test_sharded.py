@@ -1,0 +1,107 @@
+"""Parity of the range-sharded operator flavors (fogray/sharded.py)
+with their broadcast originals: identical labels/arrivals/stats on the
+same inputs, across partition counts and block layouts."""
+
+import numpy as np
+import pyarrow as pa
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fogray import incremental, sharded, temporal
+
+
+def _random_edges(rng, n, m):
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    return src, dst
+
+
+def _sym(src, dst):
+    return np.r_[src, dst], np.r_[dst, src]
+
+
+@pytest.mark.parametrize("p", [None, 1, 3])
+def test_incremental_cc_sharded_matches_broadcast(ray_session, p):
+    rng = np.random.RandomState(11)
+    n = 400
+    src, dst = _sym(*_random_edges(rng, n, 900))
+    t = pa.table({"src": src, "dst": dst})
+    chunk = len(src) // 6
+    ds = rd.from_arrow(
+        [t.slice(i * chunk, chunk) for i in range(7) if i * chunk < len(src)]
+    )
+    lab_a, touched_a, stats_a = incremental.incremental_cc(ds, n, num_batches=4)
+    ds2 = rd.from_arrow(
+        [t.slice(i * chunk, chunk) for i in range(7) if i * chunk < len(src)]
+    )
+    lab_b, touched_b, stats_b = sharded.incremental_cc_sharded(
+        ds2, n, num_batches=4, num_partitions=p
+    )
+    np.testing.assert_array_equal(lab_a, lab_b)
+    np.testing.assert_array_equal(touched_a, touched_b)
+    assert stats_a == stats_b
+
+
+def test_incremental_cc_sharded_order_independent(ray_session):
+    """Different batch counts land at the same static fixpoint."""
+    rng = np.random.RandomState(3)
+    n = 200
+    src, dst = _sym(*_random_edges(rng, n, 350))
+    lab1, _, _ = sharded.incremental_cc_sharded((src, dst), n, num_batches=2)
+    lab2, _, _ = sharded.incremental_cc_sharded((src, dst), n, num_batches=5)
+    np.testing.assert_array_equal(lab1, lab2)
+
+
+@pytest.mark.parametrize("p", [None, 1, 4])
+def test_temporal_sharded_matches_broadcast(ray_session, p):
+    rng = np.random.RandomState(17)
+    n = 300
+    m = 1200
+    src, dst = _random_edges(rng, n, m)
+    tt = rng.randint(0, 50, m).astype(np.int64)
+    a_arr, a_reached = temporal.temporal_earliest_arrival(
+        (src, dst, tt), n, source=0
+    )
+    b_arr, b_reached = sharded.temporal_earliest_arrival_sharded(
+        (src, dst, tt), n, source=0, num_partitions=p
+    )
+    np.testing.assert_array_equal(a_arr, b_arr)
+    np.testing.assert_array_equal(a_reached, b_reached)
+
+
+@pytest.mark.parametrize("p", [None, 1, 3])
+def test_coloring_sharded_matches_broadcast(ray_session, p):
+    from fogray import coloring
+
+    rng = np.random.RandomState(23)
+    n = 250
+    s0, d0 = _random_edges(rng, n, 700)
+    m = s0 != d0  # simple graph: coloring's domain (see scatter_color)
+    src, dst = _sym(s0[m], d0[m])
+    t = pa.table({"src": src, "dst": dst})
+    chunk = len(src) // 5
+    blocks = [t.slice(i * chunk, chunk) for i in range(6) if i * chunk < len(src)]
+    a = coloring.jones_plassmann(rd.from_arrow(blocks), n).to_pandas()
+    b = sharded.jones_plassmann_sharded(
+        rd.from_arrow(blocks), n, num_partitions=p
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # proper coloring: no edge joins equal colors
+    col = np.full(n, -5, dtype=np.int64)
+    col[b["vid"].to_numpy()] = b["color"].to_numpy()
+    m = src != dst
+    assert (col[src[m]] != col[dst[m]]).all()
+
+
+def test_temporal_sharded_time_respecting(ray_session):
+    """A path that needs decreasing times must NOT be traversed."""
+    # 0 -t=5-> 1 -t=3-> 2 : 2 unreachable; 0 -t=1-> 3 -t=2-> 4 fine
+    src = np.array([0, 1, 0, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    tt = np.array([5, 3, 1, 2], dtype=np.int64)
+    arr, reached = sharded.temporal_earliest_arrival_sharded(
+        (src, dst, tt), 5, source=0
+    )
+    assert set(reached.tolist()) == {0, 1, 3, 4}
+    assert arr[0] == -1 and arr[1] == 5 and arr[3] == 1 and arr[4] == 2
