@@ -197,6 +197,45 @@ class _EdgeShard:
             return [None] * self.P
         return self._emit_min(self.d[m], self.w[m])
 
+    def scatter_match(self, alive):
+        """Matching proposal kernel: every live-src edge proposes its
+        (h, a, b) key at dst (h = the deterministic splitmix edge
+        weight, a/b canonical endpoints; self-loops ignored), min-
+        combined per dst. Edges whose src died are PRUNED from the
+        shard (an edge dies with either endpoint; the src side is the
+        one this shard can see) — each round scans only live-src
+        edges."""
+        from .sources import det_weight
+
+        rel = self.s - self.lo
+        keep = alive[rel]
+        if not keep.all():
+            self.s, self.d = self.s[keep], self.d[keep]
+        s, d = self.s, self.d
+        nl = s != d
+        s, d = s[nl], d[nl]
+        if len(s) == 0:
+            return [None] * self.P
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        h = det_weight(a.astype(np.uint64), b.astype(np.uint64))
+        order = np.lexsort((b, a, h, d))
+        d, h, a, b = d[order], h[order], a[order], b[order]
+        first = np.r_[True, d[1:] != d[:-1]]
+        d, h, a, b = d[first], h[first], a[first], b[first]
+        cuts = np.searchsorted(d, self.bounds)
+        out = []
+        for c in range(self.P):
+            i, j = cuts[c], cuts[c + 1]
+            out.append(
+                ray.put(
+                    pa.table({"v": d[i:j], "h": h[i:j], "a": a[i:j], "b": b[i:j]})
+                )
+                if j > i
+                else None
+            )
+        return out
+
     def scatter_color(self, export):
         """Jones-Plassmann kernel, reformulated from the broadcast
         version's dst-side reads to src-side facts emitted at dst
@@ -251,6 +290,98 @@ class _EdgeShard:
                 else None
             )
         return out
+
+
+# ---------------------------------------------------------------------------
+# matching state shards (mutual-minimum maximal matching)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class _MatchShard:
+    """Hoepman mutual-minimum matching state for vids [lo, hi): alive
+    mask + this round's pick (fused a*n+b edge key). Two half-step
+    exchanges per round: fold routed proposal minima into picks and
+    emit partner claims; resolve routed claims into matched pairs."""
+
+    def __init__(self, idx: int, bounds, n: int):
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.lo = int(self.bounds[idx])
+        self.hi = int(self.bounds[idx + 1])
+        self.P = len(self.bounds) - 1
+        self.n = int(n)
+        self.alive = np.ones(self.hi - self.lo, dtype=bool)
+        self.pick = np.full(self.hi - self.lo, -1, dtype=np.int64)
+
+    def export(self):
+        return self.alive
+
+    def fold_picks(self, *parts):
+        """Routed (v, h, a, b) proposal minima -> per-alive-vid pick
+        (lexicographic (h, a, b) min); emit each picker's claim at its
+        partner's range. Returns (#alive vids holding a pick — the
+        live-edge termination signal, per-range claim refs)."""
+        self.pick[:] = -1
+        none = [None] * self.P
+        if not parts:
+            return 0, none
+        v = np.concatenate(
+            [p.column("v").to_numpy(zero_copy_only=False) for p in parts]
+        )
+        h = np.concatenate(
+            [p.column("h").to_numpy(zero_copy_only=False) for p in parts]
+        )
+        a = np.concatenate(
+            [p.column("a").to_numpy(zero_copy_only=False) for p in parts]
+        )
+        b = np.concatenate(
+            [p.column("b").to_numpy(zero_copy_only=False) for p in parts]
+        )
+        rel = v - self.lo
+        keep = self.alive[rel]
+        if not keep.any():
+            return 0, none
+        rel, h, a, b = rel[keep], h[keep], a[keep], b[keep]
+        order = np.lexsort((b, a, h, rel))
+        rel, a, b = rel[order], a[order], b[order]
+        first = np.r_[True, rel[1:] != rel[:-1]]
+        rel, a, b = rel[first], a[first], b[first]
+        self.pick[rel] = a * np.int64(self.n) + b
+        vv = rel + self.lo
+        o = np.where(vv == b, a, b)
+        oo = np.argsort(o, kind="stable")
+        o, a, b = o[oo], a[oo], b[oo]
+        cuts = np.searchsorted(o, self.bounds)
+        refs = []
+        for c in range(self.P):
+            i, j = cuts[c], cuts[c + 1]
+            refs.append(
+                ray.put(pa.table({"o": o[i:j], "a": a[i:j], "b": b[i:j]}))
+                if j > i
+                else None
+            )
+        return int(len(rel)), refs
+
+    def resolve(self, *claims):
+        """Routed partner claims -> mutual picks become matched: both
+        endpoints leave the graph; the shard owning endpoint ``a``
+        reports the pair."""
+        if not claims:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        o = np.concatenate(
+            [c.column("o").to_numpy(zero_copy_only=False) for c in claims]
+        )
+        a = np.concatenate(
+            [c.column("a").to_numpy(zero_copy_only=False) for c in claims]
+        )
+        b = np.concatenate(
+            [c.column("b").to_numpy(zero_copy_only=False) for c in claims]
+        )
+        rel = o - self.lo
+        mutual = self.alive[rel] & (self.pick[rel] == a * np.int64(self.n) + b)
+        self.alive[rel[mutual]] = False
+        out = mutual & (o == a)
+        return pa.table({"a": a[out], "b": b[out]})
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +447,16 @@ class _MinShard:
                 self.touched |= improved
                 total = int(improved.sum())
         return total
+
+    def lookup(self, *tables):
+        """Answer routed value queries: for each table of vids ``q`` in
+        this range, reply (q, val[q]) — put to the store, refs back
+        (the root-resolution service the MSF relabel exchange uses)."""
+        out = []
+        for t in tables:
+            q = t.column("q").to_numpy(zero_copy_only=False)
+            out.append(ray.put(pa.table({"q": q, "r": self.val[q - self.lo]})))
+        return out
 
     def fetch(self):
         return self.val, self.touched
@@ -547,8 +688,298 @@ def jones_plassmann_sharded(edges, n: int,
 
 
 # ---------------------------------------------------------------------------
-# shared driver loop
+# Borůvka MSF (sharded): cached endpoint comps + CC-based contraction
 # ---------------------------------------------------------------------------
+
+@ray.remote
+class _MsfEdgeShard:
+    """Canonical (a < b, w) graph edges with CACHED endpoint component
+    labels (ca, cb), initially (a, b). Each round the cache refreshes
+    via a distinct-comp request/reply exchange against the sharded CC
+    label service (:meth:`_MinShard.lookup`) — the exchange is bounded
+    by the shard's DISTINCT active comps, which halve per round —
+    then intra-component edges are pruned and each surviving cross
+    edge proposes itself to BOTH endpoint comps, min-combined per comp
+    and routed by comp range. Edges never move after the initial
+    bucketing; only comp-sized metadata is exchanged."""
+
+    def __init__(self, idx: int, bounds):
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.P = len(self.bounds) - 1
+        self.a = np.empty(0, dtype=np.int64)
+        self.b = np.empty(0, dtype=np.int64)
+        self.w = np.empty(0, dtype=np.float64)
+        self.ca = np.empty(0, dtype=np.int64)
+        self.cb = np.empty(0, dtype=np.int64)
+
+    def add(self, *pieces):
+        tabs = [t for t in pieces if t.num_rows and t.num_columns]
+        if not tabs:
+            return 0
+        s = np.concatenate(
+            [t.column("src").to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype(np.int64)
+        d = np.concatenate(
+            [t.column("dst").to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype(np.int64)
+        w = np.concatenate(
+            [t.column("weight").to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype(np.float64)
+        keep = s < d  # one canonical row per undirected edge
+        self.a = np.concatenate([self.a, s[keep]])
+        self.b = np.concatenate([self.b, d[keep]])
+        self.w = np.concatenate([self.w, w[keep]])
+        self.ca = self.a.copy()
+        self.cb = self.b.copy()
+        return int(keep.sum())
+
+    def make_requests(self):
+        """Per-comp-range refs of the DISTINCT cached comp ids."""
+        q = np.unique(np.r_[self.ca, self.cb])
+        cuts = np.searchsorted(q, self.bounds)
+        return [
+            ray.put(pa.table({"q": q[cuts[c] : cuts[c + 1]]}))
+            if cuts[c + 1] > cuts[c]
+            else None
+            for c in range(self.P)
+        ]
+
+    def apply_relabel(self, *replies):
+        """Apply routed (q, root) replies to the cache; prune settled
+        intra-component edges. Returns the surviving cross-edge count."""
+        if replies:
+            q = np.concatenate(
+                [r.column("q").to_numpy(zero_copy_only=False) for r in replies]
+            )
+            r = np.concatenate(
+                [r.column("r").to_numpy(zero_copy_only=False) for r in replies]
+            )
+            order = np.argsort(q, kind="stable")
+            q, r = q[order], r[order]
+            self.ca = r[np.searchsorted(q, self.ca)]
+            self.cb = r[np.searchsorted(q, self.cb)]
+        cross = self.ca != self.cb
+        if not cross.all():
+            for f in ("a", "b", "w", "ca", "cb"):
+                setattr(self, f, getattr(self, f)[cross])
+        return len(self.a)
+
+    def propose(self):
+        """Per-comp lexicographic (w, a, b)-min cross-edge candidates,
+        both endpoint comps, routed by comp range."""
+        if len(self.a) == 0:
+            return [None] * self.P
+        comp = np.r_[self.ca, self.cb]
+        w = np.r_[self.w, self.w]
+        a = np.r_[self.a, self.a]
+        b = np.r_[self.b, self.b]
+        order = np.lexsort((b, a, w, comp))
+        comp, w, a, b = comp[order], w[order], a[order], b[order]
+        first = np.r_[True, comp[1:] != comp[:-1]]
+        comp, w, a, b = comp[first], w[first], a[first], b[first]
+        cuts = np.searchsorted(comp, self.bounds)
+        out = []
+        for c in range(self.P):
+            i, j = cuts[c], cuts[c + 1]
+            out.append(
+                ray.put(
+                    pa.table(
+                        {"comp": comp[i:j], "w": w[i:j], "a": a[i:j], "b": b[i:j]}
+                    )
+                )
+                if j > i
+                else None
+            )
+        return out
+
+
+@ray.remote
+def _fold_picks_msf(*parts):
+    """Fold one comp range's routed candidate partials: lex-min per
+    comp, then exact-dup collapse (mutual pairs pick the same edge).
+    Returns (#picked rows, ref to the (a, b, weight) pick table)."""
+    if not parts:
+        return 0, None
+    comp = np.concatenate(
+        [p.column("comp").to_numpy(zero_copy_only=False) for p in parts]
+    )
+    w = np.concatenate([p.column("w").to_numpy(zero_copy_only=False) for p in parts])
+    a = np.concatenate([p.column("a").to_numpy(zero_copy_only=False) for p in parts])
+    b = np.concatenate([p.column("b").to_numpy(zero_copy_only=False) for p in parts])
+    order = np.lexsort((b, a, w, comp))
+    comp, w, a, b = comp[order], w[order], a[order], b[order]
+    first = np.r_[True, comp[1:] != comp[:-1]]
+    w, a, b = w[first], a[first], b[first]
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    a, b, w = a[keep], b[keep], w[keep]
+    return len(a), ray.put(pa.table({"a": a, "b": b, "weight": w}))
+
+
+@ray.remote
+def _bucket_sym(tab: pa.Table, bounds: np.ndarray):
+    """Symmetrize a pick table (a, b) into (src, dst) both ways and
+    bucket by src range (``num_returns=P``) — the CC feed batch."""
+    P = len(bounds) - 1
+    s = np.r_[
+        tab.column("a").to_numpy(zero_copy_only=False),
+        tab.column("b").to_numpy(zero_copy_only=False),
+    ]
+    d = np.r_[
+        tab.column("b").to_numpy(zero_copy_only=False),
+        tab.column("a").to_numpy(zero_copy_only=False),
+    ]
+    order = np.argsort(s, kind="stable")
+    s, d = s[order], d[order]
+    cuts = np.searchsorted(s, bounds)
+    out = tuple(
+        pa.table({"src": s[cuts[c] : cuts[c + 1]], "dst": d[cuts[c] : cuts[c + 1]]})
+        for c in range(P)
+    )
+    return out if P > 1 else out[0]
+
+
+def boruvka_msf_sharded(edges, n: int,
+                        num_partitions: int | None = None) -> pa.Table:
+    """Sharded flavor of :func:`fogray.msf.boruvka_msf` — the identical
+    unique MSF under the strict (weight, a, b) order, with the O(V)
+    per-round comp broadcast and driver hook/pointer-jump replaced by:
+    cached endpoint comps in the edge shards (refreshed by a
+    distinct-comp request/reply exchange, halving per round), per-comp
+    candidate routing, and contraction via the sharded incremental-CC
+    machinery (picked edges feed the label shards as a batch; min-vid
+    labels are a valid union-find representative, so the picked-edge
+    SET — and thus the MSF — is unchanged; pytest-asserted equal).
+    Only the final O(V)-edge forest is assembled on the driver."""
+    if not isinstance(edges, rd.Dataset):
+        src, dst, w = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                    "weight": np.asarray(w, dtype=np.float64),
+                }
+            )
+        )
+    edges = edges.select_columns(["src", "dst", "weight"]).materialize()
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        )
+    refs = edges.to_arrow_refs()
+    bounds, _total = _degree_bounds(refs, n, num_partitions)
+    P = len(bounds) - 1
+    label = [_MinShard.remote(j, bounds, "vid") for j in range(P)]
+    ccedge = [_EdgeShard.remote(j, bounds, False) for j in range(P)]
+    msfedge = [_MsfEdgeShard.remote(j, bounds) for j in range(P)]
+    pick_refs = []
+    try:
+        pieces = [
+            _bucket_src.options(num_returns=P if P > 1 else 1).remote(
+                r, bounds, ("src", "dst", "weight")
+            )
+            for r in refs
+        ]
+        if P == 1:
+            pieces = [[x] for x in pieces]
+        ray.get(
+            [
+                msfedge[j].add.remote(*[pieces[b][j] for b in range(len(pieces))])
+                for j in range(P)
+            ]
+        )
+        max_rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+        for rnd in range(max_rounds):
+            if rnd > 0:
+                # refresh cached comps from the CC labels (2 routed
+                # exchanges bounded by distinct active comps)
+                reqs = ray.get([e.make_requests.remote() for e in msfedge])
+                replies: list[list] = [[] for _ in range(P)]
+                for c in range(P):
+                    owners_in = [
+                        (i, reqs[i][c]) for i in range(P) if reqs[i][c] is not None
+                    ]
+                    if not owners_in:
+                        continue
+                    outs = ray.get(
+                        label[c].lookup.remote(*[r for _i, r in owners_in])
+                    )
+                    for (i, _r), ref in zip(owners_in, outs):
+                        replies[i].append(ref)
+                remaining = ray.get(
+                    [
+                        msfedge[i].apply_relabel.remote(*replies[i])
+                        for i in range(P)
+                    ]
+                )
+                if sum(remaining) == 0:
+                    break
+            cand_lists = ray.get([e.propose.remote() for e in msfedge])
+            folds = ray.get(
+                [
+                    _fold_picks_msf.remote(*_route(cand_lists, c))
+                    for c in range(P)
+                ]
+            )
+            if sum(f[0] for f in folds) == 0:
+                break
+            round_refs = [f[1] for f in folds if f[1] is not None]
+            pick_refs.extend(round_refs)
+            # contraction: feed picked edges into the sharded CC
+            sym = [
+                _bucket_sym.options(num_returns=P if P > 1 else 1).remote(r, bounds)
+                for r in round_refs
+            ]
+            if P == 1:
+                sym = [[x] for x in sym]
+            adds = ray.get(
+                [
+                    ccedge[j].add.remote(*[sym[b][j] for b in range(len(sym))])
+                    for j in range(P)
+                ]
+            )
+            ep_cols = [
+                [eps[c] for _a, eps in adds if eps[c] is not None]
+                for c in range(P)
+            ]
+            seeded = sum(
+                ray.get(
+                    [
+                        label[c].seed_frontier.remote(*ep_cols[c])
+                        for c in range(P)
+                        if ep_cols[c]
+                    ]
+                )
+            )
+            _min_rounds(label, ccedge, "scatter_min_label", seeded)
+        tabs = [t for t in ray.get(pick_refs) if t.num_rows]
+    finally:
+        _shutdown(label, ccedge, msfedge)
+    if not tabs:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "weight": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(tabs)
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    w = t.column("weight").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return pa.table(
+        {
+            "a": pa.array(a[keep].astype(np.int64)),
+            "b": pa.array(b[keep].astype(np.int64)),
+            "weight": pa.array(w[keep], pa.float64()),
+        }
+    )
+
 
 def _build_shards(edges, n: int, p: int | None, weighted: bool, fill: str,
                   state_cls=None):
@@ -705,6 +1136,73 @@ def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
     finally:
         _shutdown(state, edge)
     return labels, np.flatnonzero(touched), stats
+
+
+def greedy_matching_sharded(edges, n: int,
+                            num_partitions: int | None = None) -> pa.Table:
+    """Sharded flavor of :func:`fogray.matching.greedy_matching` —
+    identical matched pairs, with the O(V) alive-mask broadcast
+    replaced by sliced alive state and two routed half-step exchanges
+    per round (proposal minima in, partner claims across). Matched
+    pairs stream back as per-round per-shard refs; only the final
+    matching (the result itself) is assembled on the driver."""
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        )
+    refs = edges.to_arrow_refs()
+    bounds, _total = _degree_bounds(refs, n, num_partitions)
+    P = len(bounds) - 1
+    state = [_MatchShard.remote(j, bounds, n) for j in range(P)]
+    edge = [_EdgeShard.remote(j, bounds, False) for j in range(P)]
+    pair_refs = []
+    try:
+        _add_blocks(edge, refs, bounds, ("src", "dst"))
+        while True:
+            exports = [s.export.remote() for s in state]
+            prop_lists = ray.get(
+                [e.scatter_match.remote(exports[j]) for j, e in enumerate(edge)]
+            )
+            folds = ray.get(
+                [
+                    state[c].fold_picks.remote(*_route(prop_lists, c))
+                    for c in range(P)
+                ]
+            )
+            if sum(f[0] for f in folds) == 0:
+                break
+            claim_lists = [f[1] for f in folds]
+            pair_refs.extend(
+                state[c].resolve.remote(*_route(claim_lists, c)) for c in range(P)
+            )
+        tabs = [t for t in ray.get(pair_refs) if t.num_rows]
+    finally:
+        _shutdown(state, edge)
+    if not tabs:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(tabs)
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    return pa.table(
+        {
+            "a": pa.array(a[order].astype(np.int64)),
+            "b": pa.array(b[order].astype(np.int64)),
+        }
+    )
 
 
 def temporal_earliest_arrival_sharded(edges, n: int, source: int,

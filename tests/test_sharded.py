@@ -94,6 +94,88 @@ def test_coloring_sharded_matches_broadcast(ray_session, p):
     assert (col[src[m]] != col[dst[m]]).all()
 
 
+@pytest.mark.parametrize("p", [None, 1, 3])
+def test_matching_sharded_matches_broadcast(ray_session, p):
+    from fogray import matching
+
+    rng = np.random.RandomState(29)
+    n = 300
+    src, dst = _sym(*_random_edges(rng, n, 800))
+    t = pa.table({"src": src, "dst": dst})
+    chunk = len(src) // 5
+    blocks = [t.slice(i * chunk, chunk) for i in range(6) if i * chunk < len(src)]
+    a = matching.greedy_matching(rd.from_arrow(blocks), n).to_pandas()
+    b = sharded.greedy_matching_sharded(
+        rd.from_arrow(blocks), n, num_partitions=p
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # maximal matching invariants: vertex-disjoint pairs
+    used = np.r_[b["a"].to_numpy(), b["b"].to_numpy()]
+    assert len(used) == len(np.unique(used))
+
+
+@pytest.mark.parametrize("p", [None, 1, 3])
+def test_msf_sharded_matches_broadcast(ray_session, p):
+    from fogray import msf
+
+    rng = np.random.RandomState(31)
+    n = 300
+    s0, d0 = _random_edges(rng, n, 900)
+    w0 = rng.randint(1, 25, 900).astype(np.float64)  # int-valued: exact
+    src, dst = _sym(s0, d0)
+    w = np.r_[w0, w0]
+    t = pa.table({"src": src, "dst": dst, "weight": w})
+    chunk = len(src) // 5
+    blocks = [t.slice(i * chunk, chunk) for i in range(6) if i * chunk < len(src)]
+    a = msf.boruvka_msf(rd.from_arrow(blocks), n).to_pandas()
+    b = sharded.boruvka_msf_sharded(
+        rd.from_arrow(blocks), n, num_partitions=p
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(b) > 0
+
+
+def test_msf_sharded_matches_kruskal(ray_session):
+    """Independent oracle: Kruskal under the same strict (w, a, b)
+    total order must produce the identical forest."""
+    rng = np.random.RandomState(37)
+    n = 120
+    s0, d0 = _random_edges(rng, n, 400)
+    w0 = rng.randint(1, 15, 400).astype(np.float64)
+    src, dst = _sym(s0, d0)
+    w = np.r_[w0, w0]
+    got = sharded.boruvka_msf_sharded((src, dst, w), n).to_pandas()
+    # Kruskal with union-find over distinct canonical edges
+    m = s0 != d0
+    a0, b0 = np.minimum(s0[m], d0[m]), np.maximum(s0[m], d0[m])
+    ww = w0[m]
+    order = np.lexsort((b0, a0, ww))
+    a0, b0, ww = a0[order], b0[order], ww[order]
+    keep = np.r_[True, (a0[1:] != a0[:-1]) | (b0[1:] != b0[:-1]) | (ww[1:] != ww[:-1])]
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ka, kb, kw = [], [], []
+    for i in np.flatnonzero(keep):
+        ra, rb = find(a0[i]), find(b0[i])
+        if ra != rb:
+            parent[ra] = rb
+            ka.append(a0[i])
+            kb.append(b0[i])
+            kw.append(ww[i])
+    exp = (
+        pd.DataFrame({"a": ka, "b": kb, "weight": kw})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_temporal_sharded_time_respecting(ray_session):
     """A path that needs decreasing times must NOT be traversed."""
     # 0 -t=5-> 1 -t=3-> 2 : 2 unreachable; 0 -t=1-> 3 -t=2-> 4 fine
