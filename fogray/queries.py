@@ -3079,6 +3079,13 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["cc_incremental"] = ORACLE_SQL["connected_components"]
 ORACLE_SQL["pagerank_evolve"] = _pagerank_evolve_sql()
 
+# the sharded flavors are output-identical to their broadcast
+# originals (pytest parity, tests/test_sharded.py) — same oracles
+ORACLE_SQL["cc_incremental_sharded"] = ORACLE_SQL["connected_components"]
+ORACLE_SQL["msf_sharded"] = ORACLE_SQL["msf"]
+ORACLE_SQL["coloring_sharded"] = ORACLE_SQL["coloring"]
+ORACLE_SQL["matching_sharded"] = ORACLE_SQL["matching"]
+
 # temporal earliest arrival: explore (vertex, arrival-via-some-path)
 # pairs — `e.t >= r.t` gates time-respecting extension; UNION dedups
 # exact pairs, so smaller-time rediscoveries still expand; MIN per
@@ -3104,6 +3111,82 @@ ORACLE_SQL["temporal_reach"] = """
     )
     SELECT v AS vid, MIN(t) AS arrival_day FROM reach GROUP BY v ORDER BY vid
 """
+ORACLE_SQL["temporal_reach_sharded"] = ORACLE_SQL["temporal_reach"]
+
+def q_cc_incremental_sharded(sf_dir: str) -> pa.Table:
+    """Range-sharded flavor of ``cc_incremental``
+    (fogray.sharded.incremental_cc_sharded): same batches, labels and
+    touched set — state sliced across range shards, edges accumulating
+    in src-range shard actors, per-round exchange actor-to-actor —
+    gated by the SAME static-components oracle."""
+    from .sharded import incremental_cc_sharded
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    labels, touched, _stats = incremental_cc_sharded(
+        ds.select_columns(["src", "dst"]), n, num_batches=4
+    )
+    return pa.table(
+        {
+            "vid": touched.astype(np.int64),
+            "component_root": labels[touched].astype(np.int64),
+        }
+    )
+
+
+def q_temporal_reach_sharded(sf_dir: str) -> pa.Table:
+    """Range-sharded flavor of ``temporal_reach``
+    (fogray.sharded.temporal_earliest_arrival_sharded), same oracle."""
+    from .sharded import temporal_earliest_arrival_sharded
+
+    t = temporal_sequence_edges(sf_dir)
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    tt = t.column("t").to_numpy(zero_copy_only=False)
+    if len(s) == 0:
+        return pa.table(
+            {"vid": pa.array([], pa.int64()), "arrival_day": pa.array([], pa.int64())}
+        )
+    n = int(max(s.max(), d.max())) + 1
+    source = int(s.min())
+    arrival, reached = temporal_earliest_arrival_sharded((s, d, tt), n, source)
+    return pa.table(
+        {
+            "vid": pa.array(reached.astype(np.int64)),
+            "arrival_day": pa.array(arrival[reached].astype(np.int64)),
+        }
+    )
+
+
+def q_coloring_sharded(sf_dir: str) -> pa.Table:
+    """Range-sharded Jones-Plassmann
+    (fogray.sharded.jones_plassmann_sharded): identical colors — the
+    rank-of-hash priorities are computed distributedly — same
+    recursive-CTE oracle as ``coloring``."""
+    from .sharded import jones_plassmann_sharded
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return jones_plassmann_sharded(ds.select_columns(["src", "dst"]), n)
+
+
+def q_matching_sharded(sf_dir: str) -> pa.Table:
+    """Range-sharded mutual-minimum matching
+    (fogray.sharded.greedy_matching_sharded), same oracle as
+    ``matching``."""
+    from .sharded import greedy_matching_sharded
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return greedy_matching_sharded(ds.select_columns(["src", "dst"]), n)
+
+
+def q_msf_sharded(sf_dir: str) -> pa.Table:
+    """Range-sharded Borůvka MSF (fogray.sharded.boruvka_msf_sharded):
+    the identical unique forest under the strict (weight, a, b) order,
+    same unrolled-Borůvka oracle as ``msf``."""
+    from .sharded import boruvka_msf_sharded
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return boruvka_msf_sharded(ds, n)
+
 
 QUERIES = {
     "derive_edges": q_derive_edges,
@@ -3121,7 +3204,9 @@ QUERIES = {
     "kcore": q_kcore,
     "connected_components": q_connected_components,
     "cc_incremental": q_cc_incremental,
+    "cc_incremental_sharded": q_cc_incremental_sharded,
     "temporal_reach": q_temporal_reach,
+    "temporal_reach_sharded": q_temporal_reach_sharded,
     "pagerank_evolve": q_pagerank_evolve,
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,
@@ -3151,8 +3236,11 @@ QUERIES = {
     "reciprocity": q_reciprocity,
     "motif_triads": q_motif_triads,
     "msf": q_msf,
+    "msf_sharded": q_msf_sharded,
     "coloring": q_coloring,
+    "coloring_sharded": q_coloring_sharded,
     "matching": q_matching,
+    "matching_sharded": q_matching_sharded,
     "lpa_freq": q_lpa_freq,
     "biased_walks": q_biased_walks,
     "scc_condensation": q_scc_condensation,

@@ -113,7 +113,7 @@ def _route(ref_lists, c):
 # edge shards (accumulating, src-range partitioned)
 # ---------------------------------------------------------------------------
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _EdgeShard:
     """Edges whose src falls in [lo, hi), accumulated across ``add``
     calls. Scatter kernels read state ONLY at src (the range's own
@@ -296,7 +296,7 @@ class _EdgeShard:
 # matching state shards (mutual-minimum maximal matching)
 # ---------------------------------------------------------------------------
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _MatchShard:
     """Hoepman mutual-minimum matching state for vids [lo, hi): alive
     mask + this round's pick (fused a*n+b edge key). Two half-step
@@ -388,7 +388,7 @@ class _MatchShard:
 # min-fixpoint state shards (CC labels / temporal arrivals)
 # ---------------------------------------------------------------------------
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _MinShard:
     """int64 min-fixpoint state for vids [lo, hi): value array +
     frontier + touched mask, updated from routed per-range partials."""
@@ -466,7 +466,7 @@ class _MinShard:
 # coloring state shards + distributed priority ranks
 # ---------------------------------------------------------------------------
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _ColorShard:
     """Jones-Plassmann state for vids [lo, hi): color (-2 off-graph,
     -1 live, >=0 done) and priority (global rank of the splitmix
@@ -691,7 +691,7 @@ def jones_plassmann_sharded(edges, n: int,
 # Borůvka MSF (sharded): cached endpoint comps + CC-based contraction
 # ---------------------------------------------------------------------------
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class _MsfEdgeShard:
     """Canonical (a < b, w) graph edges with CACHED endpoint component
     labels (ca, cb), initially (a, b). Each round the cache refreshes
