@@ -461,6 +461,27 @@ class _MinShard:
     def fetch(self):
         return self.val, self.touched
 
+    def write_shard(self, out_dir: str, idx: int) -> dict:
+        """Write this range's (vid, value, touched) as one parquet
+        shard (atomic rename) — the corpus-scale result path that
+        never assembles the dense arrays anywhere."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "vid": np.arange(self.lo, self.hi, dtype=np.int64),
+                "value": self.val,
+                "touched": self.touched,
+            }
+        )
+        path = os.path.join(out_dir, f"part-{idx:05d}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return {"path": path, "rows": t.num_rows, "lo": self.lo, "hi": self.hi}
+
 
 # ---------------------------------------------------------------------------
 # coloring state shards + distributed priority ranks
@@ -1069,11 +1090,18 @@ def _shutdown(*actor_lists):
 # ---------------------------------------------------------------------------
 
 def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
-                           num_partitions: int | None = None):
+                           num_partitions: int | None = None,
+                           out_dir: str | None = None):
     """Sharded flavor of :func:`fogray.incremental.incremental_cc` —
     identical batches (splitmix arrival tags), labels, touched set and
     per-batch stats, with state sharded and edges accumulating in the
-    shard actors instead of the O(V) per-round broadcast."""
+    shard actors instead of the O(V) per-round broadcast.
+
+    With ``out_dir`` set, the state shards write one (vid, value,
+    touched) parquet shard each IN PARALLEL and the dense arrays are
+    never assembled anywhere — the corpus-scale result path; the
+    return is then (None, None, stats) with the shard manifest
+    appended to stats."""
     if not isinstance(edges, rd.Dataset):
         src, dst = edges
         edges = from_arrow_chunked(
@@ -1132,10 +1160,21 @@ def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
             stats.append(
                 {"new_edges": int(added), "rounds": rounds, "updates": updates}
             )
-        labels, touched = _fetch_min(state)
+        if out_dir is not None:
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            manifest = ray.get(
+                [state[j].write_shard.remote(out_dir, j) for j in range(P)]
+            )
+            stats.append({"shards": manifest})
+            labels = touched = None
+        else:
+            labels, touched = _fetch_min(state)
+            touched = np.flatnonzero(touched)
     finally:
         _shutdown(state, edge)
-    return labels, np.flatnonzero(touched), stats
+    return labels, touched, stats
 
 
 def greedy_matching_sharded(edges, n: int,

@@ -43,6 +43,32 @@ def test_incremental_cc_sharded_matches_broadcast(ray_session, p):
     assert stats_a == stats_b
 
 
+def test_incremental_cc_sharded_parquet_output(ray_session, tmp_path):
+    """out_dir path: shards write parquet in parallel, nothing dense is
+    assembled; the shard union equals the in-memory result."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    n = 150
+    src, dst = _sym(*_random_edges(rng, n, 300))
+    lab, touched, _ = sharded.incremental_cc_sharded((src, dst), n, num_batches=3)
+    out = str(tmp_path / "cc")
+    l2, t2, stats = sharded.incremental_cc_sharded(
+        (src, dst), n, num_batches=3, out_dir=out
+    )
+    assert l2 is None and t2 is None
+    manifest = stats[-1]["shards"]
+    parts = [pq.read_table(m["path"]) for m in manifest]
+    cat = pa.concat_tables(parts).sort_by("vid")
+    np.testing.assert_array_equal(
+        cat.column("value").to_numpy(zero_copy_only=False), lab
+    )
+    got_touched = np.flatnonzero(
+        cat.column("touched").to_numpy(zero_copy_only=False)
+    )
+    np.testing.assert_array_equal(got_touched, touched)
+
+
 def test_incremental_cc_sharded_order_independent(ray_session):
     """Different batch counts land at the same static fixpoint."""
     rng = np.random.RandomState(3)
