@@ -81,11 +81,18 @@ def _bucket_src(tab: pa.Table, bounds: np.ndarray, cols: tuple):
     return out if p > 1 else out[0]
 
 
-def _degree_bounds(edges_refs, n: int, p: int):
+def _degree_bounds(edges_refs, n: int, p: int | None):
     """Range bounds weighted by out-degree (+1 per vid so empty spans
     stay splittable) from one metadata pass; the driver holds only the
-    O(V)-int degree fold — never edges."""
+    O(V)-int degree fold — never edges. ``p=None`` auto-sizes: capped
+    at half the CPUs (and 16), scaled DOWN so each shard owns ≥ ~300k
+    edges — at small inputs the per-round actor-call fixed costs
+    dominate, at corpus scale the cap rules."""
     metas = ray.get([_src_meta.remote(r) for r in edges_refs])
+    total_edges = int(sum(m[2] for m in metas))
+    if p is None:
+        cap = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        p = max(2, min(cap, total_edges // 300_000 + 1))
     outdeg = np.zeros(n, dtype=np.int64)
     us = [m[0] for m in metas if m[2]]
     if us:
@@ -101,7 +108,7 @@ def _degree_bounds(edges_refs, n: int, p: int):
             break
         bounds.append(b)
     bounds.append(max(n, 1))
-    return np.asarray(bounds, dtype=np.int64), int(sum(m[2] for m in metas))
+    return np.asarray(bounds, dtype=np.int64), total_edges
 
 
 def _route(ref_lists, c):
@@ -236,59 +243,100 @@ class _EdgeShard:
             )
         return out
 
+    def _color_view(self):
+        """Build-once dst-sorted view for the coloring kernel: edge
+        arrays sorted by dst with per-dst group starts, so each round's
+        kind-0 maxima are ONE masked gather + ``maximum.reduceat`` —
+        no per-round sort. Self-loops are dropped up front — a vertex
+        must not compete with (or constrain) itself; the broadcast
+        original instead falls out of its loop leaving self-looped
+        vertices uncolored, a degenerate input either way (coloring is
+        defined on simple graphs; the co-occurrence derivation emits
+        none)."""
+        if getattr(self, "_cv", None) is None:
+            nl = self.s != self.d
+            s, d = self.s[nl], self.d[nl]
+            order = np.argsort(d, kind="stable")
+            s, d = s[order], d[order]
+            starts = (
+                np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+                if len(d)
+                else np.empty(0, dtype=np.int64)
+            )
+            uniq_d = d[starts]
+            dcuts = np.searchsorted(uniq_d, self.bounds)
+            self._cv = {
+                "rel_s": s - self.lo,
+                "d": d,
+                "starts": starts,
+                "uniq_d": uniq_d,
+                "dcuts": dcuts,
+                "emitted": np.zeros(len(s), dtype=bool),
+            }
+        return self._cv
+
     def scatter_color(self, export):
         """Jones-Plassmann kernel, reformulated from the broadcast
         version's dst-side reads to src-side facts emitted at dst
         (exact on the symmetric edge set): kind-0 = uncolored src's
-        priority (max-combined per dst — the winner test input);
+        priority, max-combined per dst via ``maximum.reduceat`` over
+        the build-once dst-sorted view (the winner test input);
         kind-1 = distinct (dst, colored src's color) pairs (the mex
-        input). Self-loops are dropped — a vertex must not compete
-        with (or constrain) itself; the broadcast original instead
-        falls out of its loop leaving self-looped vertices uncolored,
-        which is a degenerate input either way (coloring is defined on
-        simple graphs; the co-occurrence derivation emits none)."""
+        input). A colored src's color never changes, so each edge
+        emits its kind-1 fact ONCE (``emitted`` mask; the receiving
+        state shard accumulates the pairs): total kind-1 volume is
+        O(E) over the whole run — the broadcast original re-emits
+        every colored edge every round."""
         color, prio = export
-        nl = self.s != self.d
-        s, d = self.s[nl], self.d[nl]
-        if len(s) == 0:
+        cv = self._color_view()
+        rel_s, starts, uniq_d = cv["rel_s"], cv["starts"], cv["uniq_d"]
+        if len(rel_s) == 0:
             return [None] * self.P
-        rel = s - self.lo
-        csrc = color[rel]
-        out_d, out_k, out_val = [], [], []
+        csrc = color[rel_s]
         live = csrc == -1
-        if live.any():
-            d0, p0 = d[live], prio[rel[live]]
-            order = np.lexsort((p0, d0))
-            d0, p0 = d0[order], p0[order]
-            last = np.r_[d0[1:] != d0[:-1], True]
-            out_d.append(d0[last])
-            out_k.append(np.zeros(int(last.sum()), dtype=np.int8))
-            out_val.append(p0[last])
-        colored = csrc >= 0
-        if colored.any():
-            d1, c1 = d[colored], csrc[colored]
+        vals = np.where(live, prio[rel_s], -1)
+        mx = np.maximum.reduceat(vals, starts) if len(starts) else vals[:0]
+        new = (csrc >= 0) & ~cv["emitted"]
+        n1 = d1 = c1 = None
+        if new.any():
+            cv["emitted"] |= new
+            d1, c1 = cv["d"][new], csrc[new]
             order = np.lexsort((c1, d1))
             d1, c1 = d1[order], c1[order]
             keep = np.r_[True, (d1[1:] != d1[:-1]) | (c1[1:] != c1[:-1])]
-            out_d.append(d1[keep])
-            out_k.append(np.ones(int(keep.sum()), dtype=np.int8))
-            out_val.append(c1[keep])
-        if not out_d:
-            return [None] * self.P
-        d = np.concatenate(out_d)
-        k = np.concatenate(out_k)
-        val = np.concatenate(out_val)
-        order = np.argsort(d, kind="stable")
-        d, k, val = d[order], k[order], val[order]
-        cuts = np.searchsorted(d, self.bounds)
+            d1, c1 = d1[keep], c1[keep]
+            n1 = np.searchsorted(d1, self.bounds)
+        dcuts = cv["dcuts"]
         out = []
         for c in range(self.P):
-            a, b = cuts[c], cuts[c + 1]
-            out.append(
-                ray.put(pa.table({"v": d[a:b], "kind": k[a:b], "val": val[a:b]}))
-                if b > a
-                else None
-            )
+            parts_d, parts_k, parts_v = [], [], []
+            a, b = dcuts[c], dcuts[c + 1]
+            if b > a:
+                md = mx[a:b]
+                has = md >= 0
+                if has.any():
+                    parts_d.append(uniq_d[a:b][has])
+                    parts_k.append(np.zeros(int(has.sum()), dtype=np.int8))
+                    parts_v.append(md[has])
+            if n1 is not None and n1[c + 1] > n1[c]:
+                i, j = n1[c], n1[c + 1]
+                parts_d.append(d1[i:j])
+                parts_k.append(np.ones(j - i, dtype=np.int8))
+                parts_v.append(c1[i:j])
+            if parts_d:
+                out.append(
+                    ray.put(
+                        pa.table(
+                            {
+                                "v": np.concatenate(parts_d),
+                                "kind": np.concatenate(parts_k),
+                                "val": np.concatenate(parts_v),
+                            }
+                        )
+                    )
+                )
+            else:
+                out.append(None)
         return out
 
 
@@ -500,6 +548,12 @@ class _ColorShard:
         span = self.hi - self.lo
         self.color = np.full(span, -2, dtype=np.int64)
         self.prio = np.full(span, -1, dtype=np.int64)
+        # accumulated kind-1 mex inputs: (rel vid, neighbor color) —
+        # each edge contributes ONE pair over the whole run (the edge
+        # shard drops a colored-src edge after emitting), compacted
+        # each round to still-live targets
+        self.acc_v = np.empty(0, dtype=np.int64)
+        self.acc_c = np.empty(0, dtype=np.int64)
 
     def set_prios(self, *pieces):
         """Install (v, prio) pieces; touched vids become live."""
@@ -515,14 +569,15 @@ class _ColorShard:
         return self.color, self.prio
 
     def apply_color(self, *parts):
-        """Fold kind-0 maxima -> winners; mex winners' kind-1 colors.
-        Returns the remaining live count."""
+        """Fold kind-0 maxima -> winners; append kind-1 pairs to the
+        accumulator and mex the winners' accumulated colors; compact
+        the accumulator to still-live targets. Returns the remaining
+        live count."""
         from .coloring import _mex_fold
 
         live = self.color == -1
         span = self.hi - self.lo
         maxnbr = np.full(span, -1, dtype=np.int64)
-        rel = kind = val = None
         if parts:
             v = np.concatenate(
                 [p.column("v").to_numpy(zero_copy_only=False) for p in parts]
@@ -537,15 +592,24 @@ class _ColorShard:
             m0 = kind == 0
             if m0.any():
                 np.maximum.at(maxnbr, rel[m0], val[m0])
+            m1 = kind == 1
+            if m1.any():
+                self.acc_v = np.concatenate([self.acc_v, rel[m1]])
+                self.acc_c = np.concatenate([self.acc_c, val[m1]])
         winners = live & (self.prio > maxnbr)
         if winners.any():
-            if rel is not None:
-                m1 = (kind == 1) & winners[rel]
-                mex = _mex_fold(rel[m1], val[m1], span)
+            if len(self.acc_v):
+                mw = winners[self.acc_v]
+                mex = _mex_fold(self.acc_v[mw], self.acc_c[mw], span)
             else:
                 mex = np.zeros(span, dtype=np.int64)
             w = np.flatnonzero(winners)
             self.color[w] = mex[w]
+            if len(self.acc_v):
+                # winners are colored: their accumulated pairs are dead
+                keep = (self.color == -1)[self.acc_v]
+                self.acc_v = self.acc_v[keep]
+                self.acc_c = self.acc_c[keep]
         return int(live.sum() - winners.sum())
 
     def fetch(self):
@@ -885,10 +949,6 @@ def boruvka_msf_sharded(edges, n: int,
             )
         )
     edges = edges.select_columns(["src", "dst", "weight"]).materialize()
-    if num_partitions is None:
-        num_partitions = max(
-            2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
-        )
     refs = edges.to_arrow_refs()
     bounds, _total = _degree_bounds(refs, n, num_partitions)
     P = len(bounds) - 1
@@ -1006,8 +1066,6 @@ def _build_shards(edges, n: int, p: int | None, weighted: bool, fill: str,
                   state_cls=None):
     """Bucket a materialized edge Dataset by src range into P edge
     shards + P state shards. Returns (state, edge, bounds, refs)."""
-    if p is None:
-        p = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
     refs = edges.to_arrow_refs()
     bounds, _total = _degree_bounds(refs, n, p)
     P = len(bounds) - 1
@@ -1196,10 +1254,6 @@ def greedy_matching_sharded(edges, n: int,
             )
         )
     edges = edges.select_columns(["src", "dst"]).materialize()
-    if num_partitions is None:
-        num_partitions = max(
-            2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
-        )
     refs = edges.to_arrow_refs()
     bounds, _total = _degree_bounds(refs, n, num_partitions)
     P = len(bounds) - 1
