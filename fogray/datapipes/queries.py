@@ -671,6 +671,20 @@ def q_mm_features(sf_dir: str) -> pa.Table:
     return _collect(multimodal.media_features(_docs(sf_dir)))
 
 
+def q_mm_ppm_decode(sf_dir: str) -> pa.Table:
+    """REAL binary image decode (fogray.datapipes.multimodal.ppm_decode
+    _stats): each document carries an actual P6 PPM payload (magic +
+    ASCII header + raw RGB bytes, pixel values from a deterministic
+    per-(doc, k) formula); the actor-pool stage parses and validates
+    the REAL bytes per row and computes per-channel sums/means and
+    min/max vectorized across the batch. The oracle replays the pixel
+    formula with generate_series — exact int sums, ROUND(6) means."""
+    t = _collect(
+        multimodal.ppm_decode_stats(_docs(sf_dir).select_columns(["doc_id"]))
+    )
+    return t.sort_by("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # generic relational ops (grouped top-k, deterministic sampling)
 # ---------------------------------------------------------------------------
@@ -2347,6 +2361,7 @@ QUERIES = {
     "emb_gram": q_emb_gram,
     "emb_pca": q_emb_pca,
     "mm_features": q_mm_features,
+    "mm_ppm_decode": q_mm_ppm_decode,
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
     "rel_rate_sample": q_rel_rate_sample,
@@ -3559,6 +3574,40 @@ ORACLE_SQL = {
 
     "emb_kmeans": _kmeans_oracle_sql(),
     "mm_features": _mm_features_oracle_sql(),
+    # real P6 decode: replay the deterministic pixel formula — exact
+    # int64 channel sums, ROUND(6) means (same float op both sides)
+    "mm_ppm_decode": """
+        WITH docs AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + doc_id % 7 AS h
+            FROM documents
+        ),
+        px AS (
+            -- constant-bound series (this DuckDB lacks lateral column
+            -- params): max image is 16x14 RGB = 672 bytes
+            SELECT d.doc_id, d.w, d.h,
+                   (d.doc_id * 31 + g.k * 7) % 256 AS v,
+                   g.k % 3 AS ch
+            FROM docs d CROSS JOIN generate_series(0, 671) AS g(k)
+            WHERE g.k < d.w * d.h * 3
+        )
+        SELECT doc_id,
+               MAX(w) AS width,
+               MAX(h) AS height,
+               CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+               ROUND(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END)
+                     / (MAX(w) * MAX(h) * 1.0), 6) AS mean_r,
+               ROUND(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END)
+                     / (MAX(w) * MAX(h) * 1.0), 6) AS mean_g,
+               ROUND(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END)
+                     / (MAX(w) * MAX(h) * 1.0), 6) AS mean_b,
+               CAST(MIN(v) AS BIGINT) AS min_pix,
+               CAST(MAX(v) AS BIGINT) AS max_pix
+        FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
     "dd_minhash_lsh": _minhash_oracle_sql(),
     # dup-graph connected components: MIN over the transitive closure of
     # the (SQL-expressible) MinHash pair set, seeded with every doc so

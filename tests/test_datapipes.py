@@ -479,6 +479,46 @@ def test_model_scorer_actor_pool_scores(ray_session):
     assert out["score"].between(0, 1).all()
 
 
+def test_ppm_decode_real_roundtrip(ray_session):
+    """synthesize_ppm emits REAL P6 bytes; decode_ppm parses them back
+    (magic, dims, maxval, size validation) pixel-exact, and the
+    actor-pool stats match a per-image numpy recomputation."""
+    import ray.data as rd
+
+    from fogray.datapipes import multimodal
+
+    ids = pa.table({"doc_id": pa.array([0, 5, 17, 123, 2048], pa.int64())})
+    ppm = multimodal.synthesize_ppm(rd.from_arrow(ids)).take_all()
+    for row in ppm:
+        i = row["doc_id"]
+        w, h, px = multimodal.decode_ppm(row["payload"])
+        assert (w, h) == (8 + i % 9, 8 + i % 7)
+        k = np.arange(w * h * 3, dtype=np.int64)
+        np.testing.assert_array_equal(px, ((i * 31 + k * 7) % 256).astype(np.uint8))
+    # validation is real: corrupt magic / truncated payload must raise
+    good = ppm[0]["payload"]
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5" + good[2:])
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(good[:-1])
+    stats = (
+        multimodal.ppm_decode_stats(rd.from_arrow(ids))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, r in stats.iterrows():
+        i = int(r["doc_id"])
+        w, h = 8 + i % 9, 8 + i % 7
+        k = np.arange(w * h * 3, dtype=np.int64)
+        v = (i * 31 + k * 7) % 256
+        assert r["width"] == w and r["height"] == h
+        assert r["sum_r"] == v[0::3].sum()
+        assert r["sum_g"] == v[1::3].sum()
+        assert r["sum_b"] == v[2::3].sum()
+        assert r["min_pix"] == v.min() and r["max_pix"] == v.max()
+
+
 def test_mm_features_deterministic_and_oracle(ray_session):
     import hashlib
 
