@@ -287,6 +287,155 @@ def ppm_decode_stats(ds, *, concurrency: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# REAL audio decode: RIFF/WAVE PCM16 mono (pure numpy — no codec lib)
+# ---------------------------------------------------------------------------
+#
+# Same discipline as the P6 image decode: RIFF/WAVE with 16-bit PCM is
+# a real binary audio container parseable without a codec library, so
+# this stage decodes ACTUAL audio bytes (chunk magic, fmt fields, data
+# size all validated), with samples from a deterministic per-(doc, k)
+# formula a SQL oracle replays exactly.
+
+_WAV_RATE = 8000
+
+
+def synthesize_wav(ds, *, id_col: str = "doc_id") -> rd.Dataset:
+    """Per document, build a REAL RIFF/WAVE payload: canonical 44-byte
+    header (PCM, mono, 16-bit, 8 kHz) + n = 64 + doc_id%129 samples
+    with sample[k] = ((doc_id*37 + k*11) mod 65536) - 32768."""
+    import struct
+
+    def build(t: pa.Table) -> pa.Table:
+        from ..engine import expand_ranges
+
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "payload": pa.array([], pa.binary()),
+                }
+            )
+        ns = 64 + ids % 129
+        starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        flat = expand_ranges(starts, starts + ns)
+        k = flat - np.repeat(starts, ns)
+        samples = (
+            ((np.repeat(ids, ns) * 37 + k * 11) % 65536) - 32768
+        ).astype("<i2")
+        sizes = 44 + ns * 2
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(sizes, out=offsets[1:])
+        buf = np.empty(int(sizes.sum()), dtype=np.uint8)
+        pos = 0
+        for i in range(n):  # 44-byte header writes: tiny per-row memcpy
+            data_len = int(ns[i]) * 2
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + data_len, b"WAVE", b"fmt ", 16,
+                1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16,
+                b"data", data_len,
+            )
+            buf[pos : pos + 44] = np.frombuffer(hdr, dtype=np.uint8)
+            pos += 44
+            raw = samples[starts[i] : starts[i] + ns[i]].view(np.uint8)
+            buf[pos : pos + data_len] = raw
+            pos += data_len
+        payload = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        return pa.table({"doc_id": pa.array(ids), "payload": payload})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL RIFF/WAVE parser for canonical PCM16 mono files: validate
+    RIFF/WAVE/fmt/data magic, PCM format, channel count, bit depth and
+    sizes; return (sample_rate, int16 sample array)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    fmt_len, audio_fmt, channels, rate = struct.unpack("<IHHI", payload[16:28])
+    bits = struct.unpack("<H", payload[34:36])[0]
+    if fmt_len != 16 or audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError("unsupported WAV encoding")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    data_len = struct.unpack("<I", payload[40:44])[0]
+    if len(payload) != 44 + data_len or data_len % 2:
+        raise ValueError("truncated sample payload")
+    return rate, np.frombuffer(payload, dtype="<i2", offset=44)
+
+
+_WAV_STATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("sample_rate", pa.int64()),
+        ("n_samples", pa.int64()),
+        ("sum_amp", pa.int64()),
+        ("sum_sq", pa.int64()),
+        ("min_amp", pa.int64()),
+        ("max_amp", pa.int64()),
+        ("rms", pa.float64()),
+    ]
+)
+
+
+class WavStats:
+    """Actor-pool decode stage: parse each RIFF payload (REAL header
+    validation per row), then batch-vectorized stats: exact int64
+    amplitude/square sums + min/max via per-clip reduceat, RMS rounded
+    like the oracle."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rates, parts = [], []
+        for b in t.column("payload").to_pylist():
+            rate, samp = decode_wav(b)
+            rates.append(rate)
+            parts.append(samp)
+        if len(ids) == 0:
+            return _WAV_STATS_SCHEMA.empty_table()
+        alls = np.concatenate(parts).astype(np.int64)
+        ns = np.array([len(p) for p in parts], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        ssum = np.add.reduceat(alls, starts)
+        ssq = np.add.reduceat(alls * alls, starts)
+        smin = np.minimum.reduceat(alls, starts)
+        smax = np.maximum.reduceat(alls, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(np.asarray(rates, dtype=np.int64)),
+                "n_samples": pa.array(ns),
+                "sum_amp": pa.array(ssum),
+                "sum_sq": pa.array(ssq),
+                "min_amp": pa.array(smin),
+                "max_amp": pa.array(smax),
+                "rms": pa.array(sql_round(np.sqrt(ssq / ns))),
+            },
+            schema=_WAV_STATS_SCHEMA,
+        )
+
+
+def wav_decode_stats(ds, *, concurrency: int = 4,
+                     batch_size: int = 64) -> rd.Dataset:
+    """documents -> real RIFF/WAVE payloads -> actor-pool decode+stats."""
+    return synthesize_wav(ds).map_batches(
+        WavStats,
+        concurrency=(1, concurrency),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # video-style frame sampling over opaque binary payloads
 # ---------------------------------------------------------------------------
 

@@ -685,6 +685,19 @@ def q_mm_ppm_decode(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def q_mm_wav_decode(sf_dir: str) -> pa.Table:
+    """REAL binary audio decode (fogray.datapipes.multimodal
+    .wav_decode_stats): each document carries an actual RIFF/WAVE
+    PCM16 payload (44-byte canonical header + formula samples); the
+    actor-pool stage validates the real container bytes per row and
+    computes exact int64 amplitude/square sums, min/max and RMS
+    vectorized. Oracle replays the sample formula."""
+    t = _collect(
+        multimodal.wav_decode_stats(_docs(sf_dir).select_columns(["doc_id"]))
+    )
+    return t.sort_by("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # generic relational ops (grouped top-k, deterministic sampling)
 # ---------------------------------------------------------------------------
@@ -2362,6 +2375,7 @@ QUERIES = {
     "emb_pca": q_emb_pca,
     "mm_features": q_mm_features,
     "mm_ppm_decode": q_mm_ppm_decode,
+    "mm_wav_decode": q_mm_wav_decode,
     "rel_topk": q_rel_topk,
     "rel_sample": q_rel_sample,
     "rel_rate_sample": q_rel_rate_sample,
@@ -3607,6 +3621,29 @@ ORACLE_SQL = {
                CAST(MIN(v) AS BIGINT) AS min_pix,
                CAST(MAX(v) AS BIGINT) AS max_pix
         FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    # real RIFF/WAVE PCM16 decode: replay the sample formula — exact
+    # int64 sums; RMS = correctly-rounded IEEE sqrt on both sides
+    "mm_wav_decode": """
+        WITH docs AS (
+            SELECT doc_id, 64 + doc_id % 129 AS n FROM documents
+        ),
+        smp AS (
+            -- constant bound (max n = 192 samples)
+            SELECT d.doc_id, d.n,
+                   (d.doc_id * 37 + g.k * 11) % 65536 - 32768 AS v
+            FROM docs d CROSS JOIN generate_series(0, 191) AS g(k)
+            WHERE g.k < d.n
+        )
+        SELECT doc_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_amp,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(MIN(v) AS BIGINT) AS min_amp,
+               CAST(MAX(v) AS BIGINT) AS max_amp,
+               ROUND(SQRT(SUM(v * v) / (MAX(n) * 1.0)), 6) AS rms
+        FROM smp GROUP BY doc_id ORDER BY doc_id
     """,
     "dd_minhash_lsh": _minhash_oracle_sql(),
     # dup-graph connected components: MIN over the transitive closure of

@@ -519,6 +519,42 @@ def test_ppm_decode_real_roundtrip(ray_session):
         assert r["min_pix"] == v.min() and r["max_pix"] == v.max()
 
 
+def test_wav_decode_real_roundtrip(ray_session):
+    """synthesize_wav emits REAL RIFF/WAVE PCM16 bytes; decode_wav
+    validates and parses them sample-exact; corrupt containers raise."""
+    import ray.data as rd
+
+    from fogray.datapipes import multimodal
+
+    ids = pa.table({"doc_id": pa.array([0, 3, 64, 777], pa.int64())})
+    rows = multimodal.synthesize_wav(rd.from_arrow(ids)).take_all()
+    for row in rows:
+        i = row["doc_id"]
+        rate, samp = multimodal.decode_wav(row["payload"])
+        assert rate == 8000
+        n = 64 + i % 129
+        k = np.arange(n, dtype=np.int64)
+        np.testing.assert_array_equal(
+            samp.astype(np.int64), (i * 37 + k * 11) % 65536 - 32768
+        )
+    good = rows[0]["payload"]
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFX" + good[4:])
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(good[:-2])
+    stats = (
+        multimodal.wav_decode_stats(rd.from_arrow(ids))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for _, r in stats.iterrows():
+        i = int(r["doc_id"])
+        n = 64 + i % 129
+        v = (i * 37 + np.arange(n, dtype=np.int64) * 11) % 65536 - 32768
+        assert r["n_samples"] == n
+        assert r["sum_amp"] == v.sum() and r["sum_sq"] == (v * v).sum()
+        assert r["min_amp"] == v.min() and r["max_amp"] == v.max()
+
+
 def test_mm_features_deterministic_and_oracle(ray_session):
     import hashlib
 
