@@ -530,6 +530,23 @@ class _MinShard:
         os.replace(tmp, path)
         return {"path": path, "rows": t.num_rows, "lo": self.lo, "hi": self.hi}
 
+    def load_shard(self, path: str) -> int:
+        """Restore this range's state from a checkpoint shard written
+        by :meth:`write_shard` (resume path); frontier resets (a
+        checkpoint is only taken at a settled fixpoint)."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vid", "value", "touched"])
+        vid = t.column("vid").to_numpy(zero_copy_only=False)
+        if len(vid) != self.hi - self.lo or (len(vid) and vid[0] != self.lo):
+            raise ValueError("checkpoint shard does not match this range")
+        self.val = t.column("value").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.touched = (
+            t.column("touched").to_numpy(zero_copy_only=False).astype(bool)
+        )
+        self.frontier[:] = False
+        return len(vid)
+
 
 # ---------------------------------------------------------------------------
 # coloring state shards + distributed priority ranks
@@ -1147,9 +1164,31 @@ def _shutdown(*actor_lists):
 # operators
 # ---------------------------------------------------------------------------
 
+def _latest_cc_manifest(ckpt_dir: str):
+    """Newest complete per-batch checkpoint manifest, or None."""
+    import json
+    import os
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if not (name.startswith("manifest-batch") and name.endswith(".json")):
+            continue
+        with open(os.path.join(ckpt_dir, name)) as f:
+            m = json.load(f)
+        if all(os.path.exists(p) for p in m["shards"]) and (
+            best is None or m["batch"] > best["batch"]
+        ):
+            best = m
+    return best
+
+
 def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
                            num_partitions: int | None = None,
-                           out_dir: str | None = None):
+                           out_dir: str | None = None,
+                           ckpt_dir: str | None = None,
+                           resume: bool = False):
     """Sharded flavor of :func:`fogray.incremental.incremental_cc` —
     identical batches (splitmix arrival tags), labels, touched set and
     per-batch stats, with state sharded and edges accumulating in the
@@ -1159,7 +1198,15 @@ def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
     touched) parquet shard each IN PARALLEL and the dense arrays are
     never assembled anywhere — the corpus-scale result path; the
     return is then (None, None, stats) with the shard manifest
-    appended to stats."""
+    appended to stats.
+
+    With ``ckpt_dir`` set, each completed batch writes a per-shard
+    checkpoint (parallel shard parquet + atomic json manifest);
+    ``resume=True`` restores the newest complete checkpoint (the
+    shards reload their slices in parallel, already-arrived edge
+    batches re-bucket WITHOUT re-running any propagation rounds) and
+    continues from the next batch — same final labels and stats as an
+    uninterrupted run (pytest-asserted)."""
     if not isinstance(edges, rd.Dataset):
         src, dst = edges
         edges = from_arrow_chunked(
@@ -1199,8 +1246,35 @@ def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
         return f
 
     stats: list[dict] = []
+    start_batch = 0
     try:
-        for b in range(num_batches):
+        if resume and ckpt_dir:
+            m = _latest_cc_manifest(ckpt_dir)
+            if m is not None:
+                if m["bounds"] != [int(x) for x in bounds] or (
+                    m["num_batches"] != num_batches
+                ):
+                    raise ValueError(
+                        "checkpoint does not match this input/configuration"
+                    )
+                ray.get(
+                    [
+                        state[j].load_shard.remote(m["shards"][j])
+                        for j in range(P)
+                    ]
+                )
+                stats = list(m["stats"])
+                start_batch = m["batch"] + 1
+                # already-arrived batches re-bucket into the edge
+                # shards (needed for future propagation); NO rounds,
+                # no frontier seeding — their fixpoint is the
+                # checkpointed state
+                for b in range(start_batch):
+                    prev = tagged.map_batches(
+                        pick(b), batch_format="pyarrow"
+                    ).materialize()
+                    _add_blocks(edge, prev.to_arrow_refs(), bounds, cols)
+        for b in range(start_batch, num_batches):
             batch_ds = tagged.map_batches(
                 pick(b), batch_format="pyarrow"
             ).materialize()
@@ -1218,6 +1292,29 @@ def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
             stats.append(
                 {"new_edges": int(added), "rounds": rounds, "updates": updates}
             )
+            if ckpt_dir is not None:
+                import json
+                import os
+
+                bdir = os.path.join(ckpt_dir, f"batch={b}")
+                os.makedirs(bdir, exist_ok=True)
+                manifest = ray.get(
+                    [state[j].write_shard.remote(bdir, j) for j in range(P)]
+                )
+                mpath = os.path.join(ckpt_dir, f"manifest-batch{b}.json")
+                tmp = f"{mpath}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "batch": b,
+                            "num_batches": num_batches,
+                            "bounds": [int(x) for x in bounds],
+                            "stats": stats,
+                            "shards": [s["path"] for s in manifest],
+                        },
+                        f,
+                    )
+                os.replace(tmp, mpath)
         if out_dir is not None:
             import os
 

@@ -292,3 +292,46 @@ def test_skyline_matches_bruteforce(ray_session, seed, n):
         if not dominated:
             keep.append(i)
     assert got.column("id").to_pylist() == keep
+
+
+@given(graphs())
+@_settings
+def test_sharded_incremental_cc_matches_broadcast(ray_session, g):
+    """Property parity: on ANY random graph (self-loops, duplicates,
+    isolated vertices) the range-sharded incremental CC lands on the
+    same labels, touched set and per-batch stats as the broadcast
+    original — partition count drawn from the same strategy."""
+    from fogray import incremental, sharded
+
+    src, dst, _w, n, parts = g
+    s2, d2 = np.r_[src, dst], np.r_[dst, src]
+    lab_a, touched_a, stats_a = incremental.incremental_cc((s2, d2), n, num_batches=3)
+    lab_b, touched_b, stats_b = sharded.incremental_cc_sharded(
+        (s2, d2), n, num_batches=3, num_partitions=parts
+    )
+    np.testing.assert_array_equal(lab_a, lab_b)
+    np.testing.assert_array_equal(touched_a, touched_b)
+    assert stats_a == stats_b
+
+
+@given(graphs())
+@_settings
+def test_sharded_matching_is_maximal_and_matches(ray_session, g):
+    """Property parity + maximality: sharded matching equals the
+    broadcast original, pairs are vertex-disjoint, and no live edge
+    remains between two unmatched vertices (maximality)."""
+    from fogray import matching, sharded
+
+    src, dst, _w, n, parts = g
+    s2, d2 = np.r_[src, dst], np.r_[dst, src]
+    a = matching.greedy_matching((s2, d2), n).to_pandas()
+    b = sharded.greedy_matching_sharded(
+        (s2, d2), n, num_partitions=parts
+    ).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    used = np.zeros(n, dtype=bool)
+    flat = np.r_[b["a"].to_numpy(), b["b"].to_numpy()].astype(np.int64)
+    assert len(flat) == len(np.unique(flat))
+    used[flat] = True
+    m = src != dst
+    assert not (~used[src[m]] & ~used[dst[m]]).any(), "unmatched live edge left"

@@ -69,6 +69,41 @@ def test_incremental_cc_sharded_parquet_output(ray_session, tmp_path):
     np.testing.assert_array_equal(got_touched, touched)
 
 
+def test_incremental_cc_sharded_checkpoint_resume(ray_session, tmp_path):
+    """Kill-after-batch-1 simulation: checkpoints write per batch; a
+    resumed run restores the newest complete manifest, re-buckets the
+    already-arrived edges WITHOUT re-running rounds, continues from
+    the next batch, and lands on the identical labels and stats."""
+    import json
+    import os
+
+    rng = np.random.RandomState(13)
+    n = 250
+    src, dst = _sym(*_random_edges(rng, n, 500))
+    ck = str(tmp_path / "ck")
+    lab_full, touched_full, stats_full = sharded.incremental_cc_sharded(
+        (src, dst), n, num_batches=4, ckpt_dir=ck
+    )
+    # simulate a crash after batch 1: drop the later manifests
+    for b in (2, 3):
+        os.remove(os.path.join(ck, f"manifest-batch{b}.json"))
+    lab_r, touched_r, stats_r = sharded.incremental_cc_sharded(
+        (src, dst), n, num_batches=4, ckpt_dir=ck, resume=True
+    )
+    np.testing.assert_array_equal(lab_full, lab_r)
+    np.testing.assert_array_equal(touched_full, touched_r)
+    assert stats_full == stats_r
+    # the resumed run's manifest for the final batch is complete again
+    with open(os.path.join(ck, "manifest-batch3.json")) as f:
+        m = json.load(f)
+    assert m["batch"] == 3 and len(m["shards"]) >= 1
+    # mismatched config must refuse, not silently corrupt
+    with pytest.raises(ValueError):
+        sharded.incremental_cc_sharded(
+            (src, dst), n, num_batches=5, ckpt_dir=ck, resume=True
+        )
+
+
 def test_incremental_cc_sharded_order_independent(ray_session):
     """Different batch counts land at the same static fixpoint."""
     rng = np.random.RandomState(3)
