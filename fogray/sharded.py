@@ -169,21 +169,25 @@ class _EdgeShard:
     # -- kernels ----------------------------------------------------------
 
     def _emit_min(self, d, cand):
-        """Pre-combine min per dst, split by dst range, put partials."""
+        """Pre-combine min per dst, split by dst range. Returned as P
+        separate values — callers invoke with ``num_returns=P`` so the
+        driver holds each partial's ref AT SUBMISSION and can route it
+        to the destination state shard without a mid-round ray.get
+        barrier (one barrier per round: the apply counts)."""
         if len(d) == 0:
-            return [None] * self.P
+            return tuple(None for _ in range(self.P)) if self.P > 1 else None
         order = np.lexsort((cand, d))
         d, cand = d[order], cand[order]
         first = np.r_[True, d[1:] != d[:-1]]
         d, cand = d[first], cand[first]
         cuts = np.searchsorted(d, self.bounds)
-        out = []
-        for c in range(self.P):
-            a, b = cuts[c], cuts[c + 1]
-            out.append(
-                ray.put(pa.table({"v": d[a:b], "c": cand[a:b]})) if b > a else None
-            )
-        return out
+        out = tuple(
+            pa.table({"v": d[cuts[c] : cuts[c + 1]], "c": cand[cuts[c] : cuts[c + 1]]})
+            if cuts[c + 1] > cuts[c]
+            else None
+            for c in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
 
     def scatter_min_label(self, export):
         """CC kernel: frontier srcs emit their label at dst."""
@@ -191,7 +195,7 @@ class _EdgeShard:
         rel = self.s - self.lo
         m = frontier[rel]
         if not m.any():
-            return [None] * self.P
+            return tuple(None for _ in range(self.P)) if self.P > 1 else None
         return self._emit_min(self.d[m], vals[rel[m]])
 
     def scatter_min_time(self, export):
@@ -201,7 +205,7 @@ class _EdgeShard:
         rel = self.s - self.lo
         m = frontier[rel] & (vals[rel] <= self.w)
         if not m.any():
-            return [None] * self.P
+            return tuple(None for _ in range(self.P)) if self.P > 1 else None
         return self._emit_min(self.d[m], self.w[m])
 
     def scatter_match(self, alive):
@@ -291,7 +295,7 @@ class _EdgeShard:
         cv = self._color_view()
         rel_s, starts, uniq_d = cv["rel_s"], cv["starts"], cv["uniq_d"]
         if len(rel_s) == 0:
-            return [None] * self.P
+            return tuple(None for _ in range(self.P)) if self.P > 1 else None
         csrc = color[rel_s]
         live = csrc == -1
         vals = np.where(live, prio[rel_s], -1)
@@ -323,21 +327,18 @@ class _EdgeShard:
                 parts_d.append(d1[i:j])
                 parts_k.append(np.ones(j - i, dtype=np.int8))
                 parts_v.append(c1[i:j])
-            if parts_d:
-                out.append(
-                    ray.put(
-                        pa.table(
-                            {
-                                "v": np.concatenate(parts_d),
-                                "kind": np.concatenate(parts_k),
-                                "val": np.concatenate(parts_v),
-                            }
-                        )
-                    )
+            out.append(
+                pa.table(
+                    {
+                        "v": np.concatenate(parts_d),
+                        "kind": np.concatenate(parts_k),
+                        "val": np.concatenate(parts_v),
+                    }
                 )
-            else:
-                out.append(None)
-        return out
+                if parts_d
+                else None
+            )
+        return tuple(out) if self.P > 1 else out[0]
 
 
 # ---------------------------------------------------------------------------
@@ -473,11 +474,13 @@ class _MinShard:
         return self.val, self.frontier
 
     def apply(self, *parts):
-        """Fold routed min partials; improved vids become next frontier.
-        Returns the improvement count (the driver's only per-round
-        read)."""
+        """Fold routed min partials (None/empty slots from the
+        num_returns scatter are skipped); improved vids become next
+        frontier. Returns the improvement count (the driver's only
+        per-round read)."""
         self.frontier[:] = False
         total = 0
+        parts = [p for p in parts if p is not None and p.num_rows]
         if parts:
             v = np.concatenate(
                 [p.column("v").to_numpy(zero_copy_only=False) for p in parts]
@@ -595,6 +598,7 @@ class _ColorShard:
         live = self.color == -1
         span = self.hi - self.lo
         maxnbr = np.full(span, -1, dtype=np.int64)
+        parts = [p for p in parts if p is not None and p.num_rows]
         if parts:
             v = np.concatenate(
                 [p.column("v").to_numpy(zero_copy_only=False) for p in parts]
@@ -763,14 +767,17 @@ def jones_plassmann_sharded(edges, n: int,
         live = _install_ranks(edges, bounds, state)
         while live > 0:
             exports = [s.export.remote() for s in state]
-            ref_lists = ray.get(
-                [e.scatter_color.remote(exports[j]) for j, e in enumerate(edge)]
-            )
+            ref_lists = [
+                e.scatter_color.options(num_returns=P).remote(exports[j])
+                if P > 1
+                else [e.scatter_color.remote(exports[j])]
+                for j, e in enumerate(edge)
+            ]
             prev = live
             live = sum(
                 ray.get(
                     [
-                        state[c].apply_color.remote(*_route(ref_lists, c))
+                        state[c].apply_color.remote(*[rl[c] for rl in ref_lists])
                         for c in range(P)
                     ]
                 )
@@ -1123,22 +1130,25 @@ def _add_blocks(edge_shards, block_refs, bounds, cols):
 
 def _min_rounds(state_shards, edge_shards, method: str, seeded: int):
     """Frontier-limited min-fixpoint rounds; returns (rounds, updates).
-    Per round the driver submits O(P) actor calls, routes O(P²) refs,
-    and reads P ints — no payload."""
+    Per round the driver submits O(P) actor calls and routes O(P²)
+    refs; scatter methods run with ``num_returns=P`` so every
+    partial's ref exists AT SUBMISSION and the whole round pipelines
+    down to ONE driver barrier (the P apply counts) — no payload ever
+    touches the driver."""
     P = len(state_shards)
     rounds, updates, front = 0, 0, seeded
     while front > 0:
         rounds += 1
         exports = [s.export.remote() for s in state_shards]
-        ref_lists = ray.get(
-            [
-                getattr(e, method).remote(exports[j])
-                for j, e in enumerate(edge_shards)
-            ]
-        )
+        ref_lists = [
+            getattr(e, method).options(num_returns=P).remote(exports[j])
+            if P > 1
+            else [getattr(e, method).remote(exports[j])]
+            for j, e in enumerate(edge_shards)
+        ]
         counts = ray.get(
             [
-                state_shards[c].apply.remote(*_route(ref_lists, c))
+                state_shards[c].apply.remote(*[rl[c] for rl in ref_lists])
                 for c in range(P)
             ]
         )
