@@ -226,7 +226,7 @@ class _EdgeShard:
         nl = s != d
         s, d = s[nl], d[nl]
         if len(s) == 0:
-            return [None] * self.P
+            return tuple(None for _ in range(self.P)) if self.P > 1 else None
         a = np.minimum(s, d)
         b = np.maximum(s, d)
         h = det_weight(a.astype(np.uint64), b.astype(np.uint64))
@@ -235,17 +235,20 @@ class _EdgeShard:
         first = np.r_[True, d[1:] != d[:-1]]
         d, h, a, b = d[first], h[first], a[first], b[first]
         cuts = np.searchsorted(d, self.bounds)
-        out = []
-        for c in range(self.P):
-            i, j = cuts[c], cuts[c + 1]
-            out.append(
-                ray.put(
-                    pa.table({"v": d[i:j], "h": h[i:j], "a": a[i:j], "b": b[i:j]})
-                )
-                if j > i
-                else None
+        out = tuple(
+            pa.table(
+                {
+                    "v": d[cuts[c] : cuts[c + 1]],
+                    "h": h[cuts[c] : cuts[c + 1]],
+                    "a": a[cuts[c] : cuts[c + 1]],
+                    "b": b[cuts[c] : cuts[c + 1]],
+                }
             )
-        return out
+            if cuts[c + 1] > cuts[c]
+            else None
+            for c in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
 
     def _color_view(self):
         """Build-once dst-sorted view for the coloring kernel: edge
@@ -371,6 +374,7 @@ class _MatchShard:
         live-edge termination signal, per-range claim refs)."""
         self.pick[:] = -1
         none = [None] * self.P
+        parts = [p for p in parts if p is not None and p.num_rows]
         if not parts:
             return 0, none
         v = np.concatenate(
@@ -1371,12 +1375,15 @@ def greedy_matching_sharded(edges, n: int,
         _add_blocks(edge, refs, bounds, ("src", "dst"))
         while True:
             exports = [s.export.remote() for s in state]
-            prop_lists = ray.get(
-                [e.scatter_match.remote(exports[j]) for j, e in enumerate(edge)]
-            )
+            prop_lists = [
+                e.scatter_match.options(num_returns=P).remote(exports[j])
+                if P > 1
+                else [e.scatter_match.remote(exports[j])]
+                for j, e in enumerate(edge)
+            ]
             folds = ray.get(
                 [
-                    state[c].fold_picks.remote(*_route(prop_lists, c))
+                    state[c].fold_picks.remote(*[pl[c] for pl in prop_lists])
                     for c in range(P)
                 ]
             )
