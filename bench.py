@@ -402,6 +402,20 @@ def run_worker(
     }
 
 
+def _last_json(stdout: str, stderr: str = "", returncode: int = 0) -> dict:
+    """Parse the final JSON line a scaling worker printed, or raise a
+    descriptive error carrying the worker's stderr tail (shared by both
+    scaling harnesses — a crashed worker must never surface as a bare
+    IndexError)."""
+    lines = [l for l in (stdout or "").strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling worker produced no JSON (rc={returncode}); "
+            f"stderr tail: {(stderr or '')[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None,
                     e2e: bool = False) -> dict:
     """Iso-operating-point scaling protocol (``--scaling --iso``).
@@ -432,15 +446,7 @@ def run_scaling_iso(sf_dir: str, lo: int | None = None, hi: int | None = None,
         return [sys.executable, os.path.abspath(__file__), "--worker", str(k),
                 "--e2e" if e2e else "--synthetic"]
 
-    def last_json(stdout: str, stderr: str = "", returncode: int = 0) -> dict:
-        lines = [l for l in (stdout or "").strip().splitlines()
-                 if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(
-                f"scaling worker produced no JSON (rc={returncode}); "
-                f"stderr tail: {(stderr or '')[-2000:]}"
-            )
-        return json.loads(lines[-1])
+    last_json = _last_json
 
     # hi level first (also warms the synthetic input cache for the group)
     hi_best, hi_times = None, []
@@ -543,15 +549,7 @@ def run_scaling_multinode(sf_dir: str) -> dict:
         return [sys.executable, os.path.abspath(__file__), "--worker", str(k),
                 "--synthetic"]
 
-    def last_json(stdout: str, stderr: str = "", returncode: int = 0) -> dict:
-        lines = [l for l in (stdout or "").strip().splitlines()
-                 if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(
-                f"scaling worker produced no JSON (rc={returncode}); "
-                f"stderr tail: {(stderr or '')[-2000:]}"
-            )
-        return json.loads(lines[-1])
+    last_json = _last_json
 
     def best_of(n_nodes: int, k: int) -> dict:
         start_cluster(n_nodes)

@@ -2298,7 +2298,11 @@ def dq_checks(
             rc = r["ref_column"]
             proj = ds.select_columns([col])
             nulls, n = _null_total(proj, col)
-            if not r.get("ref_fact", ref.count() > driver_fold_max_rows):
+            large = (
+                bool(r["ref_fact"]) if "ref_fact" in r
+                else ref.count() > driver_fold_max_rows
+            )  # dict.get's default would run the count even when hinted
+            if not large:
                 # small path: dimension-sized referenced key set,
                 # broadcast ONCE, searchsorted probe per block
                 def p_refkeys(t: pa.Table, c=rc) -> pa.Table:

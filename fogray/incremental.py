@@ -39,6 +39,36 @@ from .util import from_arrow_chunked
 _CAND_SCHEMA = pa.schema([("v", pa.int64()), ("lab", pa.int64())])
 
 
+def arrival_tagger(num_batches: int):
+    """Batch transform appending the deterministic splitmix arrival tag
+    (hash of the canonical edge, mod num_batches). SHARED by
+    incremental_cc and fogray.sharded.incremental_cc_sharded — their
+    oracle/stats parity depends on both forming identical batches, so
+    there is exactly one copy of this hash."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        h = splitmix53((a << np.uint64(32)) ^ b)
+        return t.append_column(
+            "arrival", pa.array((h % np.uint64(num_batches)).astype(np.int64))
+        )
+
+    return tag
+
+
+def arrival_picker(b: int):
+    """Batch transform selecting one arrival batch (tag dropped)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(t.column("arrival"), b)
+        return t.filter(keep).drop_columns(["arrival"])
+
+    return f
+
+
 def _min_label_partials(t: pa.Table, state_ref) -> pa.Table:
     """Per-dst minimum candidate labels from frontier srcs, pre-combined
     per block (sort + reduceat; output bounded by distinct dsts)."""
@@ -87,28 +117,12 @@ def incremental_cc(edges, n: int, num_batches: int = 4):
             )
         )
 
-    def tag_batch(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        h = splitmix53((a << np.uint64(32)) ^ b)
-        return t.append_column(
-            "arrival", pa.array((h % np.uint64(num_batches)).astype(np.int64))
-        )
-
     tagged = (
         edges.select_columns(["src", "dst"])
-        .map_batches(tag_batch, batch_format="pyarrow")
+        .map_batches(arrival_tagger(num_batches), batch_format="pyarrow")
         .materialize()
     )
-
-    def pick(b):
-        def f(t: pa.Table) -> pa.Table:
-            keep = pa.compute.equal(t.column("arrival"), b)
-            return t.filter(keep).drop_columns(["arrival"])
-
-        return f
+    pick = arrival_picker
 
     labels = np.arange(n, dtype=np.int64)
     touched = np.zeros(n, dtype=bool)

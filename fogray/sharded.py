@@ -42,7 +42,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .sources import splitmix53
 from .util import from_arrow_chunked
 
 _INF = np.int64(1) << 62
@@ -100,7 +99,7 @@ def _degree_bounds(edges_refs, n: int, p: int | None):
         c = np.concatenate([m[1] for m in metas if m[2]])
         outdeg = np.bincount(u, weights=c, minlength=n).astype(np.int64)
     cum = np.cumsum(outdeg + 1)
-    total = cum[-1]
+    total = int(cum[-1]) if len(cum) else 0  # n == 0: one empty span
     bounds = [0]
     for j in range(1, p):
         b = max(int(np.searchsorted(cum, total * j / p)), bounds[-1] + 1)
@@ -977,11 +976,10 @@ def boruvka_msf_sharded(edges, n: int,
             )
         )
     edges = edges.select_columns(["src", "dst", "weight"]).materialize()
-    refs = edges.to_arrow_refs()
-    bounds, _total = _degree_bounds(refs, n, num_partitions)
+    label, ccedge, bounds, refs, _cols = _build_shards(
+        edges, n, num_partitions, weighted=False, fill="vid"
+    )
     P = len(bounds) - 1
-    label = [_MinShard.remote(j, bounds, "vid") for j in range(P)]
-    ccedge = [_EdgeShard.remote(j, bounds, False) for j in range(P)]
     msfedge = [_MsfEdgeShard.remote(j, bounds) for j in range(P)]
     pick_refs = []
     try:
@@ -1091,18 +1089,30 @@ def boruvka_msf_sharded(edges, n: int,
 
 
 def _build_shards(edges, n: int, p: int | None, weighted: bool, fill: str,
-                  state_cls=None):
+                  state_cls=None, bounds_override=None, state_factory=None):
     """Bucket a materialized edge Dataset by src range into P edge
-    shards + P state shards. Returns (state, edge, bounds, refs)."""
+    shards + P state shards. Returns (state, edge, bounds, refs).
+    ``bounds_override`` (resume path) adopts previously-persisted range
+    bounds instead of re-deriving them — recomputed bounds depend on
+    the CPU count, which may differ on the resuming machine.
+    ``state_factory(j, bounds)`` spawns a custom state actor per range
+    (the ONE place bounds + actor construction live — every operator
+    routes through here)."""
     refs = edges.to_arrow_refs()
-    bounds, _total = _degree_bounds(refs, n, p)
+    if bounds_override is not None:
+        bounds = np.asarray(bounds_override, dtype=np.int64)
+    else:
+        bounds, _total = _degree_bounds(refs, n, p)
     P = len(bounds) - 1
     cols = ("src", "dst", "t") if weighted else ("src", "dst")
-    cls = state_cls or _MinShard
-    if cls is _MinShard:
-        state = [cls.remote(j, bounds, fill) for j in range(P)]
+    if state_factory is not None:
+        state = [state_factory(j, bounds) for j in range(P)]
     else:
-        state = [cls.remote(j, bounds) for j in range(P)]
+        cls = state_cls or _MinShard
+        if cls is _MinShard:
+            state = [cls.remote(j, bounds, fill) for j in range(P)]
+        else:
+            state = [cls.remote(j, bounds) for j in range(P)]
     edge = [_EdgeShard.remote(j, bounds, weighted) for j in range(P)]
     return state, edge, bounds, refs, cols
 
@@ -1232,62 +1242,52 @@ def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
             )
         )
 
-    def tag_batch(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        h = splitmix53((a << np.uint64(32)) ^ b)
-        return t.append_column(
-            "arrival", pa.array((h % np.uint64(num_batches)).astype(np.int64))
-        )
+    from .incremental import arrival_picker, arrival_tagger
 
     tagged = (
         edges.select_columns(["src", "dst"])
-        .map_batches(tag_batch, batch_format="pyarrow")
+        .map_batches(arrival_tagger(num_batches), batch_format="pyarrow")
         .materialize()
     )
+    m_resume = _latest_cc_manifest(ckpt_dir) if (resume and ckpt_dir) else None
+    if m_resume is not None:
+        if m_resume["num_batches"] != num_batches or (
+            m_resume["bounds"][-1] != max(n, 1)
+        ):
+            raise ValueError("checkpoint does not match this input/configuration")
     state, edge, bounds, _refs, cols = _build_shards(
-        tagged, n, num_partitions, weighted=False, fill="vid"
+        tagged, n, num_partitions, weighted=False, fill="vid",
+        bounds_override=m_resume["bounds"] if m_resume else None,
     )
     P = len(bounds) - 1
 
-    def pick(b):
-        def f(t: pa.Table) -> pa.Table:
-            keep = pa.compute.equal(t.column("arrival"), b)
-            return t.filter(keep).drop_columns(["arrival"])
-
-        return f
+    pick = arrival_picker
 
     stats: list[dict] = []
     start_batch = 0
     try:
-        if resume and ckpt_dir:
-            m = _latest_cc_manifest(ckpt_dir)
-            if m is not None:
-                if m["bounds"] != [int(x) for x in bounds] or (
-                    m["num_batches"] != num_batches
-                ):
-                    raise ValueError(
-                        "checkpoint does not match this input/configuration"
-                    )
-                ray.get(
-                    [
-                        state[j].load_shard.remote(m["shards"][j])
-                        for j in range(P)
-                    ]
-                )
-                stats = list(m["stats"])
-                start_batch = m["batch"] + 1
-                # already-arrived batches re-bucket into the edge
-                # shards (needed for future propagation); NO rounds,
-                # no frontier seeding — their fixpoint is the
-                # checkpointed state
-                for b in range(start_batch):
-                    prev = tagged.map_batches(
-                        pick(b), batch_format="pyarrow"
-                    ).materialize()
-                    _add_blocks(edge, prev.to_arrow_refs(), bounds, cols)
+        if m_resume is not None:
+            ray.get(
+                [
+                    state[j].load_shard.remote(m_resume["shards"][j])
+                    for j in range(P)
+                ]
+            )
+            stats = list(m_resume["stats"])
+            start_batch = m_resume["batch"] + 1
+            # already-arrived batches re-bucket into the edge shards in
+            # ONE filtered pass (needed for future propagation); NO
+            # rounds, no frontier seeding — their fixpoint is the
+            # checkpointed state
+
+            def pick_arrived(t: pa.Table, hi=start_batch) -> pa.Table:
+                keep = pa.compute.less(t.column("arrival"), hi)
+                return t.filter(keep).drop_columns(["arrival"])
+
+            prev = tagged.map_batches(
+                pick_arrived, batch_format="pyarrow"
+            ).materialize()
+            _add_blocks(edge, prev.to_arrow_refs(), bounds, cols)
         for b in range(start_batch, num_batches):
             batch_ds = tagged.map_batches(
                 pick(b), batch_format="pyarrow"
@@ -1340,7 +1340,8 @@ def incremental_cc_sharded(edges, n: int, num_batches: int = 4,
             labels = touched = None
         else:
             labels, touched = _fetch_min(state)
-            touched = np.flatnonzero(touched)
+            # bounds cover [0, max(n, 1)) so n == 0 yields one dummy vid
+            labels, touched = labels[:n], np.flatnonzero(touched[:n])
     finally:
         _shutdown(state, edge)
     return labels, touched, stats
@@ -1365,14 +1366,14 @@ def greedy_matching_sharded(edges, n: int,
             )
         )
     edges = edges.select_columns(["src", "dst"]).materialize()
-    refs = edges.to_arrow_refs()
-    bounds, _total = _degree_bounds(refs, n, num_partitions)
+    state, edge, bounds, refs, cols = _build_shards(
+        edges, n, num_partitions, weighted=False, fill="vid",
+        state_factory=lambda j, b: _MatchShard.remote(j, b, n),
+    )
     P = len(bounds) - 1
-    state = [_MatchShard.remote(j, bounds, n) for j in range(P)]
-    edge = [_EdgeShard.remote(j, bounds, False) for j in range(P)]
     pair_refs = []
     try:
-        _add_blocks(edge, refs, bounds, ("src", "dst"))
+        _add_blocks(edge, refs, bounds, cols)
         while True:
             exports = [s.export.remote() for s in state]
             prop_lists = [
@@ -1438,6 +1439,7 @@ def temporal_earliest_arrival_sharded(edges, n: int, source: int,
         seeded = ray.get(state[j].seed_value.remote(source, -1))
         _min_rounds(state, edge, "scatter_min_time", seeded)
         arrival, _touched = _fetch_min(state)
+        arrival = arrival[:n]  # bounds cover [0, max(n, 1))
     finally:
         _shutdown(state, edge)
     return arrival, np.flatnonzero(arrival < _INF)

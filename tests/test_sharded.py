@@ -87,8 +87,11 @@ def test_incremental_cc_sharded_checkpoint_resume(ray_session, tmp_path):
     # simulate a crash after batch 1: drop the later manifests
     for b in (2, 3):
         os.remove(os.path.join(ck, f"manifest-batch{b}.json"))
+    # resume on a "different machine": another partition count — the
+    # manifest's bounds are adopted, not re-derived
     lab_r, touched_r, stats_r = sharded.incremental_cc_sharded(
-        (src, dst), n, num_batches=4, ckpt_dir=ck, resume=True
+        (src, dst), n, num_batches=4, ckpt_dir=ck, resume=True,
+        num_partitions=2,
     )
     np.testing.assert_array_equal(lab_full, lab_r)
     np.testing.assert_array_equal(touched_full, touched_r)
