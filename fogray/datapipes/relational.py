@@ -2247,7 +2247,10 @@ def dq_checks(
             v, n = part
         elif kind == "unique":
             proj = ds.select_columns([col])
-            nulls, n = _null_total(proj, col)
+            # COUNT(*) - COUNT(DISTINCT col) needs no null count (NULL
+            # is never distinct, so null rows are violations by the
+            # subtraction); count() is metadata-cheap on parquet reads
+            n = proj.count()
             if not r.get("large", n > driver_fold_max_rows):
                 # small path: per-block distinct NON-NULL keys fold on
                 # the driver (bounded by the gate, not "any table")
@@ -2297,7 +2300,6 @@ def dq_checks(
             ref = tables[r["ref_table"]]
             rc = r["ref_column"]
             proj = ds.select_columns([col])
-            nulls, n = _null_total(proj, col)
             large = (
                 bool(r["ref_fact"]) if "ref_fact" in r
                 else ref.count() > driver_fold_max_rows
@@ -2318,17 +2320,22 @@ def dq_checks(
 
                 def p_orphans(t: pa.Table, c=col) -> pa.Table:
                     kk = ray.get(kref)
-                    a = _clean_keys(t, c)  # null FK counted via `nulls`
+                    a = _clean_keys(t, c)
                     pos = np.searchsorted(kk, a)
                     ok = (pos < len(kk)) & (kk[np.minimum(pos, len(kk) - 1)] == a) \
                         if len(kk) else np.zeros(len(a), bool)
+                    # null FK = LEFT-JOIN orphan, folded in the SAME
+                    # pass (no separate null/total scan)
+                    nv = t.num_rows - len(a)
                     return pa.table(
-                        {"v": pa.array([int((~ok).sum())], pa.int64()),
-                         "n": pa.array([len(a)], pa.int64())}
+                        {"v": pa.array([int((~ok).sum()) + nv], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())}
                     )
 
-                v, _ = _collect_partials(proj, p_orphans)
+                v, n = _collect_partials(proj, p_orphans)
+                nulls = 0  # already inside v
             else:
+                nulls, n = _null_total(proj, col)
                 # fact-sized referenced side: tagged union of bare keys
                 # (probe rows side 1, block-deduped ref keys side 0) +
                 # ONE sort; each group-complete block counts probe rows
