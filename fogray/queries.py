@@ -3113,6 +3113,40 @@ ORACLE_SQL["temporal_reach"] = """
 """
 ORACLE_SQL["temporal_reach_sharded"] = ORACLE_SQL["temporal_reach"]
 
+# fully-dynamic CC: the final fixpoint equals the static components of
+# the NEVER-DELETED edge set; both lifecycle hashes (arrival batch and
+# the delete lottery) replay through the exact HUGEINT splitmix chain.
+# Seeds come from ALL edges (touched = every endpoint, including ones
+# whose every edge was deleted — they end as singletons).
+ORACLE_SQL["cc_dynamic"] = f"""
+    WITH RECURSIVE
+    alledges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+    k0 AS (SELECT src, dst,
+           xor(CAST(LEAST(src, dst) AS UBIGINT)
+               * CAST(4294967296 AS UBIGINT),
+               CAST(GREATEST(src, dst) AS UBIGINT)) AS key
+           FROM alledges),
+    a0 AS (SELECT src, dst, key AS x0 FROM k0),
+    {_splitmix_ctes("dyna", "a0", "src, dst")},
+    arr AS (SELECT src, dst, CAST((f >> 11) % 4 AS BIGINT) AS arrival
+            FROM dyna3),
+    b0 AS (SELECT src, dst,
+           xor(key, CAST(11400714819323198485 AS UBIGINT)) AS x0 FROM k0),
+    {_splitmix_ctes("dynb", "b0", "src, dst")},
+    lot AS (SELECT src, dst, ((f >> 11) % 3) = 0 AS unlucky FROM dynb3),
+    live AS MATERIALIZED (
+        SELECT a.src, a.dst
+        FROM arr a JOIN lot b ON a.src = b.src AND a.dst = b.dst
+        WHERE NOT (b.unlucky AND a.arrival < 3)
+    ),
+    reach(v, r) AS (
+        SELECT src, src FROM alledges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN live e ON e.src = reach.v
+    )
+    SELECT v AS vid, MIN(r) AS component_root FROM reach GROUP BY v ORDER BY vid
+"""
+
 def q_cc_incremental_sharded(sf_dir: str) -> pa.Table:
     """Range-sharded flavor of ``cc_incremental``
     (fogray.sharded.incremental_cc_sharded): same batches, labels and
@@ -3123,6 +3157,32 @@ def q_cc_incremental_sharded(sf_dir: str) -> pa.Table:
 
     ds, n = cooccurrence_edges_ds(sf_dir)
     labels, touched, _stats = incremental_cc_sharded(
+        ds.select_columns(["src", "dst"]), n, num_batches=4
+    )
+    return pa.table(
+        {
+            "vid": touched.astype(np.int64),
+            "component_root": labels[touched].astype(np.int64),
+        }
+    )
+
+
+def q_cc_dynamic(sf_dir: str) -> pa.Table:
+    """Fully-dynamic connected components with INSERTS AND DELETES
+    (fogray.incremental.dynamic_cc): the co-occurrence edges arrive in
+    4 deterministic batches and ~a third of them — chosen by an
+    independent splitmix hash — are DELETED at a later batch; a
+    deletion resets every touched component (deletions split, so
+    affected labels are recomputed, not propagated) and one
+    frontier-limited pass restores the live fixpoint. The oracle
+    mirrors both hash chains in HUGEINT SQL and runs the static
+    reachability over the never-deleted edge set — after the last
+    batch the two are identical (intermediate states are
+    pytest-asserted against a union-find oracle per prefix)."""
+    from .incremental import dynamic_cc
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    labels, touched, _stats = dynamic_cc(
         ds.select_columns(["src", "dst"]), n, num_batches=4
     )
     return pa.table(
@@ -3205,6 +3265,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "cc_incremental": q_cc_incremental,
     "cc_incremental_sharded": q_cc_incremental_sharded,
+    "cc_dynamic": q_cc_dynamic,
     "temporal_reach": q_temporal_reach,
     "temporal_reach_sharded": q_temporal_reach_sharded,
     "pagerank_evolve": q_pagerank_evolve,

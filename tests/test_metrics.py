@@ -679,3 +679,46 @@ def test_pagerank_warm_start_continues_accumulation(ray_session):
         assert not np.allclose(warm2, cold)
     finally:
         eng.shutdown()
+
+
+def test_dynamic_cc_deletions_split_and_match_static_each_batch(ray_session):
+    """Fully-dynamic CC (inserts + deletes): after EVERY stream prefix
+    the labels equal the static min-label components of the live edge
+    set (union-find oracle); deletions actually fire and reset whole
+    components."""
+    import ray.data as rd
+
+    from fogray import oracle as orc
+    from fogray.incremental import dynamic_cc, update_tagger
+
+    rng = np.random.RandomState(23)
+    n = 240
+    s0 = rng.randint(0, n, 700).astype(np.int64)
+    d0 = rng.randint(0, n, 700).astype(np.int64)
+    src, dst = np.r_[s0, d0], np.r_[d0, s0]
+    t = pa.table({"src": src, "dst": dst})
+    nb = 4
+    # replay the tags locally to know the live set after each prefix
+    tagged = update_tagger(nb)(t)
+    arr = tagged.column("arrival").to_numpy(zero_copy_only=False)
+    rem = tagged.column("removal").to_numpy(zero_copy_only=False)
+    assert ((rem == -1) | (rem > arr)).all()
+    assert (rem >= 0).any(), "workload must contain deletions"
+
+    labels, touched, stats = dynamic_cc(rd.from_arrow(t), n, num_batches=nb)
+    assert sum(st["deleted_edges"] for st in stats) == int((rem >= 0).sum())
+    assert any(st["reset_vertices"] > 0 for st in stats)
+    live = rem == -1
+    want = orc.wcc_fog(src[live], dst[live], n)
+    np.testing.assert_array_equal(labels, want)
+
+    # intermediate exactness: after batches 0..b the live set is
+    # {arrival <= b AND (removal == -1 OR removal > b)}
+    for b in range(nb - 1):
+        m = (arr <= b) & ((rem == -1) | (rem > b))
+        want_b = orc.wcc_fog(src[m], dst[m], n)
+        lab_b, _t, st_b = dynamic_cc(
+            rd.from_arrow(t), n, num_batches=nb, stop_after=b
+        )
+        np.testing.assert_array_equal(lab_b, want_b, err_msg=f"batch {b}")
+        assert len(st_b) == b + 1
