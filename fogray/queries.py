@@ -3118,6 +3118,15 @@ ORACLE_SQL["temporal_reach_sharded"] = ORACLE_SQL["temporal_reach"]
 # the delete lottery) replay through the exact HUGEINT splitmix chain.
 # Seeds come from ALL edges (touched = every endpoint, including ones
 # whose every edge was deleted — they end as singletons).
+ORACLE_SQL["graph_sparsify"] = f"""
+    WITH e AS (SELECT src, dst, weight FROM ({_COOC_SQL})),
+    r AS (SELECT src, dst, weight,
+          ROW_NUMBER() OVER (PARTITION BY src
+                             ORDER BY weight DESC, dst) AS rk FROM e)
+    SELECT src, dst, weight, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 4 ORDER BY src, rk
+"""
+
 ORACLE_SQL["cc_dynamic"] = f"""
     WITH RECURSIVE
     alledges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
@@ -3165,6 +3174,32 @@ def q_cc_incremental_sharded(sf_dir: str) -> pa.Table:
             "component_root": labels[touched].astype(np.int64),
         }
     )
+
+
+def q_graph_sparsify(sf_dir: str) -> pa.Table:
+    """Degree-capped graph sparsification: keep each vertex's top-4
+    HEAVIEST out-edges (ties by dst — the deterministic kNN-graph
+    degree cap that keeps hub neighborhoods bounded at corpus scale),
+    composed directly from the D76 grouped top-k kernel
+    (fogray.datapipes.relational.topk_per_group) over the co-occurrence
+    edge table — one sort, group-complete heads, no driver state.
+    -> (src, dst, weight, rk) sorted by (src, rk)."""
+    from .datapipes.relational import topk_per_group
+    from .util import sorted_table
+
+    ds, _n = cooccurrence_edges_ds(sf_dir)
+    out = topk_per_group(
+        ds, group_col="src", id_col="dst", order_col="weight", k=4
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(out.materialize().to_arrow_refs())
+         if b.num_rows and b.num_columns],
+        promote_options="default",
+    ) if out.count() else pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+         "weight": pa.array([], pa.float64()), "rk": pa.array([], pa.int64())}
+    )
+    return sorted_table(t, ["src", "rk"])
 
 
 def q_cc_dynamic(sf_dir: str) -> pa.Table:
@@ -3266,6 +3301,7 @@ QUERIES = {
     "cc_incremental": q_cc_incremental,
     "cc_incremental_sharded": q_cc_incremental_sharded,
     "cc_dynamic": q_cc_dynamic,
+    "graph_sparsify": q_graph_sparsify,
     "temporal_reach": q_temporal_reach,
     "temporal_reach_sharded": q_temporal_reach_sharded,
     "pagerank_evolve": q_pagerank_evolve,
