@@ -3118,6 +3118,53 @@ ORACLE_SQL["temporal_reach_sharded"] = ORACLE_SQL["temporal_reach"]
 # the delete lottery) replay through the exact HUGEINT splitmix chain.
 # Seeds come from ALL edges (touched = every endpoint, including ones
 # whose every edge was deleted — they end as singletons).
+# HyperBall: exact bounded-hop reach sets -> the SAME md5 registers
+# over the members (register MAX == union sketch) -> the identical
+# bias-corrected estimator. Absent buckets contribute 2^0 = 1 to the
+# power sum and count as zeros (rho from the hash is always >= 1).
+ORACLE_SQL["hyperball"] = f"""
+    WITH RECURSIVE
+    edges AS MATERIALIZED (SELECT src, dst FROM ({_COOC_SQL})),
+    vids AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+    walk(v, u, h) AS (
+        SELECT v, v, 0 FROM vids
+        UNION
+        SELECT w.v, e.dst, w.h + 1 FROM walk w JOIN edges e ON e.src = w.u
+        WHERE w.h < 2
+    ),
+    dist AS MATERIALIZED (SELECT v, u, MIN(h) AS d FROM walk GROUP BY v, u),
+    h0 AS (SELECT v, substr(md5(CAST(v AS VARCHAR)), 1, 2) AS pre,
+                  substr(md5(CAST(v AS VARCHAR)), 3) AS tail FROM vids),
+    h1 AS (SELECT v, CAST(('0x' || pre) AS UBIGINT) AS bucket,
+                  length(regexp_extract(tail, '^0*')) AS zhex,
+                  substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1) AS c
+           FROM h0),
+    hx AS MATERIALIZED (
+        SELECT v AS u, bucket,
+               CASE WHEN c = '' THEN 121
+                    WHEN CAST(('0x' || c) AS UBIGINT) >= 8 THEN 4*zhex + 1
+                    WHEN CAST(('0x' || c) AS UBIGINT) >= 4 THEN 4*zhex + 2
+                    WHEN CAST(('0x' || c) AS UBIGINT) >= 2 THEN 4*zhex + 3
+                    ELSE 4*zhex + 4 END AS rho
+        FROM h1),
+    hops AS (SELECT unnest(range(3)) AS hop),
+    mem AS (SELECT dist.v, hops.hop, dist.u
+            FROM dist JOIN hops ON dist.d <= hops.hop),
+    r AS (SELECT mem.v, mem.hop, hx.bucket, MAX(hx.rho) AS rho
+          FROM mem JOIN hx ON hx.u = mem.u GROUP BY mem.v, mem.hop, hx.bucket),
+    s AS (SELECT v, hop,
+                 SUM(POWER(2.0, -rho)) + (256 - COUNT(*)) AS ssum,
+                 256 - COUNT(*) AS zeros
+          FROM r GROUP BY v, hop)
+    SELECT v AS vid, CAST(hop AS BIGINT) AS hop,
+           ROUND(CASE WHEN (0.7213/(1.0+1.079/256.0))*256.0*256.0/ssum
+                           <= 2.5*256.0 AND zeros > 0
+                      THEN 256.0 * LN(256.0 / zeros)
+                      ELSE (0.7213/(1.0+1.079/256.0))*256.0*256.0/ssum
+                 END, 6) AS est_ball
+    FROM s ORDER BY vid, hop
+"""
+
 ORACLE_SQL["graph_sparsify"] = f"""
     WITH e AS (SELECT src, dst, weight FROM ({_COOC_SQL})),
     r AS (SELECT src, dst, weight,
@@ -3174,6 +3221,22 @@ def q_cc_incremental_sharded(sf_dir: str) -> pa.Table:
             "component_root": labels[touched].astype(np.int64),
         }
     )
+
+
+def q_hyperball(sf_dir: str) -> pa.Table:
+    """HyperBall approximate neighborhood function
+    (fogray.hyperball.hyperball, Boldi & Vigna 2013): per-vertex
+    256-register HLL sketches of the 0..2-hop out-reach balls, merged
+    along edges one broadcast superstep per hop. Register max ==
+    set-union sketch, so the estimate is a deterministic function of
+    the EXACT ball — the oracle computes true bounded-hop reach sets,
+    rebuilds the identical md5 registers over the members (the
+    established HLL mirror) and applies the same estimator.
+    -> (vid, hop, est_ball ROUND 6)."""
+    from .hyperball import hyperball
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return hyperball(ds.select_columns(["src", "dst"]), n, max_hops=2)
 
 
 def q_graph_sparsify(sf_dir: str) -> pa.Table:
@@ -3302,6 +3365,7 @@ QUERIES = {
     "cc_incremental_sharded": q_cc_incremental_sharded,
     "cc_dynamic": q_cc_dynamic,
     "graph_sparsify": q_graph_sparsify,
+    "hyperball": q_hyperball,
     "temporal_reach": q_temporal_reach,
     "temporal_reach_sharded": q_temporal_reach_sharded,
     "pagerank_evolve": q_pagerank_evolve,

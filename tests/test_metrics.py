@@ -722,3 +722,49 @@ def test_dynamic_cc_deletions_split_and_match_static_each_batch(ray_session):
         )
         np.testing.assert_array_equal(lab_b, want_b, err_msg=f"batch {b}")
         assert len(st_b) == b + 1
+
+
+def test_hyperball_equals_hll_of_exact_balls(ray_session):
+    """HLL-merge along edges == HLL of the exact reach set (register
+    max is union), so per-(v, hop) estimates must equal estimates
+    computed from exact BFS balls — bit-for-bit, not approximately."""
+    import ray.data as rd
+
+    from fogray.hyperball import _vid_registers, hll_estimate_rows, hyperball
+    from fogray.util import sql_round
+
+    rng = np.random.RandomState(41)
+    n = 120
+    src = rng.randint(0, n, 400).astype(np.int64)
+    dst = rng.randint(0, n, 400).astype(np.int64)
+    t = pa.table({"src": src, "dst": dst})
+    got = hyperball(rd.from_arrow(t), n, max_hops=3).to_pandas()
+
+    # exact out-balls by BFS over adjacency
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        adj[a].append(b)
+    touched = np.unique(np.r_[src, dst])
+    base = np.zeros((n, 256), dtype=np.uint8)
+    base[touched] = _vid_registers(touched)
+    rows = []
+    for v in touched:
+        ball = {int(v)}
+        for h in range(0, 4):
+            if h > 0:
+                ball = ball | {w for u in ball for w in adj[u]}
+            members = np.array(sorted(ball), dtype=np.int64)
+            regs = base[members].max(axis=0)
+            rows.append((int(v), h, sql_round(
+                hll_estimate_rows(regs[None, :]))[0]))
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["vid", "hop", "est_ball"]) \
+        .sort_values(["vid", "hop"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["vid", "hop"]).reset_index(drop=True), exp
+    )
+    # monotone: balls only grow with hops
+    for v, grp in got.groupby("vid"):
+        e = grp.sort_values("hop")["est_ball"].to_numpy()
+        assert (np.diff(e) >= -1e-9).all()
