@@ -3165,6 +3165,8 @@ ORACLE_SQL["hyperball"] = f"""
     FROM s ORDER BY vid, hop
 """
 
+ORACLE_SQL["hyperball_sharded"] = ORACLE_SQL["hyperball"]
+
 ORACLE_SQL["graph_sparsify"] = f"""
     WITH e AS (SELECT src, dst, weight FROM ({_COOC_SQL})),
     r AS (SELECT src, dst, weight,
@@ -3237,6 +3239,16 @@ def q_hyperball(sf_dir: str) -> pa.Table:
 
     ds, n = cooccurrence_edges_ds(sf_dir)
     return hyperball(ds.select_columns(["src", "dst"]), n, max_hops=2)
+
+
+def q_hyperball_sharded(sf_dir: str) -> pa.Table:
+    """Range-sharded HyperBall (fogray.sharded.hyperball_sharded):
+    identical estimates, register matrix sliced across range shards
+    and merged by routed per-range maxima — same oracle."""
+    from .sharded import hyperball_sharded
+
+    ds, n = cooccurrence_edges_ds(sf_dir)
+    return hyperball_sharded(ds.select_columns(["src", "dst"]), n, max_hops=2)
 
 
 def q_graph_sparsify(sf_dir: str) -> pa.Table:
@@ -3366,6 +3378,7 @@ QUERIES = {
     "cc_dynamic": q_cc_dynamic,
     "graph_sparsify": q_graph_sparsify,
     "hyperball": q_hyperball,
+    "hyperball_sharded": q_hyperball_sharded,
     "temporal_reach": q_temporal_reach,
     "temporal_reach_sharded": q_temporal_reach_sharded,
     "pagerank_evolve": q_pagerank_evolve,

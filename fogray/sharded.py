@@ -207,6 +207,37 @@ class _EdgeShard:
             return tuple(None for _ in range(self.P)) if self.P > 1 else None
         return self._emit_min(self.d[m], self.w[m])
 
+    def scatter_maxregs(self, regs):
+        """HyperBall kernel (transposed edge feed — see
+        hyperball_sharded): per-dst elementwise max of the own-range
+        src register rows, via a build-once dst-sorted permutation +
+        one ``maximum.reduceat`` per hop; partials route by dst range
+        as raw (ids, matrix) numpy pairs."""
+        if len(self.s) == 0:
+            return tuple(None for _ in range(self.P)) if self.P > 1 else None
+        hb = getattr(self, "_hb", None)
+        if hb is None:
+            rel = self.s - self.lo
+            order = np.argsort(self.d, kind="stable")
+            d = self.d[order]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            ids = d[starts]
+            hb = self._hb = {
+                "rel": rel[order],
+                "starts": starts,
+                "ids": ids,
+                "cuts": np.searchsorted(ids, self.bounds),
+            }
+        mx = np.maximum.reduceat(regs[hb["rel"]], hb["starts"], axis=0)
+        ids, cuts = hb["ids"], hb["cuts"]
+        out = tuple(
+            (ids[cuts[c] : cuts[c + 1]], mx[cuts[c] : cuts[c + 1]])
+            if cuts[c + 1] > cuts[c]
+            else None
+            for c in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
+
     def scatter_match(self, alive):
         """Matching proposal kernel: every live-src edge proposes its
         (h, a, b) key at dst (h = the deterministic splitmix edge
@@ -1443,3 +1474,146 @@ def temporal_earliest_arrival_sharded(edges, n: int, source: int,
     finally:
         _shutdown(state, edge)
     return arrival, np.flatnonzero(arrival < _INF)
+
+
+# ---------------------------------------------------------------------------
+# sharded HyperBall (per-vertex HLL register matrices, max-combine)
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=0)
+class _RegShard:
+    """HyperBall register state for vids [lo, hi): a (span, 256) uint8
+    matrix, updated by routed per-range elementwise maxima. Per hop it
+    also returns its slice's estimates, so the driver only ever holds
+    O(V) floats of RESULT, never register payload."""
+
+    def __init__(self, idx: int, bounds):
+        bounds = np.asarray(bounds, dtype=np.int64)
+        self.lo = int(bounds[idx])
+        self.hi = int(bounds[idx + 1])
+        self.regs = np.zeros((self.hi - self.lo, 256), dtype=np.uint8)
+        self.touched = np.zeros(self.hi - self.lo, dtype=bool)
+
+    def seed(self, *id_arrays):
+        """Install singleton sketches for the touched vids."""
+        from .hyperball import _vid_registers
+
+        for ids in id_arrays:
+            ids = np.asarray(ids, dtype=np.int64)
+            rel = ids - self.lo
+            self.regs[rel] = np.maximum(self.regs[rel], _vid_registers(ids))
+            self.touched[rel] = True
+        return int(self.touched.sum())
+
+    def export(self):
+        return self.regs
+
+    def apply_max(self, *parts):
+        """Fold routed (ids, matrix) maxima into the slice."""
+        for p in parts:
+            if p is None:
+                continue
+            ids, mx = p
+            if len(ids):
+                np.maximum.at(self.regs, ids - self.lo, mx)
+        return True
+
+    def estimates(self):
+        """(touched vids, HLL estimates of their current sketches)."""
+        from .hyperball import hll_estimate_rows
+
+        rel = np.flatnonzero(self.touched)
+        return rel + self.lo, hll_estimate_rows(self.regs[rel])
+
+
+def hyperball_sharded(edges, n: int, max_hops: int = 3,
+                      num_partitions: int | None = None) -> pa.Table:
+    """Sharded flavor of :func:`fogray.hyperball.hyperball` — identical
+    estimates, with the (V, 256) register matrix SLICED across range
+    shards instead of broadcast whole each hop. HyperBall reads at dst
+    and emits at src, so the edges feed the src-range-bucketed
+    :class:`_EdgeShard` machinery TRANSPOSED (src/dst swapped): each
+    edge shard reads exactly its own range's register slice and routes
+    per-src pre-combined maxima by src range."""
+    from .util import sql_round
+
+    if not isinstance(edges, rd.Dataset):
+        src, dst = edges
+        edges = from_arrow_chunked(
+            pa.table(
+                {
+                    "src": np.asarray(src, dtype=np.int64),
+                    "dst": np.asarray(dst, dtype=np.int64),
+                }
+            )
+        )
+
+    def swap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table({"src": t.column("dst"), "dst": t.column("src")})
+
+    swapped = (
+        edges.select_columns(["src", "dst"])
+        .map_batches(swap, batch_format="pyarrow")
+        .materialize()
+    )
+    state, edge, bounds, refs, cols = _build_shards(
+        swapped, n, num_partitions, weighted=False, fill="vid",
+        state_factory=lambda j, b: _RegShard.remote(j, b),
+    )
+    P = len(bounds) - 1
+    try:
+        _added, ep_cols = _add_blocks(edge, refs, bounds, cols)
+        ray.get(
+            [
+                state[c].seed.remote(*ep_cols[c])
+                for c in range(P)
+                if ep_cols[c]
+            ]
+        )
+        out_v, out_h, out_e = [], [], []
+
+        def collect(hop: int):
+            parts = ray.get([s.estimates.remote() for s in state])
+            v = np.concatenate([p[0] for p in parts])
+            e = np.concatenate([p[1] for p in parts])
+            out_v.append(v)
+            out_h.append(np.full(len(v), hop, dtype=np.int64))
+            out_e.append(e)
+
+        collect(0)
+        for hop in range(1, max_hops + 1):
+            exports = [s.export.remote() for s in state]
+            ref_lists = [
+                e.scatter_maxregs.options(num_returns=P).remote(exports[j])
+                if P > 1
+                else [e.scatter_maxregs.remote(exports[j])]
+                for j, e in enumerate(edge)
+            ]
+            ray.get(
+                [
+                    state[c].apply_max.remote(*[rl[c] for rl in ref_lists])
+                    for c in range(P)
+                ]
+            )
+            collect(hop)
+    finally:
+        _shutdown(state, edge)
+    if not out_v:
+        return pa.table(
+            {
+                "vid": pa.array([], pa.int64()),
+                "hop": pa.array([], pa.int64()),
+                "est_ball": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "vid": pa.array(np.concatenate(out_v)),
+            "hop": pa.array(np.concatenate(out_h)),
+            "est_ball": pa.array(sql_round(np.concatenate(out_e))),
+        }
+    ).sort_by([("vid", "ascending"), ("hop", "ascending")])

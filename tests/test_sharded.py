@@ -240,6 +240,23 @@ def test_msf_sharded_matches_kruskal(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+@pytest.mark.parametrize("p", [None, 1, 3])
+def test_hyperball_sharded_matches_broadcast(ray_session, p):
+    from fogray import hyperball as hb
+
+    rng = np.random.RandomState(43)
+    n = 200
+    src = rng.randint(0, n, 600).astype(np.int64)
+    dst = rng.randint(0, n, 600).astype(np.int64)
+    t = pa.table({"src": src, "dst": dst})
+    blocks = [t.slice(0, 250), t.slice(250, 200), t.slice(450)]
+    a = hb.hyperball(rd.from_arrow(blocks), n, max_hops=3).to_pandas()
+    b = sharded.hyperball_sharded(
+        rd.from_arrow(blocks), n, max_hops=3, num_partitions=p
+    ).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_temporal_sharded_time_respecting(ray_session):
     """A path that needs decreasing times must NOT be traversed."""
     # 0 -t=5-> 1 -t=3-> 2 : 2 unreachable; 0 -t=1-> 3 -t=2-> 4 fine
