@@ -1445,10 +1445,14 @@ def greedy_matching_sharded(edges, n: int,
 
 
 def temporal_earliest_arrival_sharded(edges, n: int, source: int,
-                                      num_partitions: int | None = None):
+                                      num_partitions: int | None = None,
+                                      out_dir: str | None = None):
     """Sharded flavor of
     :func:`fogray.temporal.temporal_earliest_arrival` — identical
-    arrival times and reached set, state sharded by vid range."""
+    arrival times and reached set, state sharded by vid range. With
+    ``out_dir`` set, shards write (vid, value=arrival, touched)
+    parquet in parallel and nothing dense assembles anywhere
+    (returns (None, None))."""
     if not isinstance(edges, rd.Dataset):
         src, dst, tt = edges
         edges = from_arrow_chunked(
@@ -1469,6 +1473,13 @@ def temporal_earliest_arrival_sharded(edges, n: int, source: int,
         j = int(np.searchsorted(bounds[1:], source, side="right"))
         seeded = ray.get(state[j].seed_value.remote(source, -1))
         _min_rounds(state, edge, "scatter_min_time", seeded)
+        if out_dir is not None:
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            P = len(bounds) - 1
+            ray.get([state[j].write_shard.remote(out_dir, j) for j in range(P)])
+            return None, None
         arrival, _touched = _fetch_min(state)
         arrival = arrival[:n]  # bounds cover [0, max(n, 1))
     finally:

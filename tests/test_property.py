@@ -335,3 +335,43 @@ def test_sharded_matching_is_maximal_and_matches(ray_session, g):
     used[flat] = True
     m = src != dst
     assert not (~used[src[m]] & ~used[dst[m]]).any(), "unmatched live edge left"
+
+
+@given(graphs())
+@_settings
+def test_sharded_temporal_matches_broadcast(ray_session, g):
+    """Property parity: sharded temporal earliest arrival equals the
+    broadcast original on any random temporal graph (times derived
+    deterministically from the weight strategy)."""
+    from fogray import sharded, temporal
+
+    src, dst, w, n, parts = g
+    tt = (w * 3).astype(np.int64)
+    a_arr, a_reached = temporal.temporal_earliest_arrival((src, dst, tt), n, 0)
+    b_arr, b_reached = sharded.temporal_earliest_arrival_sharded(
+        (src, dst, tt), n, 0, num_partitions=parts
+    )
+    np.testing.assert_array_equal(a_arr, b_arr)
+    np.testing.assert_array_equal(a_reached, b_reached)
+
+
+@given(graphs())
+@_settings
+def test_sharded_coloring_is_proper_and_matches(ray_session, g):
+    """Property parity + properness on simple random graphs: sharded
+    JP equals broadcast JP and no edge joins equal colors."""
+    from fogray import coloring, sharded
+
+    src, dst, _w, n, parts = g
+    m = src != dst
+    if not m.any():
+        return
+    s2, d2 = np.r_[src[m], dst[m]], np.r_[dst[m], src[m]]
+    a = coloring.jones_plassmann((s2, d2), n).to_pandas()
+    b = sharded.jones_plassmann_sharded(
+        (s2, d2), n, num_partitions=parts
+    ).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    col = np.full(n, -5, dtype=np.int64)
+    col[b["vid"].to_numpy()] = b["color"].to_numpy()
+    assert (col[s2] != col[d2]).all()

@@ -257,6 +257,29 @@ def test_hyperball_sharded_matches_broadcast(ray_session, p):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_temporal_sharded_parquet_output(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    n = 100
+    src, dst = _random_edges(rng, n, 300)
+    tt = rng.randint(0, 30, 300).astype(np.int64)
+    arr, _ = sharded.temporal_earliest_arrival_sharded((src, dst, tt), n, 0)
+    out = str(tmp_path / "arr")
+    r = sharded.temporal_earliest_arrival_sharded(
+        (src, dst, tt), n, 0, out_dir=out
+    )
+    assert r == (None, None)
+    import glob
+
+    cat = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(out + "/part-*.parquet"))]
+    ).sort_by("vid")
+    np.testing.assert_array_equal(
+        cat.column("value").to_numpy(zero_copy_only=False)[:n], arr
+    )
+
+
 def test_temporal_sharded_time_respecting(ray_session):
     """A path that needs decreasing times must NOT be traversed."""
     # 0 -t=5-> 1 -t=3-> 2 : 2 unreachable; 0 -t=1-> 3 -t=2-> 4 fine
