@@ -2263,7 +2263,7 @@ def q_dq_checks(sf_dir: str) -> pa.Table:
         ),
         "lineitem": read_parquet_clean(
             os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_quantity", "l_discount"],
+            columns=["l_orderkey", "l_quantity", "l_discount", "l_returnflag"],
         ),
     }
     rules = [
@@ -2280,6 +2280,9 @@ def q_dq_checks(sf_dir: str) -> pa.Table:
          "lo": 1, "hi": 50},
         {"kind": "range", "table": "lineitem", "column": "l_discount",
          "lo": 0.0, "hi": 0.1},
+        {"kind": "accepted_values", "table": "lineitem",
+         "column": "l_returnflag", "values": ["A", "N", "R"]},
+        {"kind": "min_rows", "table": "orders", "at_least": 1000},
     ]
     return relational.dq_checks(tables, rules).sort_by("rule")
 
@@ -2321,6 +2324,18 @@ _DQ_ORACLE_SQL = """
                          THEN 1 ELSE 0 END) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values:lineitem.l_returnflag',
+           CAST(SUM(CASE WHEN l_returnflag IS NULL
+                         OR l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'min_rows:orders',
+           CAST(GREATEST(1000 - COUNT(*), 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
     ORDER BY rule
 """
 

@@ -2200,6 +2200,9 @@ def dq_checks(
     - {"kind": "fk", "table", "column",
        "ref_table", "ref_column"}                     # orphan rows
     - {"kind": "range", "table", "column", "lo", "hi"}  # value outside [lo, hi]
+    - {"kind": "accepted_values", "table", "column",
+       "values": [...]}                               # NOT-IN rows (NULL too)
+    - {"kind": "min_rows", "table", "at_least": N}    # volume shortfall
 
     -> (rule, violations, total) one row per rule, rule order preserved.
 
@@ -2228,11 +2231,11 @@ def dq_checks(
     names, viol, tot = [], [], []
     for r in rules:
         ds = tables[r["table"]]
-        col = r["column"]
+        col = r.get("column")
         kind = r["kind"]
         label = r.get(
             "name",
-            f"{kind}:{r['table']}.{col}"
+            f"{kind}:{r['table']}" + (f".{col}" if col is not None else "")
             + (f"->{r['ref_table']}.{r['ref_column']}" if kind == "fk" else ""),
         )
         if kind == "not_null":
@@ -2393,6 +2396,35 @@ def dq_checks(
                 )
 
             v, n = _collect_partials(ds, p_range)
+        elif kind == "accepted_values":
+            # value not in the allowed set = violation (NULL too,
+            # matching NOT IN semantics with an explicit IS NULL arm)
+            allowed = pa.array(sorted(r["values"]))
+
+            def p_accept(t: pa.Table, c=col, allowed=allowed) -> pa.Table:
+                a = t.column(c)
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                ok = pc.is_in(a, value_set=allowed)
+                good = int(pc.sum(ok).as_py() or 0)  # NULL ok -> not good
+                return pa.table(
+                    {"v": pa.array([t.num_rows - good], pa.int64()),
+                     "n": pa.array([t.num_rows], pa.int64())}
+                )
+
+            v, n = _collect_partials(ds, p_accept)
+        elif kind == "min_rows":
+            # table-level volume check: violation = shortfall below the
+            # expected minimum row count (0 when met) — the freshness/
+            # completeness gate of a scheduled pipeline
+            def p_rows(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"v": pa.array([0], pa.int64()),
+                     "n": pa.array([t.num_rows], pa.int64())}
+                )
+
+            _z, n = _collect_partials(ds, p_rows)
+            v = max(0, int(r["at_least"]) - n)
         else:  # pragma: no cover - config error, loud
             raise ValueError(f"unknown dq rule kind: {kind}")
         names.append(label)

@@ -1983,6 +1983,34 @@ def test_dq_checks_detect_injected_violations(ray_session):
     assert (out["total"] == 4).all()
 
 
+def test_dq_checks_accepted_values_and_min_rows(ray_session):
+    """The two r5 rule kinds fire exactly: NOT-IN rows (NULL counts as
+    a violation) and table-volume shortfall."""
+    import ray.data as rd
+
+    from fogray.datapipes import relational
+
+    t = pa.table(
+        {
+            "flag": pa.array(["A", "B", None, "A", "Z"], pa.string()),
+        }
+    )
+    out = relational.dq_checks(
+        {"t": rd.from_arrow(t).repartition(2)},
+        [
+            {"kind": "accepted_values", "table": "t", "column": "flag",
+             "values": ["A", "B"]},
+            {"kind": "min_rows", "table": "t", "at_least": 8},
+            {"kind": "min_rows", "table": "t", "at_least": 3},
+        ],
+    ).to_pandas().set_index("rule")
+    assert out.loc["accepted_values:t.flag", "violations"] == 2  # None + Z
+    assert out.loc["accepted_values:t.flag", "total"] == 5
+    mr = out[out.index == "min_rows:t"]
+    assert sorted(mr["violations"].tolist()) == [0, 3]  # 8-5 short, 3 met
+    assert (mr["total"] == 5).all()
+
+
 def test_dq_checks_scale_paths_and_nulls_match_sql(ray_session):
     """The group-complete paths (unique large=True, fk ref_fact=True)
     must agree with the broadcast/driver-fold paths AND with DuckDB's
